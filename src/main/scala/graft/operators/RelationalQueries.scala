@@ -1,7 +1,657 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.functions.{Cleaning, DateTimeFns, Money}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
+/** Granular declared queries for SURVEY.md §2.2-2.7: projections, filters,
+  * scalar functions, joins, aggregations, windows, sorts and set ops.
+  * Each entry cites the reference behavior it re-expresses and carries a
+  * DuckDB oracle kept in lockstep with the Spark plan.
+  *
+  * Determinism rules (see SURVEY §5): no wall-clock, stable ORDER BY on
+  * non-null keys (or explicit NULLS FIRST both sides), money through
+  * [[Money]], day-diffs via floor-of-millis.
+  */
 object RelationalQueries {
-  def defs: Map[String, QueryDef] = Map()
+  import Money.{moneyRound, moneySum, sqlRound, sqlSum}
+
+  private def li(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+  private def ord(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ── P1/P7: projection + equality filter (extract_loan_detail.py:16-71,90-131)
+    "p01_project_filter" -> QueryDef(
+      (s, d) => ord(s, d)
+        .filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+              WHERE o_orderstatus = 'O' ORDER BY o_orderkey"""),
+      "column projection + equality filter, both pushed into the parquet scan"),
+
+    // ── P2/P18: arithmetic expressions + deterministic rounding
+    // (extract_loan_detail.py:24, extract_manual_arcus_payments.py:92)
+    "p02_arithmetic_round" -> QueryDef(
+      (s, d) => li(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        moneyRound(col("l_extendedprice") * (lit(1d) - col("l_discount")) *
+          (lit(1d) + col("l_tax"))).as("charge"),
+        (col("l_extendedprice") / 100d).as("units"),
+        moneyRound(col("l_extendedprice") * 0.16d).as("tax16"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some(s"""SELECT l_orderkey, l_linenumber,
+              ${sqlRound("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS charge,
+              l_extendedprice / 100 AS units,
+              ${sqlRound("l_extendedprice * 0.16")} AS tax16
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // ── P3: searched CASE (extract_loan_detail.py:25-26)
+    "p03_case_searched" -> QueryDef(
+      (s, d) => li(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_returnflag") === "R",
+          moneyRound(col("l_extendedprice") * col("l_discount")))
+          .otherwise(0d).as("penalty"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some(s"""SELECT l_orderkey, l_linenumber,
+              CASE WHEN l_returnflag = 'R'
+                   THEN ${sqlRound("l_extendedprice * l_discount")}
+                   ELSE 0 END AS penalty
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // ── P4: simple-CASE decode tables (extract_loan_detail.py:29-70,
+    // extract_arcus_transactions.py:22-37)
+    "p04_decode_case" -> QueryDef(
+      (s, d) => ord(s, d).select(
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "F", "Fulfilled")
+          .when(col("o_orderstatus") === "O", "Open")
+          .when(col("o_orderstatus") === "P", "Pending")
+          .otherwise(null).as("status_name"),
+        when(col("o_orderpriority") === "1-URGENT", "Urgent")
+          .when(col("o_orderpriority") === "2-HIGH", "High")
+          .when(col("o_orderpriority") === "3-MEDIUM", "Medium")
+          .when(col("o_orderpriority") === "5-LOW", "Low")
+          .otherwise("Unspecified").as("priority_name"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+              CASE WHEN o_orderstatus = 'F' THEN 'Fulfilled'
+                   WHEN o_orderstatus = 'O' THEN 'Open'
+                   WHEN o_orderstatus = 'P' THEN 'Pending' END AS status_name,
+              CASE WHEN o_orderpriority = '1-URGENT' THEN 'Urgent'
+                   WHEN o_orderpriority = '2-HIGH' THEN 'High'
+                   WHEN o_orderpriority = '3-MEDIUM' THEN 'Medium'
+                   WHEN o_orderpriority = '5-LOW' THEN 'Low'
+                   ELSE 'Unspecified' END AS priority_name
+              FROM orders ORDER BY o_orderkey""")),
+
+    // ── P5/P6: NOT-IN and IN-list filters (extract_loan_detail.py:75-76,
+    // extract_collections_strategies.py:35)
+    "p05_filter_in_notin" -> QueryDef(
+      (s, d) => li(s, d)
+        .filter(!col("l_returnflag").isin("A") &&
+          col("l_linenumber").isin(1, 2, 3))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag"),
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+              WHERE l_returnflag NOT IN ('A') AND l_linenumber IN (1,2,3)
+              ORDER BY l_orderkey, l_linenumber, l_returnflag""")),
+
+    // ── P8/P10: date-range filters, partition-prunable
+    // (extract_arcus_transactions.py:42, load_accounting_data.py:106-157)
+    "p08_filter_date_range" -> QueryDef(
+      (s, d) => li(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate <  TIMESTAMP '1998-01-01'
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    // ── P9: null-presence filter (extract_growth_data.py:51-52)
+    "p09_filter_notnull" -> QueryDef(
+      (s, d) => li(s, d)
+        .filter(nullif(col("l_discount"), lit(0d)).isNotNull)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_discount"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_discount FROM lineitem
+              WHERE nullif(l_discount, 0) IS NOT NULL
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    // ── P11/J10: left-join-hit indicator (extract_arcus_transactions.py:37-41)
+    "p11_null_indicator" -> QueryDef(
+      (s, d) => {
+        val returned = li(s, d).filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("rk")).distinct()
+        ord(s, d).join(returned, col("o_orderkey") === col("rk"), "left")
+          .select(col("o_orderkey"),
+            when(col("rk").isNotNull, 1).otherwise(0).as("has_return"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+              CASE WHEN r.rk IS NOT NULL THEN 1 ELSE 0 END AS has_return
+              FROM orders LEFT JOIN
+                (SELECT DISTINCT l_orderkey AS rk FROM lineitem
+                 WHERE l_returnflag = 'R') r ON o_orderkey = rk
+              ORDER BY o_orderkey""")),
+
+    // ── P12: conditional overwrite, np.where (extract_loan_detail.py:191-195)
+    "p12_conditional_overwrite" -> QueryDef(
+      (s, d) => ord(s, d).select(
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "F" && col("o_totalprice") < 100000d,
+          lit(100000d)).otherwise(col("o_totalprice")).as("adj_price"),
+        when(col("o_custkey") % 2 === 0, "Even").otherwise("Odd").as("bucket"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+              CASE WHEN o_orderstatus = 'F' AND o_totalprice < 100000
+                   THEN 100000.0 ELSE o_totalprice END AS adj_price,
+              CASE WHEN o_custkey % 2 = 0 THEN 'Even' ELSE 'Odd' END AS bucket
+              FROM orders ORDER BY o_orderkey""")),
+
+    // ── P13: fill nulls after left join (extract_loan_detail.py:162-165,374)
+    "p13_fillna_coalesce" -> QueryDef(
+      (s, d) => {
+        val agg = li(s, d).filter(col("l_returnflag") === "R")
+          .groupBy(col("l_orderkey"))
+          .agg(moneySum(col("l_extendedprice")).as("returned_amt"),
+            max(col("l_shipdate")).as("last_return"))
+        ord(s, d).join(agg, col("o_orderkey") === col("l_orderkey"), "left")
+          .select(col("o_orderkey"),
+            coalesce(col("returned_amt"), lit(0d)).as("returned_amt"),
+            coalesce(col("last_return"),
+              lit("1990-01-01 00:00:00").cast("timestamp_ntz"))
+              .as("last_return"))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey,
+              coalesce(a.returned_amt, 0) AS returned_amt,
+              coalesce(a.last_return, TIMESTAMP '1990-01-01')
+                AS last_return
+              FROM orders LEFT JOIN
+                (SELECT l_orderkey, ${sqlSum("l_extendedprice")} AS returned_amt,
+                        max(l_shipdate) AS last_return
+                 FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1) a
+              ON o_orderkey = a.l_orderkey
+              ORDER BY o_orderkey""")),
+
+    // ── P14: clip to bounds (extract_loan_detail.py:294-295)
+    "p14_clip" -> QueryDef(
+      (s, d) => li(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        least(greatest(col("l_quantity"), lit(10d)), lit(40d))
+          .as("clipped_qty"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+              least(greatest(l_quantity, 10), 40) AS clipped_qty
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // ── P15: id normalization casts, incl. the int-roundtrip-string idiom
+    // (extract_loan_detail.py:297-299, extract_arcus_transactions.py:62-67)
+    "p15_cast_idstring" -> QueryDef(
+      (s, d) => ord(s, d).select(
+        col("o_orderkey"),
+        Cleaning.idString(col("o_orderkey")).as("order_id"),
+        Cleaning.idString(col("o_custkey")).as("user_id"),
+        col("o_totalprice").cast("bigint").cast("string").as("price_trunc"))
+        .orderBy("o_orderkey"),
+      Some(s"""SELECT o_orderkey,
+              ${Cleaning.sqlIdString("o_orderkey")} AS order_id,
+              ${Cleaning.sqlIdString("o_custkey")} AS user_id,
+              CAST(CAST(trunc(o_totalprice) AS BIGINT) AS VARCHAR)
+                AS price_trunc
+              FROM orders ORDER BY o_orderkey""")),
+
+    // ── P16/P17: drop + bulk rename (extract_loan_detail.py:377,
+    // extract_growth_data.py:54-74)
+    "p16_reshape_rename" -> QueryDef(
+      (s, d) => ord(s, d)
+        .drop("o_orderpriority")
+        .withColumnsRenamed(Map(
+          "o_orderkey" -> "order_id", "o_custkey" -> "customer_id",
+          "o_orderstatus" -> "status", "o_totalprice" -> "total_price",
+          "o_orderdate" -> "order_date"))
+        .orderBy("order_id"),
+      Some("""SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+              o_orderstatus AS status, o_totalprice AS total_price,
+              o_orderdate AS order_date
+              FROM orders ORDER BY order_id""")),
+
+    // ── F1/U3: clean_numeric (extract_growth_data.py:38-49); the dirty
+    // string is synthesized with the same printf on both sides.
+    "f01_clean_numeric" -> QueryDef(
+      (s, d) => ord(s, d).select(
+        col("o_orderkey"),
+        Cleaning.cleanNumeric(
+          concat(lit("$"), regexp_replace(
+            format_string("%.2f", col("o_totalprice")),
+            "(\\d)(\\d{3}\\.)", "$1,$2")))
+          .as("cleaned"),
+        Cleaning.cleanNumeric(
+          when(col("o_orderstatus") === "P", lit(" "))
+            .otherwise(format_string("%.2f", col("o_totalprice"))))
+          .as("cleaned_or_null"))
+        .orderBy("o_orderkey"),
+      Some(s"""SELECT o_orderkey,
+              ${Cleaning.sqlCleanNumeric(
+                """'$' || regexp_replace(printf('%.2f', o_totalprice), '(\d)(\d{3}\.)', '\1,\2')""")}
+                AS cleaned,
+              ${Cleaning.sqlCleanNumeric(
+                "CASE WHEN o_orderstatus = 'P' THEN ' ' ELSE printf('%.2f', o_totalprice) END")}
+                AS cleaned_or_null
+              FROM orders ORDER BY o_orderkey""")),
+
+    // ── F2/F3: format-directed and lenient date parsing
+    // (extract_growth_data.py:29; errors='coerce' everywhere)
+    "f02_parse_date" -> QueryDef(
+      (s, d) => ord(s, d).select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "MMM d, yyyy").as("pretty"),
+        to_date(date_format(col("o_orderdate"), "MMM d, yyyy"),
+          "MMM d, yyyy").cast("timestamp_ntz").as("reparsed"),
+        try_to_timestamp(
+          when(col("o_orderkey") % 3 === 0, lit("not a date"))
+            .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")),
+          lit("yyyy-MM-dd HH:mm:ss")).as("lenient"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+              strftime(o_orderdate, '%b %-d, %Y') AS pretty,
+              CAST(CAST(strptime(strftime(o_orderdate, '%b %-d, %Y'),
+                   '%b %-d, %Y') AS DATE) AS TIMESTAMP) AS reparsed,
+              try_strptime(
+                CASE WHEN o_orderkey % 3 = 0 THEN 'not a date'
+                     ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') END,
+                '%Y-%m-%d %H:%M:%S') AS lenient
+              FROM orders ORDER BY o_orderkey""")),
+
+    // ── F4/F5/F14: UTC→CDMX wall-clock twins + DATEPART under tz
+    // (extract_loan_detail.py:139-155, load_accounting_data.py:181-191)
+    "f04_tz_cdmx" -> QueryDef(
+      (s, d) => li(s, d).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        DateTimeFns.toCdmx(col("l_shipdate")).cast("timestamp_ntz")
+          .as("ship_cdmx"),
+        year(DateTimeFns.toCdmx(col("l_shipdate"))).as("ship_year_cdmx"),
+        month(DateTimeFns.toCdmx(col("l_shipdate"))).as("ship_month_cdmx"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some(s"""SELECT l_orderkey, l_linenumber, l_shipdate,
+              ${DateTimeFns.sqlToCdmx("l_shipdate")} AS ship_cdmx,
+              CAST(year(${DateTimeFns.sqlToCdmx("l_shipdate")}) AS INTEGER)
+                AS ship_year_cdmx,
+              CAST(month(${DateTimeFns.sqlToCdmx("l_shipdate")}) AS INTEGER)
+                AS ship_month_cdmx
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // ── F6/F7/F12: month/day truncation, month arithmetic
+    // (load_accounting_data.py:60-64,110,151-152; create_calendar.py:42-47)
+    "f06_date_trunc_arith" -> QueryDef(
+      (s, d) => ord(s, d).select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        date_trunc("day", col("o_orderdate")).as("day_floor"),
+        add_months(col("o_orderdate").cast("date"), 2)
+          .cast("timestamp_ntz").as("plus2m"),
+        last_day(col("o_orderdate").cast("date"))
+          .cast("timestamp_ntz").as("month_end"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+              date_trunc('month', o_orderdate) AS month_start,
+              date_trunc('day', o_orderdate) AS day_floor,
+              CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE)
+                AS TIMESTAMP) AS plus2m,
+              CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)
+                AS month_end
+              FROM orders ORDER BY o_orderkey""")),
+
+    // ── F8/F9: timestamp+interval, day diffs as pandas `.dt.days`
+    // (extract_loan_detail.py:288-292,329,338)
+    "f08_interval_daydiff" -> QueryDef(
+      (s, d) => li(s, d)
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("o_orderdate") + expr("INTERVAL 30 HOURS")).as("grace_at"),
+          floor((unix_millis(col("l_shipdate").cast("timestamp")) -
+            unix_millis(col("o_orderdate").cast("timestamp"))) /
+            lit(86400000d)).as("days_to_ship"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+              o_orderdate + INTERVAL 30 HOUR AS grace_at,
+              CAST(floor((epoch_ms(l_shipdate) - epoch_ms(o_orderdate))
+                   / 86400000.0) AS BIGINT) AS days_to_ship
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    // ── F11/F13/U5: strftime patterns + weekday + weekend→Friday shift
+    // (extract_growth_data.py:103; create_calendar.py:51-71)
+    "f11_date_format" -> QueryDef(
+      (s, d) => ord(s, d).select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy_MM").as("month_tag"),
+        date_format(col("o_orderdate"), "M/d/yyyy").as("us_date"),
+        date_format(col("o_orderdate"), "EEEE").as("weekday"),
+        DateTimeFns.weekendToFriday(col("o_orderdate").cast("date"))
+          .cast("timestamp_ntz").as("biz_day"))
+        .orderBy("o_orderkey"),
+      Some(s"""SELECT o_orderkey,
+              strftime(o_orderdate, '%Y_%m') AS month_tag,
+              strftime(o_orderdate, '%-m/%-d/%Y') AS us_date,
+              strftime(o_orderdate, '%A') AS weekday,
+              CAST(${DateTimeFns.sqlWeekendToFriday("CAST(o_orderdate AS DATE)")}
+                AS TIMESTAMP) AS biz_day
+              FROM orders ORDER BY o_orderkey""")),
+
+    // ── F15/W3: row-wise least/greatest, null-skipping
+    // (extract_loan_detail.py:200,227,238)
+    "f15_least_greatest" -> QueryDef(
+      (s, d) => li(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        least(col("l_quantity"), col("l_discount") * 100d,
+          col("l_tax") * 100d).as("least3"),
+        greatest(col("l_quantity"), col("l_discount") * 100d,
+          col("l_tax") * 100d).as("greatest3"),
+        greatest(
+          when(col("l_returnflag") === "R", col("l_shipdate")),
+          when(col("l_linestatus") === "F", col("l_shipdate")))
+          .as("greatest_ts_nullskip"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+              least(l_quantity, l_discount * 100, l_tax * 100) AS least3,
+              greatest(l_quantity, l_discount * 100, l_tax * 100)
+                AS greatest3,
+              greatest(
+                CASE WHEN l_returnflag = 'R' THEN l_shipdate END,
+                CASE WHEN l_linestatus = 'F' THEN l_shipdate END)
+                AS greatest_ts_nullskip
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // ── J1/J3: single-key inner join (extract_loan_detail.py:72-73,87-88)
+    "j01_inner_join" -> QueryDef(
+      (s, d) => ord(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+          col("c_mktsegment"), col("o_totalprice"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, c_custkey, c_name, c_mktsegment,
+              o_totalprice
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              ORDER BY o_orderkey""")),
+
+    // ── J2: left join keeping unmatched (extract_loan_detail.py:74)
+    "j02_left_join_agg" -> QueryDef(
+      (s, d) => {
+        val perCust = ord(s, d).groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            moneySum(col("o_totalprice")).as("lifetime_value"))
+        Tables.customer(s, d)
+          .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"), col("c_name"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("lifetime_value"), lit(0d)).as("lifetime_value"))
+          .orderBy("c_custkey")
+      },
+      Some(s"""SELECT c_custkey, c_name,
+              coalesce(o.n_orders, 0) AS n_orders,
+              coalesce(o.lifetime_value, 0) AS lifetime_value
+              FROM customer LEFT JOIN
+                (SELECT o_custkey, count(*) AS n_orders,
+                        ${sqlSum("o_totalprice")} AS lifetime_value
+                 FROM orders GROUP BY 1) o ON c_custkey = o.o_custkey
+              ORDER BY c_custkey""")),
+
+    // ── J5/J11: chained multiway join; small dims broadcast explicitly
+    // (extract_loan_detail.py:114-116, load_accounting_data.py:185-226)
+    "j05_multiway_join" -> QueryDef(
+      (s, d) => li(s, d)
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(moneySum(col("l_extendedprice") * (lit(1d) - col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name"),
+      Some(s"""SELECT r_name, n_name,
+              ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+              count(*) AS n_items
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    // ── J10 variant: semi/anti joins — the Spark-native EXISTS/NOT EXISTS
+    "j10_semi_anti" -> QueryDef(
+      (s, d) => {
+        val returned = li(s, d).filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"))
+        val semi = ord(s, d).join(returned,
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+          .select(col("o_orderkey"), lit("with_return").as("kind"))
+        val anti = ord(s, d).join(returned,
+          col("o_orderkey") === col("l_orderkey"), "left_anti")
+          .select(col("o_orderkey"), lit("no_return").as("kind"))
+        semi.unionByName(anti).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, 'with_return' AS kind FROM orders
+              WHERE EXISTS (SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+              UNION ALL
+              SELECT o_orderkey, 'no_return' AS kind FROM orders
+              WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+              ORDER BY o_orderkey""")),
+
+    // ── A1/A2/A4: group sum/max per key (extract_loan_detail.py:82-134)
+    "a01_group_sum_max" -> QueryDef(
+      (s, d) => li(s, d).groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_price"),
+          max(col("l_shipdate")).as("last_ship"),
+          min(col("l_shipdate")).as("first_ship"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("l_orderkey"),
+      Some(s"""SELECT l_orderkey, sum(l_quantity) AS sum_qty,
+              ${sqlSum("l_extendedprice")} AS sum_price,
+              max(l_shipdate) AS last_ship, min(l_shipdate) AS first_ship,
+              count(*) AS n_lines
+              FROM lineitem GROUP BY 1 ORDER BY l_orderkey""")),
+
+    // ── A3: conditional aggregation (extract_loan_detail.py:110-120)
+    "a03_conditional_sum" -> QueryDef(
+      (s, d) => li(s, d).groupBy(col("l_orderkey"))
+        .agg(
+          moneySum(when(col("l_linestatus") === "F",
+            col("l_extendedprice") * col("l_discount")).otherwise(0d))
+            .as("disputed"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("n_returned"))
+        .orderBy("l_orderkey"),
+      Some(s"""SELECT l_orderkey,
+              ${sqlSum("CASE WHEN l_linestatus = 'F' THEN l_extendedprice * l_discount ELSE 0 END")}
+                AS disputed,
+              CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returned
+              FROM lineitem GROUP BY 1 ORDER BY l_orderkey""")),
+
+    // ── A5/A6: monthly money rollup incl. NULL-key group semantics
+    // (load_accounting_data.py:112-127)
+    "a05_monthly_rollup" -> QueryDef(
+      (s, d) => ord(s, d)
+        .withColumn("month",
+          when(col("o_orderstatus") === "P",
+            lit(null).cast("timestamp_ntz"))
+            .otherwise(date_trunc("month", col("o_orderdate"))))
+        .groupBy(col("month"))
+        .agg(moneySum(col("o_totalprice")).as("total"),
+          moneySum(col("o_totalprice") * 0.16d).as("tax"),
+          count(lit(1)).as("n"))
+        .orderBy(col("month").asc_nulls_first),
+      Some(s"""SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                   ELSE date_trunc('month', o_orderdate) END AS month,
+              ${sqlSum("o_totalprice")} AS total,
+              ${sqlSum("o_totalprice * 0.16")} AS tax,
+              count(*) AS n
+              FROM orders GROUP BY 1 ORDER BY month NULLS FIRST""")),
+
+    // ── A7/O2: count+sum by year/month with ORDER BY
+    // (load_accounting_data.py:179-193)
+    "a07_yearmonth_rollup" -> QueryDef(
+      (s, d) => ord(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("amount"))
+        .orderBy("yr", "mo"),
+      Some(s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+              CAST(month(o_orderdate) AS INTEGER) AS mo,
+              count(*) AS n_orders, ${sqlSum("o_totalprice")} AS amount
+              FROM orders GROUP BY 1, 2 ORDER BY yr, mo""")),
+
+    // ── A8: distinct month tags (extract_growth_data.py:103)
+    "a08_distinct_months" -> QueryDef(
+      (s, d) => ord(s, d)
+        .select(date_format(col("o_orderdate"), "yyyy_MM").as("month_tag"))
+        .distinct().orderBy("month_tag"),
+      Some("""SELECT DISTINCT strftime(o_orderdate, '%Y_%m') AS month_tag
+              FROM orders ORDER BY month_tag""")),
+
+    // ── W1 + the full ranking family (extract_loan_detail.py:39)
+    "w01_window_ranks" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        ord(s, d).select(
+          col("o_orderkey"), col("o_custkey"),
+          row_number().over(w).cast("bigint").as("loan_number"),
+          rank().over(w).cast("bigint").as("rnk"),
+          dense_rank().over(w).cast("bigint").as("drnk"),
+          lag(col("o_orderdate"), 1).over(w).as("prev_order_at"),
+          lead(col("o_orderdate"), 1).over(w).as("next_order_at"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+              row_number() OVER w AS loan_number,
+              rank() OVER w AS rnk,
+              dense_rank() OVER w AS drnk,
+              lag(o_orderdate, 1) OVER w AS prev_order_at,
+              lead(o_orderdate, 1) OVER w AS next_order_at
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey)
+              ORDER BY o_orderkey""")),
+
+    // ── W2/O1/O4: top-1-per-group via window dedup
+    // (extract_loan_detail.py:348-352)
+    "w02_top1_per_group" -> QueryDef(
+      (s, d) => {
+        // (l_orderkey, l_linenumber) is not unique in the synthetic data,
+        // so the sort is made total over every carried column — ties then
+        // produce identical output rows on any engine.
+        val w = Window.partitionBy("l_orderkey")
+          .orderBy(desc("l_shipdate"), desc("l_linenumber"),
+            desc("l_extendedprice"))
+        li(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+            col("l_extendedprice"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+          .orderBy("l_orderkey")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+              FROM (SELECT l_orderkey, l_linenumber, l_shipdate,
+                      l_extendedprice,
+                      row_number() OVER (PARTITION BY l_orderkey
+                        ORDER BY l_shipdate DESC, l_linenumber DESC,
+                                 l_extendedprice DESC) AS rn
+                    FROM lineitem)
+              WHERE rn = 1 ORDER BY l_orderkey""")),
+
+    // ── W4 (extension): frame-spec running aggregate, exact via decimal
+    "w04_running_sum" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ord(s, d).select(
+          col("o_orderkey"), col("o_custkey"),
+          sum(moneyRound(col("o_totalprice")).cast(DecimalType(18, 2)))
+            .over(w).cast("double").as("running_total"))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""SELECT o_orderkey, o_custkey,
+              CAST(sum(CAST(${sqlRound("o_totalprice")} AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total
+              FROM orders ORDER BY o_orderkey""")),
+
+    // ── O5: union-by-name with missing-column null fill
+    // (pd.concat alignment, extract_growth_data.py:155-165)
+    "o05_union_by_name" -> QueryDef(
+      (s, d) => {
+        val a = ord(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            lit("hist").as("src"))
+        val b = ord(s, d).filter(col("o_orderstatus") === "O")
+          .select(lit("live").as("src"), col("o_orderkey"))
+        a.unionByName(b, allowMissingColumns = true).orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice, 'hist' AS src FROM orders
+              WHERE o_orderstatus = 'F'
+              UNION ALL BY NAME
+              SELECT 'live' AS src, o_orderkey FROM orders
+              WHERE o_orderstatus = 'O'
+              ORDER BY o_orderkey""")),
+
+    // ── O6: drop-last-row-per-group (totals-row removal,
+    // extract_manual_arcus_payments.py:71-72), file order = linenumber
+    "o06_drop_totals_row" -> QueryDef(
+      (s, d) => {
+        // max-based (not row_number) so duplicate (orderkey, linenumber)
+        // pairs in the synthetic data stay deterministic: all rows tied at
+        // the max ordinal are treated as the totals row and dropped.
+        val w = Window.partitionBy("l_orderkey")
+        li(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+          .withColumn("mx", max(col("l_linenumber")).over(w))
+          .filter(col("l_linenumber") < col("mx")).drop("mx")
+          .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity
+              FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+                      max(l_linenumber) OVER (PARTITION BY l_orderkey) AS mx
+                    FROM lineitem)
+              WHERE l_linenumber < mx
+              ORDER BY l_orderkey, l_linenumber, l_quantity""")),
+
+    // ── O7: anti-diff of refreshed partitions (extract_growth_data.py:158-161)
+    "o07_partition_antidiff" -> QueryDef(
+      (s, d) => ord(s, d)
+        .filter(!date_format(col("o_orderdate"), "yyyy_MM")
+          .isin("1995_01", "1995_02", "1996_06"))
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy_MM").as("month_tag"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, strftime(o_orderdate, '%Y_%m') AS month_tag
+              FROM orders
+              WHERE strftime(o_orderdate, '%Y_%m')
+                NOT IN ('1995_01','1995_02','1996_06')
+              ORDER BY o_orderkey"""))
+  )
 }
