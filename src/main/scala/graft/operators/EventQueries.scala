@@ -1,7 +1,103 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.functions.Money
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
+/** Event-stream analytics over the `events` table — the batch twins of the
+  * streaming surface (graft.streaming): tumbling-window aggregation,
+  * gap-based sessionization, and JSON property extraction. The reference
+  * has no streaming runtime (SURVEY §2.9); these are the extension ops a
+  * training-data pipeline needs, expressed shuffle-consciously (one
+  * hash-aggregate per query, windows keyed by the same user_id the
+  * sessionizer partitions on).
+  */
 object EventQueries {
-  def defs: Map[String, QueryDef] = Map()
+  import Money.{sqlRound, sqlSum}
+
+  private val Gap = 30 * 60 * 1000000L // 30 min session gap, in micros
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ── Tumbling 6-hour windows: batch analog of the Structured Streaming
+    // groupBy(window(ts)) aggregation (bucket = epoch div floor).
+    "e01_tumbling_window" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        // integer `div`, not `/`: epoch-micros (~1.7e18) overflow a double
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("window_start",
+          expr("CAST(timestamp_micros((us div 21600000000) * 21600000000)" +
+            " AS timestamp_ntz)"))
+        .groupBy(col("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          Money.moneySum(col("value")).as("total_value"),
+          max(col("value")).as("max_value"))
+        .orderBy("window_start", "event_type"),
+      Some(s"""SELECT
+              CAST(to_timestamp((epoch_us(ts) // 21600000000) * 21600000000 / 1000000) AS TIMESTAMP)
+                AS window_start,
+              event_type, count(*) AS n_events,
+              ${sqlSum("value")} AS total_value,
+              max(value) AS max_value
+              FROM events GROUP BY 1, 2
+              ORDER BY window_start, event_type""")),
+
+    // ── Gap-based sessionization: lag + conditional cumsum — the batch twin
+    // of flatMapGroupsWithState session assembly.
+    "e02_sessionize" -> QueryDef(
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val sessions = Tables.events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("is_new",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts").cast("timestamp")) -
+                unix_micros(col("prev_ts").cast("timestamp")) > Gap, 1L)
+              .otherwise(0L))
+          .withColumn("session_seq",
+            sum(col("is_new")).over(
+              byUser.rowsBetween(Window.unboundedPreceding,
+                Window.currentRow)))
+        sessions.groupBy(col("user_id"), col("session_seq"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"))
+          .orderBy("user_id", "session_seq")
+      },
+      Some(s"""
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts, 1) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > $Gap
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM marked
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+  count(*) AS n_events,
+  min(ts) AS session_start, max(ts) AS session_end
+FROM sessions GROUP BY 1, 2 ORDER BY user_id, session_seq""")),
+
+    // ── JSON property extraction (extension of the schema-sniffing JSON
+    // reads, `utils/gsheets_utils.py:183-184`).
+    "e03_json_props" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("prop_k"),
+          (get_json_object(col("props"), "$.k").cast("bigint") % 10)
+            .as("k_bucket"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+                AS k_bucket
+              FROM events ORDER BY event_id""")))
 }
