@@ -1,7 +1,200 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
 
+/** Deduplication operators over `documents` — exact, MinHash+LSH, SimHash,
+  * and n-gram Jaccard (SURVEY §2.10 extension surface; the techniques of
+  * Broder '97 resemblance / Charikar '02 simhash as used by LLM-corpus
+  * pipelines).
+  *
+  * Scale shape: exact dedup is one hash shuffle on the fingerprint;
+  * MinHash/LSH turns the quadratic all-pairs problem into an equi-join on
+  * (band, signature) — the only pairs materialized are bucket collisions;
+  * n-gram Jaccard runs only inside (lang, length-bucket) blocks. Nothing
+  * here is driver-side; every stage is a plain shuffle the cluster
+  * partitions by key.
+  *
+  * Hashes are md5-derived on both engines so the oracle is bit-exact
+  * (Spark's murmur `hash()` has no DuckDB twin).
+  */
 object DedupQueries {
-  def defs: Map[String, QueryDef] = Map()
+
+  /** Word-array and distinct word-3-gram shingles, per dialect. Short docs
+    * (<3 words) fall back to the whole text as a single shingle — Spark's
+    * `sequence(1, 0)` counts DOWN while DuckDB's `generate_series(1, 0)`
+    * is empty, so the guard also pins that divergence.
+    */
+  private val sparkShingles =
+    """CASE WHEN size(w) < 3 THEN array(text)
+       ELSE array_distinct(transform(sequence(1, size(w) - 2),
+         i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ',
+                     element_at(w, i + 2)))) END"""
+  private val duckShingles =
+    """CASE WHEN len(w) < 3 THEN [text]
+       ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         for i in generate_series(1, len(w) - 2)]) END"""
+
+  private def sparkMinhash(i: Int): String =
+    s"array_min(transform(sh, s -> CAST(conv(substr(md5(concat('$i|', s)), 1, 15), 16, 10) AS BIGINT)))"
+  private def duckMinhash(i: Int): String =
+    s"list_min(list_transform(sh, s -> CAST(('0x' || substr(md5('$i|' || s), 1, 15)) AS BIGINT)))"
+
+  private val K = 6 // minhash signature length; 6 bands of 1 row for LSH
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ── Exact dedup: hash-groupBy on a normalized prefix fingerprint,
+    // keep-min-id canonical (distributed `dropDuplicates` with provenance)
+    "x05_dedup_exact" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .withColumn("w", expr("split(text, ' ')"))
+        .withColumn("fp", md5(expr("array_join(slice(w, 1, 5), ' ')")
+          .cast("binary")))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("canonical_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy("canonical_id"),
+      Some("""SELECT md5(array_to_string(w[:5], ' ')) AS fp,
+              min(doc_id) AS canonical_id, count(*) AS n_copies
+              FROM (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents)
+              GROUP BY 1 ORDER BY canonical_id""")),
+
+    // ── MinHash + LSH candidate pairs: shingle → K minhashes → band join.
+    // Bands of 1 row: a pair is a candidate if ANY of the K signatures
+    // collide; estimated resemblance = matching signatures / K.
+    "x06_dedup_minhash_lsh" -> QueryDef(
+      (s, d) => {
+        val sigCols = (0 until K).map(i =>
+          expr(sparkMinhash(i)).as(s"sig$i"))
+        val sigs = Tables.documents(s, d)
+          .withColumn("w", expr("split(text, ' ')"))
+          .withColumn("sh", expr(sparkShingles))
+          .select(col("doc_id") +: sigCols: _*)
+        val stackExpr = (0 until K)
+          .map(i => s"$i, sig$i").mkString(s"stack($K, ", ", ", ")")
+        val bands = sigs.select(col("doc_id"),
+          expr(s"$stackExpr AS (band, sigval)"))
+        val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.sigval") === col("b.sigval") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        val matches = (0 until K)
+          .map(i => when(col("sa.sig" + i) === col("sb.sig" + i), 1)
+            .otherwise(0))
+          .reduce(_ + _)
+        cand.join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            (matches.cast("double") / K).as("est_jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val sigSelect = (0 until K)
+          .map(i => s"${duckMinhash(i)} AS sig$i").mkString(",\n    ")
+        val bandUnion = (0 until K)
+          .map(i => s"SELECT doc_id, $i AS band, sig$i AS sigval FROM sigs")
+          .mkString("\n  UNION ALL ")
+        val matches = (0 until K)
+          .map(i => s"CASE WHEN sa.sig$i = sb.sig$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""
+WITH docs AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+),
+shingled AS (
+  SELECT doc_id, $duckShingles AS sh FROM docs
+),
+sigs AS (
+  SELECT doc_id, $sigSelect FROM shingled
+),
+bands AS (
+  $bandUnion
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sigval = b.sigval AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST($matches AS DOUBLE) / $K AS est_jaccard
+FROM cand
+JOIN sigs sa ON doc_a = sa.doc_id
+JOIN sigs sb ON doc_b = sb.doc_id
+ORDER BY doc_a, doc_b"""
+      }),
+
+    // ── SimHash: 32-bit bit-majority fingerprint over md5 token hashes
+    "x07_dedup_simhash" -> QueryDef(
+      (s, d) => {
+        val bits = (0 until 32).map { b =>
+          s"(CASE WHEN 2 * size(filter(th, h -> (shiftright(h, $b) & 1) = 1)) > size(th) THEN ${1L << b}L ELSE 0L END)"
+        }.mkString(" + ")
+        Tables.documents(s, d)
+          .withColumn("w", expr("split(text, ' ')"))
+          .withColumn("th", expr(
+            "transform(w, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT))"))
+          .select(col("doc_id"), expr(s"$bits").as("simhash"))
+          .withColumn("band0", expr("simhash & 255"))
+          .withColumn("band1", expr("shiftright(simhash, 8) & 255"))
+          .withColumn("band2", expr("shiftright(simhash, 16) & 255"))
+          .withColumn("band3", expr("shiftright(simhash, 24) & 255"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val bits = (0 until 32).map { b =>
+          s"(CASE WHEN 2 * len(list_filter(th, h -> ((h >> $b) & 1) = 1)) > len(th) THEN ${1L << b} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""
+WITH t AS (
+  SELECT doc_id,
+    list_transform(string_split(text, ' '),
+      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+  FROM documents
+),
+sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t)
+SELECT doc_id, simhash,
+  simhash & 255 AS band0,
+  (simhash >> 8) & 255 AS band1,
+  (simhash >> 16) & 255 AS band2,
+  (simhash >> 24) & 255 AS band3
+FROM sh ORDER BY doc_id"""
+      }),
+
+    // ── n-gram Jaccard near-dup pairs inside (lang, length-bucket) blocks:
+    // the blocked quadratic scan LSH replaces at scale, kept as the
+    // precision pass over candidate blocks
+    "x08_ngram_jaccard" -> QueryDef(
+      (s, d) => {
+        val blocked = Tables.documents(s, d)
+          .withColumn("w", expr("split(text, ' ')"))
+          .withColumn("sh", expr(sparkShingles))
+          .select(col("doc_id"), col("lang"),
+            expr("n_chars div 200").as("bkt"), col("sh"))
+        blocked.as("a").join(blocked.as("b"),
+          col("a.lang") === col("b.lang") && col("a.bkt") === col("b.bkt")
+            && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            expr("""size(array_intersect(a.sh, b.sh)) /
+                    CAST(size(array_union(a.sh, b.sh)) AS DOUBLE)""")
+              .as("jaccard"))
+          .filter(col("jaccard") >= 0.05d)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars // 200 AS bkt, $duckShingles AS sh
+  FROM (SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS w
+        FROM documents)
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+  FROM t a JOIN t b
+    ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id)
+WHERE jaccard >= 0.05
+ORDER BY doc_a, doc_b""")))
 }

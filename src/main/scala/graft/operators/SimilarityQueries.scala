@@ -1,7 +1,197 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine top-k as the exactness baseline, and an IVF-style
+  * bucketed path as the 100 TB scale shape — assignment to the nearest of
+  * K fixed centroids turns the all-pairs scan into per-bucket work, and
+  * the centroid table is broadcast so assignment is a map-only stage (no
+  * shuffle of the big side).
+  *
+  * Vectors are quantized to integer milli-units on both engines before any
+  * arithmetic: integer dot products are exact and associative, so the
+  * Spark plan and the DuckDB oracle agree bit-for-bit — the same reason
+  * production ANN systems ship int8-quantized vectors. (float32 sums
+  * differ by engine association; `list_cosine_similarity` is float32 —
+  * neither survives a hash-compare.)
+  */
 object SimilarityQueries {
-  def defs: Map[String, QueryDef] = Map()
+
+  private val sparkQuant =
+    "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+  private val duckQuant =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
+
+  private val sparkNorm =
+    "aggregate(qe, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"
+  private val duckNorm =
+    "CAST(list_sum(list_transform(qe, v -> v * v)) AS BIGINT)"
+
+  private def sparkDot(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+  private def duckDot(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) AS BIGINT)"
+
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("qe", expr(sparkQuant))
+      .withColumn("qn", expr(sparkNorm))
+
+  private val duckQuantizedCte =
+    s"""e AS (
+  SELECT vec_id, label, qe, $duckNorm AS qn
+  FROM (SELECT vec_id, label, $duckQuant AS qe FROM embeddings)
+)"""
+
+  private val NQueries = 8   // brute-force probe set
+  private val K = 5          // neighbors returned
+  private val NCentroids = 64
+  private val NearDupTau = 0.25
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ── Brute-force cosine top-k: exact baseline; probe set broadcast,
+    // one pass over the corpus, per-query heap via window rank.
+    "x09_ann_bruteforce" -> QueryDef(
+      (s, d) => {
+        val e = quantized(s, d)
+        val q = e.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("q_id"), col("qe").as("q_qe"),
+            col("qn").as("q_qn"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(desc("cos"), col("vec_id"))
+        e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos",
+            expr(s"CAST(${sparkDot("q_qe", "qe")} AS DOUBLE)") /
+              (sqrt(col("q_qn").cast("double")) *
+                sqrt(col("qn").cast("double"))))
+          .withColumn("rank", row_number().over(w).cast("bigint"))
+          .filter(col("rank") <= K)
+          .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+            col("cos"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""
+WITH $duckQuantizedCte,
+q AS (SELECT vec_id AS q_id, qe AS q_qe, qn AS q_qn FROM e
+      WHERE vec_id < $NQueries),
+p AS (
+  SELECT q.q_id, e.vec_id AS neighbor_id,
+    CAST(${duckDot("q.q_qe", "e.qe")} AS DOUBLE)
+      / (sqrt(CAST(q.q_qn AS DOUBLE)) * sqrt(CAST(e.qn AS DOUBLE))) AS cos
+  FROM q JOIN e ON e.vec_id != q.q_id
+)
+SELECT q_id, CAST(rn AS BIGINT) AS rank, neighbor_id, cos
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        ORDER BY cos DESC, neighbor_id) AS rn FROM p)
+WHERE rn <= $K ORDER BY q_id, rank"""),
+      "exact ANN baseline: broadcast probes, map-side scoring, window top-k"),
+
+    // ── IVF assignment: nearest of 64 fixed centroids (broadcast), the
+    // partitioning step that makes similarity search sub-quadratic.
+    "x10_ann_ivf_assign" -> QueryDef(
+      (s, d) => {
+        val e = quantized(s, d)
+        val cent = e.filter(col("vec_id") < NCentroids)
+          .select(col("vec_id").as("c_id"), col("qe").as("c_qe"),
+            col("qn").as("c_qn"))
+        val w = Window.partitionBy("vec_id")
+          .orderBy(desc("cos"), col("c_id"))
+        val assigned = e.crossJoin(broadcast(cent))
+          .withColumn("cos",
+            expr(s"CAST(${sparkDot("c_qe", "qe")} AS DOUBLE)") /
+              (sqrt(col("c_qn").cast("double")) *
+                sqrt(col("qn").cast("double"))))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("c_id").as("bucket"),
+            col("cos").as("centroid_cos"))
+        assigned
+          .withColumn("bucket_size",
+            count(lit(1)).over(Window.partitionBy("bucket")))
+          .orderBy("vec_id")
+      },
+      Some(s"""
+WITH $duckQuantizedCte,
+c AS (SELECT vec_id AS c_id, qe AS c_qe, qn AS c_qn FROM e
+      WHERE vec_id < $NCentroids),
+scored AS (
+  SELECT e.vec_id, c.c_id,
+    CAST(${duckDot("c.c_qe", "e.qe")} AS DOUBLE)
+      / (sqrt(CAST(c.c_qn AS DOUBLE)) * sqrt(CAST(e.qn AS DOUBLE))) AS cos
+  FROM e CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, c_id AS bucket, cos AS centroid_cos
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY cos DESC, c_id) AS rn FROM scored)
+  WHERE rn = 1
+)
+SELECT vec_id, bucket, centroid_cos,
+  count(*) OVER (PARTITION BY bucket) AS bucket_size
+FROM assigned ORDER BY vec_id"""),
+      "IVF bucketing: broadcast centroids, map-only assignment"),
+
+    // ── Embedding near-dup pairs, bucket-local: the quadratic scan runs
+    // only inside each IVF bucket.
+    "x11_embed_neardup" -> QueryDef(
+      (s, d) => {
+        val e = quantized(s, d)
+        val cent = e.filter(col("vec_id") < NCentroids)
+          .select(col("vec_id").as("c_id"), col("qe").as("c_qe"),
+            col("qn").as("c_qn"))
+        val w = Window.partitionBy("vec_id")
+          .orderBy(desc("ccos"), col("c_id"))
+        val assigned = e.crossJoin(broadcast(cent))
+          .withColumn("ccos",
+            expr(s"CAST(${sparkDot("c_qe", "qe")} AS DOUBLE)") /
+              (sqrt(col("c_qn").cast("double")) *
+                sqrt(col("qn").cast("double"))))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("qe"), col("qn"),
+            col("c_id").as("bucket"))
+        assigned.as("a").join(assigned.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") < col("b.vec_id"))
+          .withColumn("cos",
+            expr(s"CAST(${sparkDot("a.qe", "b.qe")} AS DOUBLE)") /
+              (sqrt(col("a.qn").cast("double")) *
+                sqrt(col("b.qn").cast("double"))))
+          .filter(col("cos") >= NearDupTau)
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            col("cos"))
+          .orderBy("vec_a", "vec_b")
+      },
+      Some(s"""
+WITH $duckQuantizedCte,
+c AS (SELECT vec_id AS c_id, qe AS c_qe, qn AS c_qn FROM e
+      WHERE vec_id < $NCentroids),
+scored AS (
+  SELECT e.vec_id, e.qe, e.qn, c.c_id,
+    CAST(${duckDot("c.c_qe", "e.qe")} AS DOUBLE)
+      / (sqrt(CAST(c.c_qn AS DOUBLE)) * sqrt(CAST(e.qn AS DOUBLE))) AS ccos
+  FROM e CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, qe, qn, c_id AS bucket
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY ccos DESC, c_id) AS rn FROM scored)
+  WHERE rn = 1
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  CAST(${duckDot("a.qe", "b.qe")} AS DOUBLE)
+    / (sqrt(CAST(a.qn AS DOUBLE)) * sqrt(CAST(b.qn AS DOUBLE))) AS cos
+FROM assigned a JOIN assigned b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE CAST(${duckDot("a.qe", "b.qe")} AS DOUBLE)
+    / (sqrt(CAST(a.qn AS DOUBLE)) * sqrt(CAST(b.qn AS DOUBLE)))
+  >= $NearDupTau
+ORDER BY vec_a, vec_b"""),
+      "bucket-local near-dup scan over IVF assignment"))
 }

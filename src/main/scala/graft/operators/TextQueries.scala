@@ -1,7 +1,163 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.functions.Money
+import org.apache.spark.sql.functions._
 
+/** Text-analysis operators over the `documents` table — the language-ID /
+  * quality-scoring / token-counting / fingerprinting surface an LLM
+  * training-data pipeline runs before dedup and filtering. No reference
+  * counterpart (extension per SURVEY §2.10); everything is built from
+  * codegen-friendly string/array expressions — no UDFs — so the scans
+  * stay inside whole-stage codegen and scale linearly with input splits.
+  */
 object TextQueries {
-  def defs: Map[String, QueryDef] = Map()
+  import Money.sqlRound
+
+  /** Per-language stopword lists for the n-gram/stopword heuristic. */
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "los", "que", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "des", "et", "est"))
+
+  private def inList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ",", ")")
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ── Token counting: whitespace tokens, BPE-ish regex tokens, alpha mass
+    "x01_text_tokens" -> QueryDef(
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("bigint").as("n_chars_actual"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens_ws"),
+        expr("CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)")
+          .as("n_tokens_re"),
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("bigint")
+          .as("n_alpha"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+              CAST(length(text) AS BIGINT) AS n_chars_actual,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+              CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                AS BIGINT) AS n_tokens_re,
+              CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT)
+                AS n_alpha
+              FROM documents ORDER BY doc_id""")),
+
+    // ── Quality scoring: stopword/unique-token ratios, mean token length,
+    // blended 0-100 score + keep-flag (the C4/Gopher-style filter shape)
+    "x02_text_quality" -> QueryDef(
+      (s, d) => {
+        val en = inList(stopwords.head._2)
+        Tables.documents(s, d)
+          .withColumn("n_tokens", expr("size(split(text, ' '))"))
+          .withColumn("stop_ratio", expr(
+            s"size(filter(split(text, ' '), w -> w IN $en)) / CAST(n_tokens AS DOUBLE)"))
+          .withColumn("uniq_ratio", expr(
+            "size(array_distinct(split(text, ' '))) / CAST(n_tokens AS DOUBLE)"))
+          .withColumn("mean_token_len", expr(
+            "length(replace(text, ' ', '')) / CAST(n_tokens AS DOUBLE)"))
+          .withColumn("quality_score", Money.moneyRound(
+            lit(100d) * (lit(0.4d) * col("stop_ratio") +
+              lit(0.3d) * col("uniq_ratio") +
+              lit(0.3d) * least(col("n_tokens") / 100d, lit(1d)))))
+          .select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"),
+            col("stop_ratio"), col("uniq_ratio"), col("mean_token_len"),
+            col("quality_score"),
+            (col("quality_score") >= 25d).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val en = inList(stopwords.head._2)
+        s"""
+WITH t AS (
+  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens,
+    len(list_filter(string_split(text, ' '), w -> w IN $en))
+      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+    len(list_distinct(string_split(text, ' ')))
+      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS uniq_ratio,
+    length(replace(text, ' ', ''))
+      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len
+  FROM documents
+),
+q AS (
+  SELECT *, ${sqlRound(
+          "100 * (0.4*stop_ratio + 0.3*uniq_ratio + 0.3*least(n_tokens/100.0, 1.0))")}
+    AS quality_score
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, stop_ratio,
+  uniq_ratio, mean_token_len, quality_score,
+  quality_score >= 25 AS keep
+FROM q ORDER BY doc_id"""
+      }),
+
+    // ── Language ID: stopword-hit argmax with fixed tie-break order
+    "x03_lang_id" -> QueryDef(
+      (s, d) => {
+        val hits = stopwords.map { case (l, ws) =>
+          l -> s"size(filter(split(text, ' '), w -> w IN ${inList(ws)}))"
+        }
+        val Seq(en, es, de, fr) = hits.map(_._2)
+        Tables.documents(s, d)
+          .withColumn("h_en", expr(en)).withColumn("h_es", expr(es))
+          .withColumn("h_de", expr(de)).withColumn("h_fr", expr(fr))
+          .withColumn("pred_lang",
+            when(col("h_en") === 0 && col("h_es") === 0 &&
+              col("h_de") === 0 && col("h_fr") === 0, "unknown")
+              .when(col("h_en") >= col("h_es") && col("h_en") >= col("h_de")
+                && col("h_en") >= col("h_fr"), "en")
+              .when(col("h_es") >= col("h_de") && col("h_es") >= col("h_fr"),
+                "es")
+              .when(col("h_de") >= col("h_fr"), "de")
+              .otherwise("fr"))
+          .select(col("doc_id"), col("lang"), col("pred_lang"),
+            (col("lang") === col("pred_lang")).as("is_match"),
+            col("h_en").cast("bigint").as("h_en"),
+            col("h_es").cast("bigint").as("h_es"),
+            col("h_de").cast("bigint").as("h_de"),
+            col("h_fr").cast("bigint").as("h_fr"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val hits = stopwords.map { case (l, ws) =>
+          s"len(list_filter(string_split(text, ' '), w -> w IN ${inList(ws)})) AS h_$l"
+        }.mkString(",\n    ")
+        s"""
+WITH t AS (SELECT doc_id, lang, text, $hits FROM documents)
+SELECT doc_id, lang,
+  CASE WHEN h_en = 0 AND h_es = 0 AND h_de = 0 AND h_fr = 0 THEN 'unknown'
+       WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr THEN 'en'
+       WHEN h_es >= h_de AND h_es >= h_fr THEN 'es'
+       WHEN h_de >= h_fr THEN 'de' ELSE 'fr' END AS pred_lang,
+  lang = (CASE WHEN h_en = 0 AND h_es = 0 AND h_de = 0 AND h_fr = 0
+            THEN 'unknown'
+          WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr THEN 'en'
+          WHEN h_es >= h_de AND h_es >= h_fr THEN 'es'
+          WHEN h_de >= h_fr THEN 'de' ELSE 'fr' END) AS is_match,
+  CAST(h_en AS BIGINT) AS h_en, CAST(h_es AS BIGINT) AS h_es,
+  CAST(h_de AS BIGINT) AS h_de, CAST(h_fr AS BIGINT) AS h_fr
+FROM t ORDER BY doc_id"""
+      }),
+
+    // ── Document fingerprinting: full/normalized/prefix md5 fingerprints
+    "x04_fingerprint" -> QueryDef(
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("fp_full"),
+        md5(regexp_replace(lower(trim(col("text"))), " +", " ")
+          .cast("binary")).as("fp_norm"),
+        md5(substring(col("text"), 1, 64).cast("binary")).as("fp_prefix"),
+        expr("CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)")
+          .as("fp_long"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+              md5(text) AS fp_full,
+              md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
+                AS fp_norm,
+              md5(substr(text, 1, 64)) AS fp_prefix,
+              CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp_long
+              FROM documents ORDER BY doc_id""")))
 }
