@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Multimodal column plumbing: opaque binary payloads + typed feature
+  * extraction via `mapPartitions` (SURVEY §2.10 extension).
+  *
+  * Real pipelines carry images/audio/video as `binary` columns and decode
+  * them in a partition-local loop (one codec instance per partition, not
+  * per row — the JVM twin of a `mapInPandas` batch UDF). The decoders
+  * themselves aren't available in this environment, so `fakeDecode` is a
+  * clearly-marked deterministic stand-in: the Spark-side plumbing —
+  * schema, encoder, partition batching, per-partition resource reuse — is
+  * the real, tested part. Swap `fakeDecode` for an actual codec and
+  * nothing else changes.
+  */
+object Multimodal {
+
+  /** An opaque binary payload keyed by document. */
+  final case class BinaryDoc(doc_id: Long, content: Array[Byte])
+
+  /** Typed decode output: payload stats + pseudo media metadata. */
+  final case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Long,
+      content_md5: String,
+      first_byte: Long,
+      fake_width: Long,
+      fake_height: Long,
+      n_frames: Long)
+
+  /** STUB decode — deterministic fake in place of an image/audio codec.
+    * A real implementation would parse `content` (JPEG/WAV/MP4 headers);
+    * the fake derives stable pseudo-dimensions from the byte length so
+    * tests and the oracle can pin the plumbing end-to-end.
+    */
+  private def fakeDecode(md: java.security.MessageDigest,
+      doc: BinaryDoc): MediaFeatures = {
+    md.reset()
+    val hex = md.digest(doc.content).map("%02x".format(_)).mkString
+    val n = doc.content.length.toLong
+    MediaFeatures(
+      doc_id = doc.doc_id,
+      n_bytes = n,
+      content_md5 = hex,
+      first_byte = if (n > 0) doc.content(0) & 0xffL else -1L,
+      fake_width = 1 + n % 640,
+      fake_height = 1 + n % 480,
+      n_frames = 1 + n % 24)
+  }
+
+  /** Partition-local decode: one MessageDigest (stand-in for one codec
+    * context) per partition, streamed over the iterator — constant memory,
+    * no driver involvement, parallel across input splits.
+    */
+  def decodeFeatures(docs: Dataset[BinaryDoc]): Dataset[MediaFeatures] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map(fakeDecode(md, _))
+    }
+  }
+
+  /** documents.text reinterpreted as a binary payload column. */
+  def binaryDocs(spark: SparkSession, dir: String): Dataset[BinaryDoc] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .selectExpr("doc_id", "encode(text, 'UTF-8') AS content")
+      .as[BinaryDoc]
+  }
+
+  def features(spark: SparkSession, dir: String): DataFrame =
+    decodeFeatures(binaryDocs(spark, dir)).toDF().orderBy("doc_id")
+}

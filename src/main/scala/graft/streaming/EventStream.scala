@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table.
+  *
+  * The reference is batch-only with hand-rolled incremental ingestion
+  * (SURVEY §2.9); here the same inputs run through a real streaming file
+  * source so watermarks, event-time windows, and session windows are
+  * first-class. At scale this is the shape that absorbs late data and
+  * restarts: the checkpoint replaces the reference's processed-folder
+  * ledger file (`extract_manual_arcus_payments.py:20-29`).
+  */
+object EventStream {
+
+  /** `events.ts` is TIMESTAMP(NANOS) parquet — same workaround as the
+    * batch reader (Tables.events): read longs, convert exactly.
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file stream source wants a directory; testdata ships one file per
+    // table in the sf dir, so scan the dir with a glob pinned to events.
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling event-time windows with a watermark. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Money.moneySum(col("value")).as("total_value"))
+
+  /** Gap-based session windows (30 min inactivity) per user. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Drain a streaming aggregate synchronously into an in-memory table and
+    * return it as a DataFrame (Trigger.AvailableNow semantics via
+    * processAllAvailable — the whole backlog, then stop).
+    */
+  def runToMemory(spark: SparkSession, agg: DataFrame,
+      name: String): DataFrame = {
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      q.awaitTermination()
+    }
+    spark.table(name)
+  }
+}
