@@ -16,6 +16,7 @@ object SparkEntry {
       operators.DedupQueries.defs ++
       operators.SimilarityQueries.defs ++
       operators.EventQueries.defs ++
+      operators.ReportingQueries.defs ++
       operators.MultimodalQueries.defs ++
       streaming.StreamingQueries.defs
 

@@ -166,20 +166,39 @@ FROM sh ORDER BY doc_id"""
     // ── n-gram Jaccard near-dup pairs inside (lang, length-bucket) blocks:
     // the blocked quadratic scan LSH replaces at scale, kept as the
     // precision pass over candidate blocks
+    // Inverted-index similarity join: explode shingles and equi-join on
+    // the shingle itself, so the only pairs ever materialized are ones
+    // sharing ≥1 shingle (pairs sharing none have jaccard 0 < threshold —
+    // identical result set to the all-pairs form, which at 1000 docs/block
+    // was a quadratic array_intersect and the whole bench's bottleneck).
+    // |A∩B| falls out of the pair groupBy count; |A∪B| = |A|+|B|-|A∩B|
+    // from a joined size table (AQE broadcasts it while it fits; at corpus
+    // scale it degrades gracefully to a shuffle join — never forced).
+    // All stages are key-partitioned
+    // shuffles — the shape survives 100 TB (skew cap on hot shingles would
+    // be the next lever if a corpus had degenerate repeated n-grams).
     "x08_ngram_jaccard" -> QueryDef(
       (s, d) => {
-        val blocked = Tables.documents(s, d)
+        val docs = Tables.documents(s, d)
           .withColumn("w", expr("split(text, ' ')"))
           .withColumn("sh", expr(sparkShingles))
           .select(col("doc_id"), col("lang"),
             expr("n_chars div 200").as("bkt"), col("sh"))
-        blocked.as("a").join(blocked.as("b"),
-          col("a.lang") === col("b.lang") && col("a.bkt") === col("b.bkt")
-            && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            expr("""size(array_intersect(a.sh, b.sh)) /
-                    CAST(size(array_union(a.sh, b.sh)) AS DOUBLE)""")
-              .as("jaccard"))
+        val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
+        val posting = docs.select(col("doc_id"), col("lang"), col("bkt"),
+          explode(col("sh")).as("shingle"))
+        posting.as("a").join(posting.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+              col("a.lang") === col("b.lang") &&
+              col("a.bkt") === col("b.bkt") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            (col("inter").cast("double") /
+              (col("sa.sz") + col("sb.sz") - col("inter"))).as("jaccard"))
           .filter(col("jaccard") >= 0.05d)
           .orderBy("doc_a", "doc_b")
       },

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.{Cleaning, Money}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Reporting-job patterns from `load_accounting_data.py` and the
+  * `extract_growth_data.py` composite transform (SURVEY §2.4 J11, §2.8 U4).
+  */
+object ReportingQueries {
+  import Money.{moneySum, sqlSum}
+
+  /** U4 — `transform_facebook_raw` (`extract_growth_data.py:19-76`) as a
+    * reusable `DataFrame => DataFrame` combinator: lenient date parse (F2),
+    * `clean_numeric` over keyword-matched money columns (U3), summary-row
+    * drop via null-presence filter (P9), snake_case renames (P17). Column
+    * matching is by name keyword, same as the reference's
+    * `if any(k in col for k in money_keywords)` loop.
+    */
+  def transformAdsRaw(raw: DataFrame): DataFrame = {
+    val moneyKeywords = Seq("spent", "cost", "cpc")
+    val moneyCols = raw.columns.filter(c =>
+      moneyKeywords.exists(c.toLowerCase.contains))
+    val cleaned = moneyCols.foldLeft(raw)((df, c) =>
+      df.withColumn(c, Cleaning.cleanNumeric(col(c))))
+    cleaned
+      .withColumn("Day",
+        to_date(col("Day"), "MMM d, yyyy").cast("timestamp_ntz"))
+      .filter(col("Ad").isNotNull)
+      .withColumnsRenamed(Map(
+        "Ad" -> "ad_name", "Day" -> "day",
+        "Amount Spent (MXN)" -> "amount_spent", "Reach" -> "reach"))
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ── J11: 4-way chained join where a LEFT JOIN is logically re-narrowed
+    // to inner by the WHERE on the right side's column — replicated as
+    // written (load_accounting_data.py:185-232, note at :225/:230).
+    "j11_referral_multiway" -> QueryDef(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(n, c("c_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"), "left")
+          .where(r("r_name") === "AMERICA" && col("o_orderstatus") === "F")
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_orders"),
+            moneySum(col("o_totalprice")).as("total"))
+          .orderBy("n_name")
+      },
+      Some(s"""SELECT n_name, count(*) AS n_orders,
+              ${sqlSum("o_totalprice")} AS total
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              LEFT JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'AMERICA' AND o_orderstatus = 'F'
+              GROUP BY 1 ORDER BY n_name"""),
+      "4-way join; LEFT JOIN re-narrowed by WHERE (as-written replication)"),
+
+    // ── U4: composite raw-ads transform. The raw frame is synthesized from
+    // orders (formatted date string, '$1,234.56' money string, nullable ad
+    // name), then pushed through [[transformAdsRaw]]; the oracle is the
+    // identity projection, so any parse/clean defect breaks parity.
+    "u04_composite_transform" -> QueryDef(
+      (s, d) => {
+        val raw = Tables.orders(s, d).select(
+          col("o_orderkey").as("order_id"),
+          when(col("o_orderkey") % 10 === 0, lit(null))
+            .otherwise(col("o_orderpriority")).as("Ad"),
+          date_format(col("o_orderdate"), "MMM d, yyyy").as("Day"),
+          concat(lit("$"), format_number(col("o_totalprice"), 2))
+            .as("Amount Spent (MXN)"),
+          col("o_custkey").as("Reach"))
+        transformAdsRaw(raw)
+          .select("order_id", "ad_name", "day", "amount_spent", "reach")
+          .orderBy("order_id")
+      },
+      Some("""SELECT o_orderkey AS order_id, o_orderpriority AS ad_name,
+              CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS day,
+              o_totalprice AS amount_spent,
+              o_custkey AS reach
+              FROM orders WHERE o_orderkey % 10 <> 0
+              ORDER BY order_id"""),
+      "format→parse roundtrip: clean_numeric + date parse + drop + rename"))
+}

@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+/** Sink / ingestion patterns from SURVEY §2.1 + §2.9, re-expressed on
+  * Spark's writer and Structured Streaming APIs.
+  *
+  * The reference hand-rolls each of these in pandas: overwrite is
+  * `to_parquet` (`extract_loan_detail.py:390`), append is read-concat-rewrite
+  * (`extract_manual_arcus_transactions.py:94-105`), month refresh is
+  * drop-months-concat-rewrite (`extract_growth_data.py:155-171`), the
+  * warehouse build is a parquet→table map with stale-table GC
+  * (`create_duckdb.py:65-99`), and exactly-once folder ingestion is a
+  * manual processed-folder ledger file
+  * (`extract_manual_arcus_payments.py:20-29,102-105`). Every one of those
+  * is a single declarative call here — and unlike the reference's whole-file
+  * rewrites, each scales out: append adds files without reading history,
+  * partition overwrite touches only refreshed partitions, and the streaming
+  * checkpoint replaces the ledger with transactional offset tracking.
+  */
+object Sinks {
+
+  /** S7 — full-overwrite parquet sink (`to_parquet`, overwrite-by-default). */
+  def overwriteParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** S8 — append sink. The reference reads the whole history, concats, and
+    * rewrites (O(history) per batch); Spark append just adds files (O(batch)).
+    */
+  def appendParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
+  /** S9 — month-partition refresh (upsert-by-partition). Dynamic partition
+    * overwrite replaces exactly the partitions present in `df` and leaves
+    * the rest untouched — the declarative form of the reference's
+    * drop-refreshed-months-then-concat (`extract_growth_data.py:155-171`),
+    * and the only shape that survives 100 TB of history: the rewrite cost
+    * is proportional to the refreshed months, not the table.
+    */
+  def refreshPartitions(df: DataFrame, path: String,
+      partitionCol: String): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf
+      .getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** S10 — warehouse build: (re)create one managed table per entry and drop
+    * tables that fell out of the mapping (`create_duckdb.py:81-99`). The
+    * stale-table GC is a catalog diff, same as the reference's
+    * `set(existing) - set(desired)`.
+    */
+  def syncWarehouse(spark: SparkSession,
+      tables: Map[String, DataFrame]): Unit = {
+    tables.foreach { case (name, df) =>
+      df.write.mode("overwrite").saveAsTable(name)
+    }
+    val desired = tables.keySet.map(_.toLowerCase)
+    spark.catalog.listTables().collect()
+      .filter(t => t.tableType == "MANAGED" &&
+        !desired.contains(t.name.toLowerCase))
+      .foreach(t => spark.sql(s"DROP TABLE ${t.name}"))
+  }
+
+  /** §2.9 — exactly-once incremental file ingestion. The reference consults
+    * a processed-folders ledger file before ingesting and appends to it
+    * after; the streaming file source + checkpoint is the transactional
+    * version (offsets commit atomically with the sink, so a crash between
+    * "ingest" and "record" can't double-ingest — the reference's ledger
+    * can). `Trigger.AvailableNow` drains the backlog and stops, i.e. the
+    * same batch cadence as the cron job.
+    *
+    * @return rows ingested by this invocation (0 when nothing new).
+    */
+  def ingestAvailableNow(spark: SparkSession, srcDir: String,
+      schema: org.apache.spark.sql.types.StructType, checkpoint: String,
+      outPath: String,
+      transform: DataFrame => DataFrame = identity): Long = {
+    val before = countParquetRows(spark, outPath)
+    val q = transform(
+      spark.readStream.schema(schema).parquet(srcDir))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .start(outPath)
+    q.awaitTermination()
+    countParquetRows(spark, outPath) - before
+  }
+
+  private def countParquetRows(spark: SparkSession, path: String): Long =
+    try spark.read.parquet(path).count()
+    catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.sources.Sinks
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Sink / ingestion patterns (SURVEY §2.1 S7-S10, §2.9) against /tmp dirs. */
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("S7 overwrite sink replaces prior contents") {
+    val out = tmp("s7") + "/t"
+    Sinks.overwriteParquet(Seq(1, 2, 3).toDF("v"), out)
+    Sinks.overwriteParquet(Seq(9).toDF("v"), out)
+    assert(spark.read.parquet(out).as[Int].collect().toSeq == Seq(9))
+  }
+
+  test("S8 append sink accumulates batches") {
+    val out = tmp("s8") + "/t"
+    Sinks.appendParquet(Seq(1, 2).toDF("v"), out)
+    Sinks.appendParquet(Seq(3).toDF("v"), out)
+    assert(spark.read.parquet(out).as[Int].collect().sorted.toSeq
+      == Seq(1, 2, 3))
+  }
+
+  test("S9 dynamic partition overwrite touches only refreshed partitions") {
+    val out = tmp("s9") + "/t"
+    val history = Seq(("2025_01", 1), ("2025_02", 2), ("2025_03", 3))
+      .toDF("month", "v")
+    Sinks.refreshPartitions(history, out, "month")
+    // refresh only Feb; Jan + Mar survive untouched
+    val refresh = Seq(("2025_02", 20), ("2025_02", 21)).toDF("month", "v")
+    Sinks.refreshPartitions(refresh, out, "month")
+    val got = spark.read.parquet(out)
+      .select("month", "v").as[(String, Int)].collect().sorted.toSeq
+    assert(got == Seq(("2025_01", 1), ("2025_02", 20), ("2025_02", 21),
+      ("2025_03", 3)))
+  }
+
+  test("S10 warehouse sync creates tables and drops stale ones") {
+    Sinks.syncWarehouse(spark, Map(
+      "wh_keep" -> Seq(1).toDF("v"), "wh_stale" -> Seq(2).toDF("v")))
+    assert(spark.table("wh_keep").count() == 1)
+    Sinks.syncWarehouse(spark, Map("wh_keep" -> Seq(1, 2).toDF("v")))
+    assert(spark.table("wh_keep").count() == 2)
+    assert(!spark.catalog.tableExists("wh_stale"))
+  }
+
+  test("incremental ledger: each source file ingested exactly once") {
+    val src = tmp("inc-src")
+    val out = tmp("inc") + "/t"
+    val ckpt = tmp("inc") + "/ckpt"
+    val schema = Seq(1).toDF("v").schema
+
+    Seq(1, 2).toDF("v").write.parquet(s"$src/batch1")
+    val first = Sinks.ingestAvailableNow(
+      spark, s"$src/*", schema, ckpt, out)
+    assert(first == 2)
+
+    // re-run with no new files: ledger (checkpoint) skips batch1
+    val rerun = Sinks.ingestAvailableNow(
+      spark, s"$src/*", schema, ckpt, out)
+    assert(rerun == 0)
+
+    // a new folder arrives: only its rows are ingested
+    Seq(3).toDF("v").write.parquet(s"$src/batch2")
+    val second = Sinks.ingestAvailableNow(
+      spark, s"$src/*", schema, ckpt, out)
+    assert(second == 1)
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
+  test("S3/S5 csv and json scans roundtrip") {
+    val dir = tmp("scan")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+    df.write.option("header", "true").csv(s"$dir/c")
+    df.write.json(s"$dir/j")
+    val csv = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(s"$dir/c")
+    val json = spark.read.json(s"$dir/j")
+    assert(csv.orderBy("id").collect().map(_.getString(1)).toSeq
+      == Seq("a", "b"))
+    assert(json.select("id", "name").orderBy("id").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+}
