@@ -31,15 +31,22 @@ object SimilarityQueries {
   private val duckNorm =
     "CAST(list_sum(list_transform(qe, v -> v * v)) AS BIGINT)"
 
+  /** Native codegen'd integer dot product ([[graft.functions.DotLong]]) —
+    * bit-identical to the HOF spelling
+    * `aggregate(zip_with(a, b, (x,y) -> x*y), 0L, (acc,v) -> acc+v)` but
+    * stays inside whole-stage codegen (no per-row array allocation).
+    */
   private def sparkDot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    s"dot_long($a, $b)"
   private def duckDot(a: String, b: String): String =
     s"CAST(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) AS BIGINT)"
 
-  private def quantized(s: SparkSession, d: String): DataFrame =
+  private def quantized(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.install(s)
     Tables.embeddings(s, d)
       .withColumn("qe", expr(sparkQuant))
       .withColumn("qn", expr(sparkNorm))
+  }
 
   private val duckQuantizedCte =
     s"""e AS (

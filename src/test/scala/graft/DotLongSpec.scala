@@ -1,0 +1,39 @@
+package graft
+
+/** [[graft.functions.DotLong]]: codegen'd integer dot product. */
+class DotLongSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot_long matches the HOF spelling, incl. edge shapes") {
+    GraftExtensions.install(spark)
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(2L), Seq(3L, 9L)), // length mismatch: extra elements ignored
+      (Seq(-5L, 7L), Seq(3L, -2L)))
+      .toDF("a", "b")
+    val got = df.selectExpr("dot_long(a, b) AS d").as[Long].collect().toSeq
+    assert(got == Seq(32L, 0L, 6L, -29L))
+  }
+
+  test("dot_long is null-safe on null arrays") {
+    GraftExtensions.install(spark)
+    val row = spark.sql(
+      "SELECT dot_long(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS d")
+      .collect().head
+    assert(row.isNullAt(0))
+  }
+
+  test("dot_long agrees with aggregate/zip_with on random vectors") {
+    GraftExtensions.install(spark)
+    val vecs = Tables.embeddings(spark, sf).limit(50)
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000+0.5) AS BIGINT)) AS q")
+    val pairs = vecs.as("a").crossJoin(vecs.as("b"))
+      .selectExpr(
+        "dot_long(a.q, b.q) AS fast",
+        """aggregate(zip_with(a.q, b.q, (x, y) -> x * y),
+           CAST(0 AS BIGINT), (acc, v) -> acc + v) AS slow""")
+    assert(pairs.filter("fast <> slow").count() == 0)
+  }
+}

@@ -41,6 +41,16 @@ class SinksSpec extends SparkSpec {
   }
 
   test("S10 warehouse sync creates tables and drops stale ones") {
+    // hermetic: drop catalog entries AND orphaned managed locations left by
+    // a previous JVM (the location survives, the in-memory catalog doesn't)
+    Seq("wh_keep", "wh_stale").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:"), t)
+      if (loc.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
     Sinks.syncWarehouse(spark, Map(
       "wh_keep" -> Seq(1).toDF("v"), "wh_stale" -> Seq(2).toDF("v")))
     assert(spark.table("wh_keep").count() == 1)
