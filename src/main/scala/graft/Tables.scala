@@ -33,5 +33,24 @@ object Tables {
         timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+
+  /** `documents` spread across the cluster before expensive per-row work.
+    * A small corpus arrives as one parquet split, so everything downstream
+    * of the scan would run in a single task; shingling/minhashing is
+    * orders of magnitude more expensive than the text itself, so paying
+    * one cheap shuffle of raw text to engage every core is the right
+    * trade at any scale where split count < core count. (At full scale
+    * the file count makes this a no-op-sized shuffle relative to the
+    * compute it parallelizes.)
+    */
+  def documentsSpread(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(s.sparkContext.defaultParallelism)
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** `embeddings` spread like [[documentsSpread]]: the similarity scans do
+    * O(corpus × probes) vector arithmetic downstream of a scan that may
+    * arrive as a single split.
+    */
+  def embeddingsSpread(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
 }

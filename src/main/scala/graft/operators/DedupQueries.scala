@@ -68,10 +68,13 @@ object DedupQueries {
       (s, d) => {
         val sigCols = (0 until K).map(i =>
           expr(sparkMinhash(i)).as(s"sig$i"))
-        val sigs = Tables.documents(s, d)
+        // persisted: read by the band explode and twice by the signature
+        // re-join; K minhash passes over every shingle dwarf the cache cost
+        val sigs = Tables.documentsSpread(s, d)
           .withColumn("w", expr("split(text, ' ')"))
           .withColumn("sh", expr(sparkShingles))
           .select(col("doc_id") +: sigCols: _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val stackExpr = (0 until K)
           .map(i => s"$i, sig$i").mkString(s"stack($K, ", ", ", ")")
         val bands = sigs.select(col("doc_id"),
@@ -132,7 +135,7 @@ ORDER BY doc_a, doc_b"""
         val bits = (0 until 32).map { b =>
           s"(CASE WHEN 2 * size(filter(th, h -> (shiftright(h, $b) & 1) = 1)) > size(th) THEN ${1L << b}L ELSE 0L END)"
         }.mkString(" + ")
-        Tables.documents(s, d)
+        Tables.documentsSpread(s, d)
           .withColumn("w", expr("split(text, ' ')"))
           .withColumn("th", expr(
             "transform(w, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT))"))
@@ -179,11 +182,15 @@ FROM sh ORDER BY doc_id"""
     // be the next lever if a corpus had degenerate repeated n-grams).
     "x08_ngram_jaccard" -> QueryDef(
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        // persisted: four plan branches read this (posting a/b, sizes a/b)
+        // and shingling is the expensive part — cache-once beats 4×
+        // recompute at any scale (MEMORY_AND_DISK spills, never OOMs)
+        val docs = Tables.documentsSpread(s, d)
           .withColumn("w", expr("split(text, ' ')"))
           .withColumn("sh", expr(sparkShingles))
           .select(col("doc_id"), col("lang"),
             expr("n_chars div 200").as("bkt"), col("sh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
         val posting = docs.select(col("doc_id"), col("lang"), col("bkt"),
           explode(col("sh")).as("shingle"))

@@ -43,7 +43,7 @@ object SimilarityQueries {
 
   private def quantized(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.install(s)
-    Tables.embeddings(s, d)
+    Tables.embeddingsSpread(s, d)
       .withColumn("qe", expr(sparkQuant))
       .withColumn("qn", expr(sparkNorm))
   }
@@ -163,6 +163,9 @@ FROM assigned ORDER BY vec_id"""),
           .filter(col("rn") === 1)
           .select(col("vec_id"), col("qe"), col("qn"),
             col("c_id").as("bucket"))
+          // persisted: the self-join below reads the (corpus × centroids)
+          // assignment twice; recomputing it doubles the dominant stage
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         assigned.as("a").join(assigned.as("b"),
           col("a.bucket") === col("b.bucket") &&
             col("a.vec_id") < col("b.vec_id"))
