@@ -71,4 +71,23 @@ object Multimodal {
 
   def features(spark: SparkSession, dir: String): DataFrame =
     decodeFeatures(binaryDocs(spark, dir)).toDF().orderBy("doc_id")
+
+  /** Frame sampling + thumbnail "resize" over the decoded metadata: every
+    * 4th frame, dimensions clamped to 224. The explode is the real
+    * multimodal fan-out shape (one row per sampled frame, scales with
+    * output frames not input bytes); the arithmetic stands in for the
+    * absent codec exactly like [[fakeDecode]].
+    */
+  def frameSamples(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    decodeFeatures(binaryDocs(spark, dir)).toDF()
+      .select(col("doc_id"), col("n_frames"),
+        col("fake_width"), col("fake_height"))
+      .withColumn("frame_idx",
+        explode(expr("sequence(CAST(0 AS BIGINT), n_frames - 1, CAST(4 AS BIGINT))")))
+      .select(col("doc_id"), col("frame_idx"),
+        least(col("fake_width"), lit(224L)).as("thumb_w"),
+        least(col("fake_height"), lit(224L)).as("thumb_h"))
+      .orderBy("doc_id", "frame_idx")
+  }
 }

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface over the `events` table.
@@ -53,14 +53,43 @@ object EventStream {
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Per-user running totals with custom state (`flatMapGroupsWithState`)
+    * — the state-store path the reference's hand-rolled incremental jobs
+    * would need for anything beyond append. Money is accumulated as exact
+    * integer cents so the total is order-independent (a distributed state
+    * update folds values in partition order; double addition would drift
+    * from the oracle).
+    */
+  final case class UserTotals(user_id: Long, n_events: Long,
+      total_value: Double)
+
+  def statefulUserTotals(events: DataFrame): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), UserTotals](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Double)],
+            state: GroupState[(Long, Long)]) =>
+          var (n, cents) = state.getOption.getOrElse((0L, 0L))
+          it.foreach { case (_, v) =>
+            n += 1
+            cents += math.floor(v * 100 + 0.5).toLong
+          }
+          state.update((n, cents))
+          Iterator(UserTotals(uid, n, cents / 100.0))
+      }
+  }
+
   /** Drain a streaming aggregate synchronously into an in-memory table and
     * return it as a DataFrame (Trigger.AvailableNow semantics via
     * processAllAvailable — the whole backlog, then stop).
     */
   def runToMemory(spark: SparkSession, agg: DataFrame,
-      name: String): DataFrame = {
+      name: String, outputMode: String = "complete"): DataFrame = {
     val q = agg.writeStream
-      .outputMode("complete")
+      .outputMode(outputMode)
       .format("memory")
       .queryName(name)
       .trigger(Trigger.ProcessingTime(0))

@@ -67,5 +67,27 @@ SELECT min(ts) AS session_start,
   user_id, count(*) AS n_events
 FROM sessions GROUP BY user_id, session_seq
 ORDER BY user_id, session_start"""),
-      "session_window streaming aggregation == batch gap sessionization"))
+      "session_window streaming aggregation == batch gap sessionization"),
+
+    // ── Custom state via flatMapGroupsWithState: per-user running totals.
+    // Update mode emits one row per user per micro-batch; the counter is
+    // monotone, so top-1-by-count per user is the final state regardless
+    // of how AvailableNow chunked the backlog.
+    "st03_stream_stateful" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val agg = EventStream
+          .statefulUserTotals(EventStream.readEvents(s, d)).toDF()
+        val w = Window.partitionBy("user_id").orderBy(desc("n_events"))
+        EventStream.runToMemory(s, agg, s"st03_sink_${System.nanoTime}",
+            outputMode = "update")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n_events,
+              CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                / 100 AS total_value
+              FROM events GROUP BY 1 ORDER BY user_id"""),
+      "flatMapGroupsWithState custom state == batch groupBy totals"))
 }
