@@ -488,6 +488,30 @@ object RelationalQueries {
                 AS BIGINT) AS n_returned
               FROM lineitem GROUP BY 1 ORDER BY l_orderkey""")),
 
+    // ── Skew-safe aggregation (extension; scale pattern). l_returnflag has
+    // 3 distinct values over the whole table — a direct groupBy funnels
+    // everything through 3 reducer partitions. Salting the key 16 ways
+    // makes the first (heavy) aggregation spread across 3×16 partitions;
+    // the second pass folds 16 tiny partials per key. Decimal partials are
+    // associative, so the two-phase result is exactly the one-phase one.
+    // (Spark's partial/map-side agg already mitigates this shape; salting
+    // is the explicit fix when map-side reduction isn't enough — high-
+    // cardinality payloads, distinct-aggs, or collect_list-like states.)
+    "a09_salted_skew_agg" -> QueryDef(
+      (s, d) => li(s, d)
+        .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(sum(moneyRound(col("l_extendedprice"))
+          .cast(DecimalType(18, 2))).as("partial_price"),
+          count(lit(1)).as("partial_n"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("partial_price")).cast("double").as("sum_price"),
+          sum(col("partial_n")).as("n_lines"))
+        .orderBy("l_returnflag"),
+      Some(s"""SELECT l_returnflag, ${sqlSum("l_extendedprice")} AS sum_price,
+              count(*) AS n_lines
+              FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
+
     // ── A5/A6: monthly money rollup incl. NULL-key group semantics
     // (load_accounting_data.py:112-127)
     "a05_monthly_rollup" -> QueryDef(

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** Physical-plan shape assertions — the properties that make these queries
+  * scale are not visible in row-level results, so they're pinned here:
+  * filters/projections must reach the parquet scan, small dims must
+  * broadcast, the flagship must stay off nested-loop joins, and hot paths
+  * must stay inside whole-stage codegen.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.sparkPlan.collectLeaves()
+      .collect { case f: FileSourceScanExec => f }
+
+  test("p01: filter and projection push into the parquet scan") {
+    val scan = scans(q("p01_project_filter")).head
+    assert(scan.metadata("PushedFilters").contains("EqualTo(o_orderstatus,O)"),
+      scan.metadata("PushedFilters"))
+    // 3 selected + 1 filter column; nothing else read from a 6-col table
+    assert(scan.requiredSchema.fieldNames.toSet ==
+      Set("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"))
+  }
+
+  test("j11: dimension joins broadcast (no shuffle of the fact side)") {
+    val plan = q("j11_referral_multiway").queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("loan_detail: hash joins only, channel aggs reduced before the join") {
+    val qe = q("loan_detail").queryExecution
+    val plan = qe.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // partial aggregation (map-side combine) exists under every channel agg
+    assert(plan.contains("HashAggregate"))
+    assert("partial_".r.findFirstIn(plan.toLowerCase).isDefined ||
+      plan.contains("Partial"))
+  }
+
+  test("p02: expression pipeline stays in whole-stage codegen") {
+    val df = q("p02_arithmetic_round")
+    df.collect() // AQE finalizes (and annotates) the plan only on execution
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" node prefixes mark whole-stage-codegen stages
+    assert(plan.contains("*("), plan.take(1000))
+  }
+
+  test("x09: probe side broadcasts; corpus side is never replicated") {
+    val plan = q("x09_ann_bruteforce").queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+}
