@@ -99,4 +99,18 @@ object Sinks {
   private def countParquetRows(spark: SparkSession, path: String): Long =
     try spark.read.parquet(path).count()
     catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+
+  /** Bucketed table sink: co-locates rows by join key at write time so
+    * repeated joins/aggregations on that key need no shuffle at read time
+    * — the standing answer to "this 100 TB fact table is joined on the
+    * same key by every job, why shuffle it every time?". Both sides of a
+    * join bucketed by the same key into the same bucket count plan as a
+    * zero-Exchange sort-merge join (asserted in SinksSpec).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
 }

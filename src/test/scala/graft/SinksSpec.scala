@@ -83,6 +83,35 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 3)
   }
 
+  test("bucketed tables join without a shuffle") {
+    Seq("bk_orders", "bk_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
+    Sinks.writeBucketed(
+      Tables.orders(spark, sf), "bk_orders", "o_orderkey", 4)
+    Sinks.writeBucketed(
+      Tables.lineitem(spark, sf).withColumnRenamed("l_orderkey", "o_orderkey"),
+      "bk_lineitem", "o_orderkey", 4)
+    // the test tables are tiny enough to auto-broadcast (also shuffle-
+    // free); disable that to expose the bucketed sort-merge path a 100 TB
+    // fact-to-fact join would take
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bk_orders")
+        .join(spark.table("bk_lineitem"), "o_orderkey")
+      // co-located buckets: the sort-merge join plans with zero Exchanges
+      val plan = joined.queryExecution.sparkPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(1500))
+      assert(!plan.contains("Exchange"), plan.take(1500))
+      assert(joined.count() == Tables.lineitem(spark, sf).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("S3/S5 csv and json scans roundtrip") {
     val dir = tmp("scan")
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
