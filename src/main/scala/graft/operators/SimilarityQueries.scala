@@ -57,7 +57,31 @@ object SimilarityQueries {
   private val NQueries = 8   // brute-force probe set
   private val K = 5          // neighbors returned
   private val NCentroids = 64
+  private val NProbe = 4     // IVF buckets searched per query
   private val NearDupTau = 0.25
+
+  private def centroids(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("c_id"), col("qe").as("c_qe"),
+        col("qn").as("c_qn"))
+
+  /** Corpus → nearest-centroid bucket assignment (the IVF partitioning
+    * step): broadcast centroids, map-only scoring, window top-1. Persisted
+    * because every consumer (x10 stats, x11 self-join, x12 search) reads
+    * it more than once.
+    */
+  private def assignedBuckets(e: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(desc("ccos"), col("c_id"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        expr(s"CAST(${sparkDot("c_qe", "qe")} AS DOUBLE)") /
+          (sqrt(col("c_qn").cast("double")) * sqrt(col("qn").cast("double"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("qe"), col("qn"),
+        col("c_id").as("bucket"), col("ccos").as("centroid_cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
   def defs: Map[String, QueryDef] = Map(
 
@@ -104,21 +128,8 @@ WHERE rn <= $K ORDER BY q_id, rank"""),
     "x10_ann_ivf_assign" -> QueryDef(
       (s, d) => {
         val e = quantized(s, d)
-        val cent = e.filter(col("vec_id") < NCentroids)
-          .select(col("vec_id").as("c_id"), col("qe").as("c_qe"),
-            col("qn").as("c_qn"))
-        val w = Window.partitionBy("vec_id")
-          .orderBy(desc("cos"), col("c_id"))
-        val assigned = e.crossJoin(broadcast(cent))
-          .withColumn("cos",
-            expr(s"CAST(${sparkDot("c_qe", "qe")} AS DOUBLE)") /
-              (sqrt(col("c_qn").cast("double")) *
-                sqrt(col("qn").cast("double"))))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("c_id").as("bucket"),
-            col("cos").as("centroid_cos"))
-        assigned
+        assignedBuckets(e, centroids(e))
+          .select(col("vec_id"), col("bucket"), col("centroid_cos"))
           .withColumn("bucket_size",
             count(lit(1)).over(Window.partitionBy("bucket")))
           .orderBy("vec_id")
@@ -149,23 +160,8 @@ FROM assigned ORDER BY vec_id"""),
     "x11_embed_neardup" -> QueryDef(
       (s, d) => {
         val e = quantized(s, d)
-        val cent = e.filter(col("vec_id") < NCentroids)
-          .select(col("vec_id").as("c_id"), col("qe").as("c_qe"),
-            col("qn").as("c_qn"))
-        val w = Window.partitionBy("vec_id")
-          .orderBy(desc("ccos"), col("c_id"))
-        val assigned = e.crossJoin(broadcast(cent))
-          .withColumn("ccos",
-            expr(s"CAST(${sparkDot("c_qe", "qe")} AS DOUBLE)") /
-              (sqrt(col("c_qn").cast("double")) *
-                sqrt(col("qn").cast("double"))))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("qe"), col("qn"),
-            col("c_id").as("bucket"))
-          // persisted: the self-join below reads the (corpus × centroids)
-          // assignment twice; recomputing it doubles the dominant stage
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val assigned = assignedBuckets(e, centroids(e))
+          .select(col("vec_id"), col("qe"), col("qn"), col("bucket"))
         assigned.as("a").join(assigned.as("b"),
           col("a.bucket") === col("b.bucket") &&
             col("a.vec_id") < col("b.vec_id"))
@@ -203,5 +199,78 @@ WHERE CAST(${duckDot("a.qe", "b.qe")} AS DOUBLE)
     / (sqrt(CAST(a.qn AS DOUBLE)) * sqrt(CAST(b.qn AS DOUBLE)))
   >= $NearDupTau
 ORDER BY vec_a, vec_b"""),
-      "bucket-local near-dup scan over IVF assignment"))
+      "bucket-local near-dup scan over IVF assignment"),
+
+    // ── IVF top-k search: each probe fans out to its NProbe nearest
+    // centroid buckets and scans ONLY those — the recall-for-throughput
+    // trade that replaces the brute-force scan at corpus scale. The join
+    // is an equi-join on bucket, so the cluster partitions the corpus by
+    // bucket once and every probe touches NProbe partitions, not all.
+    "x12_ann_ivf_search" -> QueryDef(
+      (s, d) => {
+        val e = quantized(s, d)
+        val cent = centroids(e)
+        val assigned = assignedBuckets(e, cent)
+        val wp = Window.partitionBy("q_id").orderBy(desc("pcos"), col("c_id"))
+        val probeBuckets = e.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("q_id"), col("qe").as("q_qe"),
+            col("qn").as("q_qn"))
+          .crossJoin(broadcast(cent))
+          .withColumn("pcos",
+            expr(s"CAST(${sparkDot("c_qe", "q_qe")} AS DOUBLE)") /
+              (sqrt(col("c_qn").cast("double")) *
+                sqrt(col("q_qn").cast("double"))))
+          .withColumn("rn", row_number().over(wp))
+          .filter(col("rn") <= NProbe)
+          .select(col("q_id"), col("q_qe"), col("q_qn"),
+            col("c_id").as("bucket"))
+        val wk = Window.partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
+        probeBuckets.join(assigned, "bucket")
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("cos",
+            expr(s"CAST(${sparkDot("q_qe", "qe")} AS DOUBLE)") /
+              (sqrt(col("q_qn").cast("double")) *
+                sqrt(col("qn").cast("double"))))
+          .withColumn("rank", row_number().over(wk).cast("bigint"))
+          .filter(col("rank") <= K)
+          .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+            col("cos"), col("bucket"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""
+WITH $duckQuantizedCte,
+c AS (SELECT vec_id AS c_id, qe AS c_qe, qn AS c_qn FROM e
+      WHERE vec_id < $NCentroids),
+assigned AS (
+  SELECT vec_id, qe, qn, c_id AS bucket
+  FROM (SELECT e.vec_id, e.qe, e.qn, c.c_id,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+            CAST(${duckDot("c.c_qe", "e.qe")} AS DOUBLE)
+              / (sqrt(CAST(c.c_qn AS DOUBLE)) * sqrt(CAST(e.qn AS DOUBLE)))
+            DESC, c.c_id) AS rn
+        FROM e CROSS JOIN c)
+  WHERE rn = 1
+),
+pb AS (
+  SELECT q_id, q_qe, q_qn, c_id AS bucket
+  FROM (SELECT p.vec_id AS q_id, p.qe AS q_qe, p.qn AS q_qn, c.c_id,
+          row_number() OVER (PARTITION BY p.vec_id ORDER BY
+            CAST(${duckDot("c.c_qe", "p.qe")} AS DOUBLE)
+              / (sqrt(CAST(c.c_qn AS DOUBLE)) * sqrt(CAST(p.qn AS DOUBLE)))
+            DESC, c.c_id) AS rn
+        FROM e p CROSS JOIN c WHERE p.vec_id < $NQueries)
+  WHERE rn <= $NProbe
+),
+scored AS (
+  SELECT pb.q_id, a.vec_id AS neighbor_id, a.bucket,
+    CAST(${duckDot("pb.q_qe", "a.qe")} AS DOUBLE)
+      / (sqrt(CAST(pb.q_qn AS DOUBLE)) * sqrt(CAST(a.qn AS DOUBLE))) AS cos
+  FROM pb JOIN assigned a USING (bucket)
+  WHERE a.vec_id != pb.q_id
+)
+SELECT q_id, CAST(rn AS BIGINT) AS rank, neighbor_id, cos, bucket
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        ORDER BY cos DESC, neighbor_id) AS rn FROM scored)
+WHERE rn <= $K ORDER BY q_id, rank"""),
+      "IVF nprobe search: probe → nearest buckets → bucket-local top-k"))
 }
