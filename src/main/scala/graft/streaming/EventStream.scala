@@ -88,6 +88,9 @@ object EventStream {
     */
   def runToMemory(spark: SparkSession, agg: DataFrame,
       name: String, outputMode: String = "complete"): DataFrame = {
+    // drain-and-stop queries never need the trailing no-data micro-batch
+    // (it exists to advance watermarks for long-running queries)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val q = agg.writeStream
       .outputMode(outputMode)
       .format("memory")
