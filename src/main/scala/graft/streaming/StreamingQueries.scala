@@ -89,5 +89,28 @@ ORDER BY user_id, session_start"""),
               CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
                 / 100 AS total_value
               FROM events GROUP BY 1 ORDER BY user_id"""),
-      "flatMapGroupsWithState custom state == batch groupBy totals"))
+      "flatMapGroupsWithState custom state == batch groupBy totals"),
+
+    // ── Stream-static enrichment join: the streaming side joins a static
+    // dimension (no state, no watermark needed — the dimension is re-read
+    // per micro-batch, broadcast when small). The standard shape for
+    // enriching an event firehose with reference data.
+    "st04_stream_static_join" -> QueryDef(
+      (s, d) => {
+        val dim = graft.Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val enriched = EventStream.readEvents(s, d)
+          .join(dim, col("user_id") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_events"),
+            graft.functions.Money.moneySum(col("value")).as("total_value"))
+        EventStream.runToMemory(s, enriched,
+            s"st04_sink_${System.nanoTime}")
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""SELECT c_mktsegment, count(*) AS n_events,
+              ${sqlSum("value")} AS total_value
+              FROM events JOIN customer ON user_id = c_custkey
+              GROUP BY 1 ORDER BY c_mktsegment"""),
+      "stream-static dimension join == batch join+groupBy"))
 }
