@@ -47,6 +47,10 @@ def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # pin the session zone: TIMESTAMPTZ->TIMESTAMP casts (to_timestamp in
+    # window oracles) render in session TZ; Spark is pinned UTC, so a
+    # non-UTC host would shift every window bound without this
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")

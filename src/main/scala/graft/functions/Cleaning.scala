@@ -25,7 +25,10 @@ object Cleaning {
     */
   def idString(c: Column): Column = c.cast("bigint").cast("string")
 
-  /** DuckDB spelling of [[idString]]. */
+  /** DuckDB spelling of [[idString]]. `trunc` first: Spark's double→bigint
+    * cast truncates toward zero while DuckDB's rounds, so a bare CAST
+    * would disagree on any float-dtype id with a fractional part.
+    */
   def sqlIdString(expr: String): String =
-    s"CAST(CAST($expr AS BIGINT) AS VARCHAR)"
+    s"CAST(CAST(trunc($expr) AS BIGINT) AS VARCHAR)"
 }

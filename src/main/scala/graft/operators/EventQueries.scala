@@ -25,10 +25,13 @@ object EventQueries {
     // groupBy(window(ts)) aggregation (bucket = epoch div floor).
     "e01_tumbling_window" -> QueryDef(
       (s, d) => Tables.events(s, d)
-        // integer `div`, not `/`: epoch-micros (~1.7e18) overflow a double
+        // integer arithmetic, not `/`: epoch-micros (~1.7e18) overflow a
+        // double. us - pmod(us, W) is exact FLOOR division (matching both
+        // DuckDB's `//` and Spark's own window()), where `div` would
+        // truncate toward zero and mis-bucket pre-1970 timestamps.
         .withColumn("us", unix_micros(col("ts").cast("timestamp")))
         .withColumn("window_start",
-          expr("CAST(timestamp_micros((us div 21600000000) * 21600000000)" +
+          expr("CAST(timestamp_micros(us - pmod(us, 21600000000))" +
             " AS timestamp_ntz)"))
         .groupBy(col("window_start"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),

@@ -19,12 +19,16 @@ object Multimodal {
   /** An opaque binary payload keyed by document. */
   final case class BinaryDoc(doc_id: Long, content: Array[Byte])
 
-  /** Typed decode output: payload stats + pseudo media metadata. */
+  /** Typed decode output: payload stats + pseudo media metadata.
+    * `first_cp` is the first Unicode code point of the decoded payload
+    * (0 when empty) — code point, not raw byte, because the DuckDB oracle's
+    * `ascii()` returns code points and the two must agree on non-ASCII.
+    */
   final case class MediaFeatures(
       doc_id: Long,
       n_bytes: Long,
       content_md5: String,
-      first_byte: Long,
+      first_cp: Long,
       fake_width: Long,
       fake_height: Long,
       n_frames: Long)
@@ -43,7 +47,10 @@ object Multimodal {
       doc_id = doc.doc_id,
       n_bytes = n,
       content_md5 = hex,
-      first_byte = if (n > 0) doc.content(0) & 0xffL else -1L,
+      first_cp = {
+        val s = new String(doc.content, java.nio.charset.StandardCharsets.UTF_8)
+        if (s.isEmpty) 0L else s.codePointAt(0).toLong
+      },
       fake_width = 1 + n % 640,
       fake_height = 1 + n % 480,
       n_frames = 1 + n % 24)

@@ -11,7 +11,7 @@ object MultimodalQueries {
       Some("""SELECT doc_id,
               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
               md5(text) AS content_md5,
-              CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte,
+              CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_cp,
               1 + octet_length(encode(text)) % 640 AS fake_width,
               1 + octet_length(encode(text)) % 480 AS fake_height,
               1 + octet_length(encode(text)) % 24 AS n_frames

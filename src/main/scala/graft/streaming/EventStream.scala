@@ -89,8 +89,11 @@ object EventStream {
   def runToMemory(spark: SparkSession, agg: DataFrame,
       name: String, outputMode: String = "complete"): DataFrame = {
     // drain-and-stop queries never need the trailing no-data micro-batch
-    // (it exists to advance watermarks for long-running queries)
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // (it exists to advance watermarks for long-running queries); restored
+    // after the drain so long-running queries on this session keep it
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ndPrev = spark.conf.getOption(ndKey)
+    spark.conf.set(ndKey, "false")
     val q = agg.writeStream
       .outputMode(outputMode)
       .format("memory")
@@ -102,6 +105,10 @@ object EventStream {
     } finally {
       q.stop()
       q.awaitTermination()
+      ndPrev match {
+        case Some(v) => spark.conf.set(ndKey, v)
+        case None    => spark.conf.unset(ndKey)
+      }
     }
     spark.table(name)
   }
