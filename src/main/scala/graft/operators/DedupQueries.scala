@@ -42,6 +42,35 @@ object DedupQueries {
 
   private val K = 6 // minhash signature length; 6 bands of 1 row for LSH
 
+  /** (doc_id, simhash): 32-bit bit-majority fingerprint over per-token
+    * md5 hashes (Charikar '02), shared by x07/x13.
+    */
+  private def simhashes(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val bits = (0 until 32).map { b =>
+      s"(CASE WHEN 2 * size(filter(th, h -> (shiftright(h, $b) & 1) = 1)) > size(th) THEN ${1L << b}L ELSE 0L END)"
+    }.mkString(" + ")
+    Tables.documentsSpread(s, d)
+      .withColumn("w", expr("split(text, ' ')"))
+      .withColumn("th", expr(
+        "transform(w, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT))"))
+      .select(col("doc_id"), expr(s"$bits").as("simhash"))
+  }
+
+  /** DuckDB CTE (`sh`) in lockstep with [[simhashes]]. */
+  private val duckSimhashCte: String = {
+    val bits = (0 until 32).map { b =>
+      s"(CASE WHEN 2 * len(list_filter(th, h -> ((h >> $b) & 1) = 1)) > len(th) THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""t AS (
+  SELECT doc_id,
+    list_transform(string_split(text, ' '),
+      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
+  FROM documents
+),
+sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t)"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     // ── Exact dedup: hash-groupBy on a normalized prefix fingerprint,
@@ -131,40 +160,73 @@ ORDER BY doc_a, doc_b"""
 
     // ── SimHash: 32-bit bit-majority fingerprint over md5 token hashes
     "x07_dedup_simhash" -> QueryDef(
-      (s, d) => {
-        val bits = (0 until 32).map { b =>
-          s"(CASE WHEN 2 * size(filter(th, h -> (shiftright(h, $b) & 1) = 1)) > size(th) THEN ${1L << b}L ELSE 0L END)"
-        }.mkString(" + ")
-        Tables.documentsSpread(s, d)
-          .withColumn("w", expr("split(text, ' ')"))
-          .withColumn("th", expr(
-            "transform(w, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT))"))
-          .select(col("doc_id"), expr(s"$bits").as("simhash"))
-          .withColumn("band0", expr("simhash & 255"))
-          .withColumn("band1", expr("shiftright(simhash, 8) & 255"))
-          .withColumn("band2", expr("shiftright(simhash, 16) & 255"))
-          .withColumn("band3", expr("shiftright(simhash, 24) & 255"))
-          .orderBy("doc_id")
-      },
-      Some {
-        val bits = (0 until 32).map { b =>
-          s"(CASE WHEN 2 * len(list_filter(th, h -> ((h >> $b) & 1) = 1)) > len(th) THEN ${1L << b} ELSE 0 END)"
-        }.mkString(" + ")
-        s"""
-WITH t AS (
-  SELECT doc_id,
-    list_transform(string_split(text, ' '),
-      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS th
-  FROM documents
-),
-sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t)
+      (s, d) => simhashes(s, d)
+        .withColumn("band0", expr("simhash & 255"))
+        .withColumn("band1", expr("shiftright(simhash, 8) & 255"))
+        .withColumn("band2", expr("shiftright(simhash, 16) & 255"))
+        .withColumn("band3", expr("shiftright(simhash, 24) & 255"))
+        .orderBy("doc_id"),
+      Some(s"""
+WITH $duckSimhashCte
 SELECT doc_id, simhash,
   simhash & 255 AS band0,
   (simhash >> 8) & 255 AS band1,
   (simhash >> 16) & 255 AS band2,
   (simhash >> 24) & 255 AS band3
-FROM sh ORDER BY doc_id"""
-      }),
+FROM sh ORDER BY doc_id"""),
+      "32-bit bit-majority fingerprint + LSH bands"),
+
+    // ── SimHash near-dup pairing: band-collision candidates (any of the
+    // four 8-bit bands equal ⇒ candidate — the pigeonhole guarantee: any
+    // pair within 3 bits must share a band), then exact Hamming distance
+    // by bit_count(xor). Same LSH shape as x06: the only pairs ever
+    // materialized are band collisions, never all-pairs.
+    "x13_simhash_neardup" -> QueryDef(
+      (s, d) => {
+        val sigs = simhashes(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bands = sigs.select(col("doc_id"), expr(
+          """stack(4, 0, simhash & 255,
+                      1, shiftright(simhash, 8) & 255,
+                      2, shiftright(simhash, 16) & 255,
+                      3, shiftright(simhash, 24) & 255) AS (band, bval)"""))
+        bands.as("a").join(bands.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.bval") === col("b.bval") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+          .join(sigs.select(col("doc_id").as("doc_a"),
+            col("simhash").as("sim_a")), "doc_a")
+          .join(sigs.select(col("doc_id").as("doc_b"),
+            col("simhash").as("sim_b")), "doc_b")
+          .withColumn("hamming",
+            expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
+          .filter(col("hamming") <= 6)
+          .select(col("doc_a"), col("doc_b"), col("hamming"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""
+WITH $duckSimhashCte,
+bands AS (
+  SELECT doc_id, 0 AS band, simhash & 255 AS bval FROM sh
+  UNION ALL SELECT doc_id, 1, (simhash >> 8) & 255 FROM sh
+  UNION ALL SELECT doc_id, 2, (simhash >> 16) & 255 FROM sh
+  UNION ALL SELECT doc_id, 3, (simhash >> 24) & 255 FROM sh
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+FROM cand
+JOIN sh sa ON doc_a = sa.doc_id
+JOIN sh sb ON doc_b = sb.doc_id
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 6
+ORDER BY doc_a, doc_b"""),
+      "SimHash LSH band pairing + exact Hamming verify"),
 
     // ── n-gram Jaccard near-dup pairs inside (lang, length-bucket) blocks:
     // the blocked quadratic scan LSH replaces at scale, kept as the
