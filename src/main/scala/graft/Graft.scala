@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Public facade — the typed entry points a user of the reference pipeline
+  * would call after switching to this engine. Each method is a lazy
+  * DataFrame program over a scale-factor directory (or any directory laid
+  * out one parquet file per table, see [[Tables]]); composition, further
+  * filtering, and sinks are ordinary Spark operations on the result.
+  *
+  * The string-keyed driver contract ([[SparkEntry]]) and this facade share
+  * the same [[QueryDef]] registry, so everything here is oracle-verified.
+  */
+object Graft {
+
+  /** The flagship loan-detail pipeline (`extract_loan_detail.py` analog). */
+  def loanDetail(spark: SparkSession, dir: String): DataFrame =
+    operators.LoanDetail.pipeline(spark, dir)
+
+  /** Quincena payroll calendar dimension (`create_calendar.py` analog). */
+  def calendar(spark: SparkSession, dir: String): DataFrame =
+    run("u06_calendar_dim", spark, dir)
+
+  /** Raw-ads ingestion transform (`extract_growth_data.py` analog),
+    * applicable to any frame with the raw column shape.
+    */
+  def adsTransform(raw: DataFrame): DataFrame =
+    operators.ReportingQueries.transformAdsRaw(raw)
+
+  /** Deduplication suite over a `documents`-shaped table. */
+  object dedup {
+    def exact(spark: SparkSession, dir: String): DataFrame =
+      run("x05_dedup_exact", spark, dir)
+    def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+      run("x06_dedup_minhash_lsh", spark, dir)
+    def simhash(spark: SparkSession, dir: String): DataFrame =
+      run("x07_dedup_simhash", spark, dir)
+    def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
+      run("x13_simhash_neardup", spark, dir)
+    def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+      run("x08_ngram_jaccard", spark, dir)
+    def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+      run("x11_embed_neardup", spark, dir)
+  }
+
+  /** Similarity search over an `embeddings`-shaped table. */
+  object similarity {
+    def bruteForceTopK(spark: SparkSession, dir: String): DataFrame =
+      run("x09_ann_bruteforce", spark, dir)
+    def ivfAssign(spark: SparkSession, dir: String): DataFrame =
+      run("x10_ann_ivf_assign", spark, dir)
+    def ivfSearch(spark: SparkSession, dir: String): DataFrame =
+      run("x12_ann_ivf_search", spark, dir)
+  }
+
+  /** Text analysis over a `documents`-shaped table. */
+  object text {
+    def tokens(spark: SparkSession, dir: String): DataFrame =
+      run("x01_text_tokens", spark, dir)
+    def quality(spark: SparkSession, dir: String): DataFrame =
+      run("x02_text_quality", spark, dir)
+    def languageId(spark: SparkSession, dir: String): DataFrame =
+      run("x03_lang_id", spark, dir)
+    def fingerprint(spark: SparkSession, dir: String): DataFrame =
+      run("x04_fingerprint", spark, dir)
+  }
+
+  /** Multimodal binary-column plumbing (stubbed codecs, real plumbing). */
+  object multimodal {
+    def decodeFeatures(spark: SparkSession, dir: String): DataFrame =
+      operators.Multimodal.features(spark, dir)
+    def frameSamples(spark: SparkSession, dir: String): DataFrame =
+      operators.Multimodal.frameSamples(spark, dir)
+  }
+
+  /** Sinks and incremental-ingestion patterns: see [[sources.Sinks]]. */
+  def sinks: sources.Sinks.type = sources.Sinks
+
+  /** Streaming surface: see [[streaming.EventStream]]. */
+  def streams: streaming.EventStream.type = streaming.EventStream
+
+  /** Any declared capability by registry name (the driver's view). */
+  def run(name: String, spark: SparkSession, dir: String): DataFrame =
+    SparkEntry.queries(name)(spark, dir)
+}
