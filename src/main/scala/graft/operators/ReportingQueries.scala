@@ -87,5 +87,34 @@ object ReportingQueries {
               o_custkey AS reach
               FROM orders WHERE o_orderkey % 10 <> 0
               ORDER BY order_id"""),
-      "format→parse roundtrip: clean_numeric + date parse + drop + rename"))
+      "format→parse roundtrip: clean_numeric + date parse + drop + rename"),
+
+    // ── Supply-side enrichment (TPC-H-shaped 4-way: fact ⋈ two dims ⋈
+    // geo): revenue by supplier nation and part brand, dims broadcast.
+    "j12_supply_rollup" -> QueryDef(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val sup = Tables.supplier(s, d)
+        val prt = Tables.part(s, d)
+        val nat = Tables.nation(s, d)
+        li.join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(prt, col("l_partkey") === col("p_partkey"))
+          .join(nat, col("s_nationkey") === col("n_nationkey"))
+          .filter(col("p_size") >= 25)
+          .groupBy(col("n_name"), col("p_brand"))
+          .agg(moneySum(col("l_extendedprice") * (lit(1d) - col("l_discount")))
+            .as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy("n_name", "p_brand")
+      },
+      Some(s"""SELECT n_name, p_brand,
+              ${sqlSum("l_extendedprice * (1 - l_discount)")} AS revenue,
+              count(*) AS n_lines
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN part ON l_partkey = p_partkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE p_size >= 25
+              GROUP BY 1, 2 ORDER BY n_name, p_brand"""),
+      "fact ⋈ supplier ⋈ part ⋈ nation rollup; all dims broadcast"))
 }
