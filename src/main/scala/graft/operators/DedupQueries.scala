@@ -177,10 +177,11 @@ FROM sh ORDER BY doc_id"""),
       "32-bit bit-majority fingerprint + LSH bands"),
 
     // ── SimHash near-dup pairing: band-collision candidates (any of the
-    // four 8-bit bands equal ⇒ candidate — the pigeonhole guarantee: any
-    // pair within 3 bits must share a band), then exact Hamming distance
-    // by bit_count(xor). Same LSH shape as x06: the only pairs ever
-    // materialized are band collisions, never all-pairs.
+    // four 8-bit bands equal ⇒ candidate), then exact Hamming distance by
+    // bit_count(xor). Threshold 3 = the pigeonhole guarantee — any pair
+    // within 3 bits MUST share a band — so this is the EXACT set of
+    // ≤3-bit pairs, not a recall<1 heuristic. Same LSH shape as x06: the
+    // only pairs ever materialized are band collisions, never all-pairs.
     "x13_simhash_neardup" -> QueryDef(
       (s, d) => {
         val sigs = simhashes(s, d)
@@ -202,7 +203,7 @@ FROM sh ORDER BY doc_id"""),
             col("simhash").as("sim_b")), "doc_b")
           .withColumn("hamming",
             expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
-          .filter(col("hamming") <= 6)
+          .filter(col("hamming") <= 3)
           .select(col("doc_a"), col("doc_b"), col("hamming"))
           .orderBy("doc_a", "doc_b")
       },
@@ -224,7 +225,7 @@ SELECT doc_a, doc_b,
 FROM cand
 JOIN sh sa ON doc_a = sa.doc_id
 JOIN sh sb ON doc_b = sb.doc_id
-WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 6
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
 ORDER BY doc_a, doc_b"""),
       "SimHash LSH band pairing + exact Hamming verify"),
 
