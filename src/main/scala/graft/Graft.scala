@@ -27,7 +27,12 @@ object Graft {
   def adsTransform(raw: DataFrame): DataFrame =
     operators.ReportingQueries.transformAdsRaw(raw)
 
-  /** Deduplication suite over a `documents`-shaped table. */
+  /** Deduplication suite over a `documents`-shaped table.
+    *
+    * Cache lifecycle: the LSH/Jaccard operators persist reused plan
+    * branches (signatures, posting lists). On a long-lived session, call
+    * [[clearCaches]] between batches to release them.
+    */
   object dedup {
     def exact(spark: SparkSession, dir: String): DataFrame =
       run("x05_dedup_exact", spark, dir)
@@ -39,11 +44,12 @@ object Graft {
       run("x13_simhash_neardup", spark, dir)
     def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
       run("x08_ngram_jaccard", spark, dir)
-    def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
-      run("x11_embed_neardup", spark, dir)
   }
 
-  /** Similarity search over an `embeddings`-shaped table. */
+  /** Similarity search over an `embeddings`-shaped table. Same cache
+    * lifecycle note as [[dedup]] (the IVF operators persist the bucket
+    * assignment).
+    */
   object similarity {
     def bruteForceTopK(spark: SparkSession, dir: String): DataFrame =
       run("x09_ann_bruteforce", spark, dir)
@@ -51,7 +57,14 @@ object Graft {
       run("x10_ann_ivf_assign", spark, dir)
     def ivfSearch(spark: SparkSession, dir: String): DataFrame =
       run("x12_ann_ivf_search", spark, dir)
+    def nearDup(spark: SparkSession, dir: String): DataFrame =
+      run("x11_embed_neardup", spark, dir)
   }
+
+  /** Release persisted intermediate branches left by the dedup/similarity
+    * operators (Verify/Bench do this between queries internally).
+    */
+  def clearCaches(spark: SparkSession): Unit = spark.catalog.clearCache()
 
   /** Text analysis over a `documents`-shaped table. */
   object text {

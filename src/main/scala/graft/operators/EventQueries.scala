@@ -26,9 +26,10 @@ object EventQueries {
     "e01_tumbling_window" -> QueryDef(
       (s, d) => Tables.events(s, d)
         // integer arithmetic, not `/`: epoch-micros (~1.7e18) overflow a
-        // double. us - pmod(us, W) is exact FLOOR division (matching both
-        // DuckDB's `//` and Spark's own window()), where `div` would
-        // truncate toward zero and mis-bucket pre-1970 timestamps.
+        // double. us - pmod(us, W) is exact FLOOR division, matching
+        // Spark's own window() on pre-1970 timestamps; `div` and DuckDB's
+        // `//` BOTH truncate toward zero, so the oracle spells the same
+        // positive-mod floor to bucket negatives identically.
         .withColumn("us", unix_micros(col("ts").cast("timestamp")))
         .withColumn("window_start",
           expr("CAST(timestamp_micros(us - pmod(us, 21600000000))" +
@@ -39,8 +40,9 @@ object EventQueries {
           max(col("value")).as("max_value"))
         .orderBy("window_start", "event_type"),
       Some(s"""SELECT
-              CAST(to_timestamp((epoch_us(ts) // 21600000000) * 21600000000 / 1000000) AS TIMESTAMP)
-                AS window_start,
+              CAST(to_timestamp((epoch_us(ts)
+                - ((epoch_us(ts) % 21600000000 + 21600000000) % 21600000000))
+                / 1000000) AS TIMESTAMP) AS window_start,
               event_type, count(*) AS n_events,
               ${sqlSum("value")} AS total_value,
               max(value) AS max_value

@@ -103,11 +103,15 @@ object EventStream {
     try {
       q.processAllAvailable()
     } finally {
-      q.stop()
-      q.awaitTermination()
-      ndPrev match {
-        case Some(v) => spark.conf.set(ndKey, v)
-        case None    => spark.conf.unset(ndKey)
+      try {
+        q.stop()
+        q.awaitTermination()
+      } finally {
+        // restore even when stop/awaitTermination rethrow a query failure
+        ndPrev match {
+          case Some(v) => spark.conf.set(ndKey, v)
+          case None    => spark.conf.unset(ndKey)
+        }
       }
     }
     spark.table(name)

@@ -24,11 +24,15 @@ object StreamingQueries {
             col("event_type"), col("n_events"), col("total_value"))
           .orderBy("window_start", "event_type")
       },
+      // positive-mod floor, not `//`: Spark's window() floor-buckets
+      // pre-1970 timestamps while DuckDB `//` truncates toward zero
       Some(s"""SELECT
-              CAST(to_timestamp((epoch_us(ts) // 21600000000) * 21600000000 / 1000000) AS TIMESTAMP)
-                AS window_start,
-              CAST(to_timestamp(((epoch_us(ts) // 21600000000) + 1) * 21600000000 / 1000000) AS TIMESTAMP)
-                AS window_end,
+              CAST(to_timestamp((epoch_us(ts)
+                - ((epoch_us(ts) % 21600000000 + 21600000000) % 21600000000))
+                / 1000000) AS TIMESTAMP) AS window_start,
+              CAST(to_timestamp((epoch_us(ts)
+                - ((epoch_us(ts) % 21600000000 + 21600000000) % 21600000000)
+                + 21600000000) / 1000000) AS TIMESTAMP) AS window_end,
               event_type, count(*) AS n_events,
               ${sqlSum("value")} AS total_value
               FROM events GROUP BY 1, 2, 3
