@@ -625,6 +625,87 @@ object RelationalQueries {
                 AS DOUBLE) AS running_total
               FROM orders ORDER BY o_orderkey""")),
 
+    // ── Analytic family (SURVEY §2.6 note: lead/lag unused by the
+    // reference, free in Spark): per-customer order deltas.
+    "w05_lead_lag" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        ord(s, d).select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          moneyRound(col("o_totalprice") -
+            coalesce(lag(col("o_totalprice"), 1).over(w), lit(0d)))
+            .as("delta_vs_prev"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some(s"""SELECT o_custkey, o_orderkey, o_totalprice,
+              lag(o_totalprice, 1) OVER w AS prev_price,
+              lead(o_totalprice, 1) OVER w AS next_price,
+              ${sqlRound("o_totalprice - coalesce(lag(o_totalprice, 1) OVER w, 0)")}
+                AS delta_vs_prev
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey)
+              ORDER BY o_custkey, o_orderkey""")),
+
+    // ── Hierarchical subtotals (SURVEY §2.5 note: rollup/cube absent in
+    // the reference, zero custom code in Spark): year → month → grand.
+    "a10_rollup_subtotals" -> QueryDef(
+      (s, d) => ord(s, d)
+        .rollup(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("amount"),
+          grouping_id().cast("bigint").as("lvl"))
+        .orderBy(col("yr").asc_nulls_first, col("mo").asc_nulls_first,
+          col("lvl")),
+      Some(s"""SELECT yr, mo, count(*) AS n_orders,
+              ${sqlSum("o_totalprice")} AS amount,
+              CAST(GROUPING(yr) * 2 + GROUPING(mo) AS BIGINT) AS lvl
+              FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                      CAST(month(o_orderdate) AS INTEGER) AS mo,
+                      o_totalprice
+                    FROM orders)
+              GROUP BY ROLLUP (yr, mo)
+              ORDER BY yr NULLS FIRST, mo NULLS FIRST, lvl""")),
+
+    // ── Row-set operations (SURVEY §2.7 note: INTERSECT/EXCEPT absent in
+    // the reference, built-in here): customers by order-status overlap.
+    "o09_intersect_except" -> QueryDef(
+      (s, d) => {
+        val f = ord(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey"))
+        val o = ord(s, d).filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey"))
+        f.intersect(o).withColumn("cohort", lit("both"))
+          .unionByName(f.except(o).withColumn("cohort", lit("fulfilled_only")))
+          .orderBy("cohort", "o_custkey")
+      },
+      Some("""SELECT o_custkey, 'both' AS cohort FROM (
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+                INTERSECT
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+              UNION ALL
+              SELECT o_custkey, 'fulfilled_only' AS cohort FROM (
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+                EXCEPT
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+              ORDER BY cohort, o_custkey""")),
+
+    // ── Top-k (SURVEY §2.7 note: LIMIT absent in the reference): largest
+    // orders, ties broken by key for determinism. orderBy.limit(k) plans
+    // as TakeOrderedAndProject — a per-partition heap then a k-row merge,
+    // never a full sort.
+    "o10_topk" -> QueryDef(
+      (s, d) => ord(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(10),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""")),
+
     // ── O5: union-by-name with missing-column null fill
     // (pd.concat alignment, extract_growth_data.py:155-165)
     "o05_union_by_name" -> QueryDef(
