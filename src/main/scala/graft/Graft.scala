@@ -95,4 +95,18 @@ object Graft {
   /** Any declared capability by registry name (the driver's view). */
   def run(name: String, spark: SparkSession, dir: String): DataFrame =
     SparkEntry.queries(name)(spark, dir)
+
+  /** Register every table in `dir` as a temp view (plus the `dot_long`
+    * extension function), so ad-hoc SQL works the way the reference's
+    * users query DuckDB through Metabase: `Graft.registerTables(spark,
+    * dir); spark.sql("SELECT ... FROM lineitem JOIN orders ...")`.
+    */
+  def registerTables(spark: SparkSession, dir: String): Unit = {
+    GraftExtensions.install(spark)
+    QueryDef.tableNames.foreach { t =>
+      val df = if (t == "events") Tables.events(spark, dir)
+               else Tables.load(spark, dir, t)
+      df.createOrReplaceTempView(t)
+    }
+  }
 }
