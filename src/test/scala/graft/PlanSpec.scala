@@ -52,6 +52,11 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*("), plan.take(1000))
   }
 
+  test("o10: top-k plans as TakeOrderedAndProject, not a full sort") {
+    val plan = q("o10_topk").queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+  }
+
   test("x09: probe side broadcasts; corpus side is never replicated") {
     val plan = q("x09_ann_bruteforce").queryExecution.sparkPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") ||
