@@ -21,11 +21,8 @@ object Bench {
     // warm-up: touch every table (footer reads, filesystem listing) and one
     // small shuffle so codegen/exchange machinery is JIT-compiled
     QueryDef.tableNames.foreach { t =>
-      // events needs its nanos-as-long reader, not the plain loader
-      try {
-        if (t == "events") Tables.events(spark, sfDir).count()
-        else Tables.load(spark, sfDir, t).count()
-      } catch { case _: Throwable => () }
+      try Tables.byName(spark, sfDir, t).count()
+      catch { case _: Throwable => () }
     }
     Tables.orders(spark, sfDir).groupBy("o_orderstatus").count().count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {

@@ -96,17 +96,28 @@ object Graft {
   def run(name: String, spark: SparkSession, dir: String): DataFrame =
     SparkEntry.queries(name)(spark, dir)
 
-  /** Register every table in `dir` as a temp view (plus the `dot_long`
-    * extension function), so ad-hoc SQL works the way the reference's
-    * users query DuckDB through Metabase: `Graft.registerTables(spark,
-    * dir); spark.sql("SELECT ... FROM lineitem JOIN orders ...")`.
+  /** Register every table present in `dir` as a temp view (plus the
+    * `dot_long` extension function), so ad-hoc SQL works the way the
+    * reference's users query DuckDB through Metabase:
+    * `Graft.registerTables(spark, dir); spark.sql("SELECT ... FROM
+    * lineitem JOIN orders ...")`.
+    *
+    * Tables missing from `dir` are skipped (a plain TPC-H directory
+    * without the extension tables still registers everything it has).
+    * Registering `events` leaves the session's nanos-as-long parquet flag
+    * set — see [[Tables.events]].
+    *
+    * @return the names actually registered
     */
-  def registerTables(spark: SparkSession, dir: String): Unit = {
+  def registerTables(spark: SparkSession, dir: String): Seq[String] = {
     GraftExtensions.install(spark)
-    QueryDef.tableNames.foreach { t =>
-      val df = if (t == "events") Tables.events(spark, dir)
-               else Tables.load(spark, dir, t)
-      df.createOrReplaceTempView(t)
+    QueryDef.tableNames.filter { t =>
+      try {
+        Tables.byName(spark, dir, t).createOrReplaceTempView(t)
+        true
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => false
+      }
     }
   }
 }

@@ -25,6 +25,12 @@ object Tables {
     * outright (PARQUET_TYPE_ILLEGAL). Read nanos as raw longs and convert
     * with integer division — exact, unlike a double roundtrip at 1e18 —
     * matching DuckDB's own nanos→micros truncation.
+    *
+    * Side effect: sets `spark.sql.legacy.parquet.nanosAsLong` for the
+    * session and leaves it set — the flag is consulted again at execution
+    * time, so a scoped set/restore would break the returned (lazy) frame.
+    * Net effect on other reads: TIMESTAMP(NANOS) columns elsewhere load as
+    * bigint nanos instead of erroring.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -32,6 +38,13 @@ object Tables {
       .withColumn("ts",
         timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
   }
+  /** Table by name, routed through any table-specific reader (`events`
+    * needs the nanos workaround below). The single dispatch point for
+    * generic loops (Bench warm-up, Graft.registerTables).
+    */
+  def byName(s: SparkSession, d: String, name: String): DataFrame =
+    if (name == "events") events(s, d) else load(s, d, name)
+
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
 
   /** `documents` spread across the cluster before expensive per-row work.
