@@ -1,10 +1,10 @@
 package graft
 
-import graft.functions.DotLong
+import graft.functions.{DotLong, MinHashSigs}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** Engine extensions: custom Catalyst functions, installable either at
   * session build time (`.config("spark.sql.extensions",
@@ -14,20 +14,29 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.dotLong)
+    GraftExtensions.functions.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private val dotLong: (FunctionIdentifier, ExpressionInfo,
-      Seq[Expression] => Expression) = (
-    FunctionIdentifier("dot_long"),
-    new ExpressionInfo(classOf[DotLong].getName, "dot_long"),
-    (args: Seq[Expression]) => DotLong(args(0), args(1)))
+  private val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("dot_long"),
+      new ExpressionInfo(classOf[DotLong].getName, "dot_long"),
+      (args: Seq[Expression]) => DotLong(args(0), args(1))),
+    (FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (args: Seq[Expression]) => args(1) match {
+        case Literal(k: Int, _) => MinHashSigs(args(0), k)
+        case other => throw new IllegalArgumentException(
+          s"minhash_sigs(arr, k): k must be an integer literal, got $other")
+      }))
 
   /** Idempotent runtime registration for sessions built without the
     * extensions config.
     */
   def install(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      dotLong._1.funcName, dotLong._3, "built-in")
+    functions.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, builder, "built-in")
+    }
 }

@@ -35,7 +35,11 @@ object DedupQueries {
        ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
          for i in generate_series(1, len(w) - 2)]) END"""
 
-  private def sparkMinhash(i: Int): String =
+  /** The HOF spelling of one minhash signature — retained as the reference
+    * semantics that `minhash_sigs` (native one-pass) must match bit-exactly
+    * (MinHashSigsSpec asserts it); the oracle uses the DuckDB twin below.
+    */
+  private[graft] def sparkMinhash(i: Int): String =
     s"array_min(transform(sh, s -> CAST(conv(substr(md5(concat('$i|', s)), 1, 15), 16, 10) AS BIGINT)))"
   private def duckMinhash(i: Int): String =
     s"list_min(list_transform(sh, s -> CAST(('0x' || substr(md5('$i|' || s), 1, 15)) AS BIGINT)))"
@@ -95,14 +99,18 @@ sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t)"""
     // collide; estimated resemblance = matching signatures / K.
     "x06_dedup_minhash_lsh" -> QueryDef(
       (s, d) => {
-        val sigCols = (0 until K).map(i =>
-          expr(sparkMinhash(i)).as(s"sig$i"))
+        graft.GraftExtensions.install(s)
         // persisted: read by the band explode and twice by the signature
-        // re-join; K minhash passes over every shingle dwarf the cache cost
+        // re-join; the minhash pass over every shingle dwarfs the cache
+        // cost. minhash_sigs (native, graft.functions.MinHashSigs) folds
+        // all K signatures in one array traversal — bit-identical to the
+        // K-pass HOF spelling the oracle uses.
         val sigs = Tables.documentsSpread(s, d)
           .withColumn("w", expr("split(text, ' ')"))
           .withColumn("sh", expr(sparkShingles))
-          .select(col("doc_id") +: sigCols: _*)
+          .withColumn("sigs", expr(s"minhash_sigs(sh, $K)"))
+          .select(col("doc_id") +:
+            (0 until K).map(i => col("sigs").getItem(i).as(s"sig$i")): _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val stackExpr = (0 until K)
           .map(i => s"$i, sig$i").mkString(s"stack($K, ", ", ", ")")
