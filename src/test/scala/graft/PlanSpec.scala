@@ -62,4 +62,22 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  test("registry sweep: no unintended cartesian product in any plan") {
+    // similarity scans intentionally crossJoin a BROADCAST probe/centroid
+    // side (bounded, small); streaming queries execute on construction so
+    // their plans are checked by their own tests instead
+    val intentionalCross = Set("x09_ann_bruteforce", "x10_ann_ivf_assign",
+      "x11_embed_neardup", "x12_ann_ivf_search")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(intentionalCross)
+      .filterNot(_.startsWith("st0"))
+      .filter { name =>
+        val plan = q(name).queryExecution.sparkPlan.toString
+        plan.contains("CartesianProduct") ||
+          plan.contains("ShuffledNestedLoopJoin")
+      }
+    assert(offenders.isEmpty, s"cartesian plans: $offenders")
+    spark.catalog.clearCache()
+  }
 }
