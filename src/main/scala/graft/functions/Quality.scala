@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality constraint checking — the capability the reference lists
+  * as a known gap ("no data-quality checks",
+  * `/root/reference/README.md:183-185`, with "add data validation" in its
+  * future-improvements list). Constraints evaluate as one distributed
+  * aggregation pass over the table (one row out per constraint), so a
+  * 100 TB table costs one scan regardless of how many rules run.
+  */
+object Quality {
+
+  /** One named rule: `violations` counts rows breaking the constraint. */
+  final case class Rule(name: String, violations: Column)
+
+  def notNull(c: String): Rule =
+    Rule(s"not_null($c)", count(when(col(c).isNull, 1)))
+
+  def unique(c: String): Rule =
+    Rule(s"unique($c)",
+      (count(col(c)) - count_distinct(col(c))).cast("bigint"))
+
+  def nonNegative(c: String): Rule =
+    Rule(s"non_negative($c)", count(when(col(c) < 0, 1)))
+
+  def inSet(c: String, allowed: Seq[Any]): Rule =
+    Rule(s"in_set($c)",
+      count(when(!col(c).isin(allowed: _*) || col(c).isNull, 1)))
+
+  /** Evaluate all rules in one aggregation; returns (rule, violations,
+    * passed) rows, deterministic order.
+    */
+  def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val agg = df.agg(rules.head.violations.as(rules.head.name),
+      rules.tail.map(r => r.violations.as(r.name)): _*)
+    val stacked = rules.map(r =>
+      s"'${r.name}', CAST(`${r.name}` AS BIGINT)").mkString(", ")
+    agg.selectExpr(
+      s"stack(${rules.size}, $stacked) AS (rule, violations)")
+      .withColumn("passed", col("violations") === 0L)
+      .orderBy("rule")
+  }
+}

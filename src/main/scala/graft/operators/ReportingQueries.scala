@@ -116,5 +116,29 @@ object ReportingQueries {
               JOIN nation ON s_nationkey = n_nationkey
               WHERE p_size >= 25
               GROUP BY 1, 2 ORDER BY n_name, p_brand"""),
-      "fact ⋈ supplier ⋈ part ⋈ nation rollup; all dims broadcast"))
+      "fact ⋈ supplier ⋈ part ⋈ nation rollup; all dims broadcast"),
+
+    // ── Data-quality constraint check (the reference's acknowledged gap,
+    // README.md:183-185): all rules in one aggregation pass.
+    "dq01_constraint_check" -> QueryDef(
+      (s, d) => graft.functions.Quality.check(Tables.orders(s, d), Seq(
+        graft.functions.Quality.notNull("o_orderkey"),
+        graft.functions.Quality.unique("o_orderkey"),
+        graft.functions.Quality.nonNegative("o_totalprice"),
+        graft.functions.Quality.inSet("o_orderstatus",
+          Seq("F", "O", "P")))),
+      Some("""SELECT rule, violations, violations = 0 AS passed FROM (
+              SELECT 'not_null(o_orderkey)' AS rule,
+                count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS violations
+                FROM orders
+              UNION ALL SELECT 'unique(o_orderkey)',
+                count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders
+              UNION ALL SELECT 'non_negative(o_totalprice)',
+                count(CASE WHEN o_totalprice < 0 THEN 1 END) FROM orders
+              UNION ALL SELECT 'in_set(o_orderstatus)',
+                count(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                                 OR o_orderstatus IS NULL THEN 1 END)
+                FROM orders)
+              ORDER BY rule"""),
+      "constraint rules evaluated in one distributed aggregation pass"))
 }

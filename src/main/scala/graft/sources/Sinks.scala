@@ -100,6 +100,30 @@ object Sinks {
     try spark.read.parquet(path).count()
     catch { case _: org.apache.spark.sql.AnalysisException => 0L }
 
+  /** Streaming upsert: drain a file-source backlog and refresh exactly the
+    * partitions each micro-batch touches (`foreachBatch` + dynamic
+    * partition overwrite) — the reference's month-refresh job
+    * (`extract_growth_data.py:95-167`) as a stream, with the checkpoint
+    * replacing its hand-rolled refresh bookkeeping.
+    *
+    * `transform` runs per batch before the write (derive the partition
+    * column there when the source doesn't carry it).
+    */
+  def streamingUpsert(spark: SparkSession, srcDir: String,
+      schema: org.apache.spark.sql.types.StructType, checkpoint: String,
+      outPath: String, partitionCol: String,
+      transform: DataFrame => DataFrame = identity): Unit = {
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        refreshPartitions(transform(batch), outPath, partitionCol)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Bucketed table sink: co-locates rows by join key at write time so
     * repeated joins/aggregations on that key need no shuffle at read time
     * — the standing answer to "this 100 TB fact table is joined on the

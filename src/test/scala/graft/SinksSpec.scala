@@ -83,6 +83,23 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() == 3)
   }
 
+  test("streaming upsert refreshes only the partitions a batch touches") {
+    val src = tmp("su-src")
+    val out = tmp("su") + "/t"
+    val ckpt = tmp("su") + "/ckpt"
+    val schema = Seq(("2025_01", 1)).toDF("month", "v").schema
+
+    Seq(("2025_01", 1), ("2025_02", 2)).toDF("month", "v")
+      .write.parquet(s"$src/b1")
+    Sinks.streamingUpsert(spark, s"$src/*", schema, ckpt, out, "month")
+    // second batch refreshes Feb only; Jan survives
+    Seq(("2025_02", 20)).toDF("month", "v").write.parquet(s"$src/b2")
+    Sinks.streamingUpsert(spark, s"$src/*", schema, ckpt, out, "month")
+    val got = spark.read.parquet(out)
+      .select("month", "v").as[(String, Int)].collect().sorted.toSeq
+    assert(got == Seq(("2025_01", 1), ("2025_02", 20)))
+  }
+
   test("bucketed tables join without a shuffle") {
     Seq("bk_orders", "bk_lineitem").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
