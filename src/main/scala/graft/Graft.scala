@@ -89,6 +89,9 @@ object Graft {
   /** Sinks and incremental-ingestion patterns: see [[sources.Sinks]]. */
   def sinks: sources.Sinks.type = sources.Sinks
 
+  /** Data-quality constraint rules: see [[functions.Quality]]. */
+  def quality: functions.Quality.type = functions.Quality
+
   /** Streaming surface: see [[streaming.EventStream]]. */
   def streams: streaming.EventStream.type = streaming.EventStream
 
