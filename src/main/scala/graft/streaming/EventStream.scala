@@ -82,18 +82,94 @@ object EventStream {
       }
   }
 
+  /** Sessions assembled by custom state with an EVENT-TIME TIMEOUT: a
+    * session emits only when the watermark passes its last event + gap —
+    * the state store's own late-data guarantee doing the session closing,
+    * not a window function. This is the pattern a 100 TB event firehose
+    * needs: state is per-user in the state store, sessions close and
+    * free their state as the watermark advances, and the tail (sessions
+    * the watermark hasn't passed) stays open across restarts via the
+    * checkpoint. Tail sessions are unemitted at drain-stop by design, so
+    * results depend on watermark mechanics → registered with a rows-only
+    * check rather than a SQL oracle.
+    */
+  final case class Session(user_id: Long, session_start: java.time.Instant,
+      session_end: java.time.Instant, n_events: Long)
+
+  /** Session math runs in exact epoch MICROS (java.sql.Timestamp's
+    * getTime would truncate to millis and shift every boundary).
+    */
+  private def usOf(i: java.time.Instant): Long =
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  private def instantOf(us: Long): java.time.Instant =
+    java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+      Math.floorMod(us, 1000000L) * 1000L)
+
+  def timeoutSessions(events: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "1 hour"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60000000L
+    events
+      .select(col("user_id").cast("long"),
+        col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark) // after the cast: a select would
+      // re-derive the column and silently drop the watermark tag
+      .as[(Long, java.time.Instant)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[(Long, java.time.Instant)],
+            state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: the session is closed — emit
+            // and free the state
+            val (start, last, n) = state.get
+            state.remove()
+            Iterator(Session(uid, instantOf(start), instantOf(last), n))
+          } else {
+            // within-batch gap splitting: a backlog replay delivers many
+            // sessions' worth of events in ONE batch — merging them all
+            // into the open state would weld distinct sessions together.
+            // Sort, split on the gap, emit every session that closed
+            // inside the batch, and keep only the trailing open one.
+            val times = it.map(t => usOf(t._2)).toArray.sorted
+            var cur = state.getOption.orNull
+            val closed = Seq.newBuilder[Session]
+            times.foreach { t =>
+              cur match {
+                case null => cur = (t, t, 1L)
+                case (s0, l0, n0) if t - l0 <= gapUs =>
+                  cur = (s0, math.max(l0, t), n0 + 1)
+                case (s0, l0, n0) =>
+                  closed += Session(uid, instantOf(s0), instantOf(l0), n0)
+                  cur = (t, t, 1L)
+              }
+            }
+            state.update(cur)
+            // the open tail closes when the watermark passes last + gap
+            state.setTimeoutTimestamp((cur._2 + gapUs) / 1000L)
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Drain a streaming aggregate synchronously into an in-memory table and
     * return it as a DataFrame (Trigger.AvailableNow semantics via
     * processAllAvailable — the whole backlog, then stop).
+    *
+    * @param keepNoDataBatches leave the trailing no-data micro-batch
+    *   enabled — required when the query uses event-time TIMEOUTS, which
+    *   only fire in the batch after the watermark advances
     */
   def runToMemory(spark: SparkSession, agg: DataFrame,
-      name: String, outputMode: String = "complete"): DataFrame = {
+      name: String, outputMode: String = "complete",
+      keepNoDataBatches: Boolean = false): DataFrame = {
     // drain-and-stop queries never need the trailing no-data micro-batch
     // (it exists to advance watermarks for long-running queries); restored
     // after the drain so long-running queries on this session keep it
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val ndPrev = spark.conf.getOption(ndKey)
-    spark.conf.set(ndKey, "false")
+    spark.conf.set(ndKey, keepNoDataBatches.toString)
     val q = agg.writeStream
       .outputMode(outputMode)
       .format("memory")

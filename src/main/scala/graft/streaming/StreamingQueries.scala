@@ -116,5 +116,25 @@ ORDER BY user_id, session_start"""),
               ${sqlSum("value")} AS total_value
               FROM events JOIN customer ON user_id = c_custkey
               GROUP BY 1 ORDER BY c_mktsegment"""),
-      "stream-static dimension join == batch join+groupBy"))
+      "stream-static dimension join == batch join+groupBy"),
+
+    // ── Event-time-timeout sessions: the state store closes a session
+    // when the watermark passes lastEvent + gap. Emission depends on
+    // watermark mechanics (tail sessions stay open at drain-stop), so
+    // this is declared WITHOUT a SQL oracle → driver rows-only check.
+    "st05_stream_timeout_sessions" -> QueryDef(
+      (s, d) => {
+        val sessions = EventStream
+          .timeoutSessions(EventStream.readEvents(s, d)).toDF()
+        EventStream.runToMemory(s, sessions,
+            s"st05_sink_${System.nanoTime}", outputMode = "append",
+            keepNoDataBatches = true)
+          .select(col("user_id"),
+            col("session_start").cast("timestamp_ntz").as("session_start"),
+            col("session_end").cast("timestamp_ntz").as("session_end"),
+            col("n_events"))
+          .orderBy("user_id", "session_start")
+      },
+      None,
+      "flatMapGroupsWithState + EventTimeTimeout session assembly"))
 }
