@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// graft.Bench's final stdout line is machine-parsed from a bounded log
+// tail: sbt's "[success] Total time" trailer must not displace it, and
+// the forked process's stdout must pass through unprefixed (the default
+// LoggedOutput strategy would stamp "[info] " onto the JSON line).
+Global / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
