@@ -119,22 +119,62 @@ ORDER BY user_id, session_start"""),
       "stream-static dimension join == batch join+groupBy"),
 
     // ── Event-time-timeout sessions: the state store closes a session
-    // when the watermark passes lastEvent + gap. Emission depends on
-    // watermark mechanics (tail sessions stay open at drain-stop), so
-    // this is declared WITHOUT a SQL oracle → driver rows-only check.
+    // when the watermark passes lastEvent + gap. Watermark mechanics
+    // decide WHEN a session emits, not WHAT it is — so the declared
+    // result is the watermark-closed region: sessions whose
+    // `end + gap` lies strictly (1 s margin for the millis-grain
+    // timeout boundary) below the final watermark (`max(ts) − 1 h`).
+    // Every such session is guaranteed emitted (the timeout fires in
+    // the trailing no-data batch at the latest) and every emitted
+    // session is a batch gap-session, so filtering BOTH sides by the
+    // same bound makes the result deterministic and SQL-checkable.
     "st05_stream_timeout_sessions" -> QueryDef(
       (s, d) => {
+        val gapUs = 30L * 60 * 1000000L
+        val wmUs = 3600L * 1000000L
         val sessions = EventStream
           .timeoutSessions(EventStream.readEvents(s, d)).toDF()
-        EventStream.runToMemory(s, sessions,
-            s"st05_sink_${System.nanoTime}", outputMode = "append",
-            keepNoDataBatches = true)
+        val emitted = EventStream.runToMemory(s, sessions,
+          s"st05_sink_${System.nanoTime}", outputMode = "append",
+          keepNoDataBatches = true)
+        // closed-region bound from the same events table (one scalar agg,
+        // broadcast — no driver round-trip, the plan stays lazy)
+        val bound = graft.Tables.events(s, d)
+          .agg((max(unix_micros(col("ts").cast("timestamp")))
+            - wmUs - gapUs - 1000000L).as("bound_us"))
+        emitted
+          .crossJoin(broadcast(bound))
+          .filter(unix_micros(col("session_end")) < col("bound_us"))
           .select(col("user_id"),
             col("session_start").cast("timestamp_ntz").as("session_start"),
             col("session_end").cast("timestamp_ntz").as("session_end"),
             col("n_events"))
           .orderBy("user_id", "session_start")
       },
-      None,
-      "flatMapGroupsWithState + EventTimeTimeout session assembly"))
+      Some("""
+WITH marked AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts, 1) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+numbered AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM marked
+),
+sessions AS (
+  SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+    count(*) AS n_events
+  FROM numbered GROUP BY user_id, session_seq
+),
+wm AS (SELECT max(epoch_us(ts)) AS max_us FROM events)
+SELECT user_id, session_start, session_end, n_events
+FROM sessions, wm
+WHERE epoch_us(session_end) < max_us - 3600000000 - 1800000000 - 1000000
+ORDER BY user_id, session_start"""),
+      "flatMapGroupsWithState + EventTimeTimeout session assembly; " +
+        "watermark-closed region == batch gap-sessionization"))
 }
