@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 /** Similarity search over the `embeddings` table (64-dim float vectors):
   * brute-force cosine top-k as the exactness baseline, and an IVF-style
   * bucketed path as the 100 TB scale shape — assignment to the nearest of
-  * K fixed centroids turns the all-pairs scan into per-bucket work, and
+  * K trained centroids turns the all-pairs scan into per-bucket work, and
   * the centroid table is broadcast so assignment is a map-only stage (no
   * shuffle of the big side).
   *
@@ -18,6 +18,20 @@ import org.apache.spark.sql.functions._
   * production ANN systems ship int8-quantized vectors. (float32 sums
   * differ by engine association; `list_cosine_similarity` is float32 —
   * neither survives a hash-compare.)
+  *
+  * Centroids are trained with Lloyd's k-means (public algorithm), kept
+  * deterministic end-to-end so the oracle can replay it exactly:
+  *   - init: the `NCentroids` lowest `vec_id` vectors (seeded, no RNG);
+  *   - assignment: max cosine, ties to the lowest centroid id — cosine is
+  *     computed from exact int64 dot products via IEEE-exact cast, divide
+  *     and sqrt (all correctly rounded, so both engines agree);
+  *   - update: component-wise integer mean `sum div count` — int64 sums
+  *     are associative (order-independent across partitions) and both
+  *     engines truncate integer division toward zero.
+  * Two Lloyd iterations; empty clusters drop out on both engines alike.
+  * At scale each iteration is one map-only scoring pass over the corpus
+  * (centroids broadcast) plus a (bucket, dim)-keyed aggregation whose
+  * output is at most `NCentroids × dims` rows.
   */
 object SimilarityQueries {
 
@@ -48,6 +62,14 @@ object SimilarityQueries {
       .withColumn("qn", expr(sparkNorm))
   }
 
+  /** Quantized corpus, persisted: k-means training scans it once per Lloyd
+    * iteration and the final assignment once more — cache-once beats
+    * re-reading and re-quantizing per pass (MEMORY_AND_DISK spills, never
+    * OOMs; Verify/Bench clear caches between queries).
+    */
+  private def quantizedCached(s: SparkSession, d: String): DataFrame =
+    quantized(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   private val duckQuantizedCte =
     s"""e AS (
   SELECT vec_id, label, qe, $duckNorm AS qn
@@ -59,11 +81,90 @@ object SimilarityQueries {
   private val NCentroids = 64
   private val NProbe = 4     // IVF buckets searched per query
   private val NearDupTau = 0.25
+  private val KmeansIters = 2
+  private val Dims = 64      // embeddings.parquet vector length
 
-  private def centroids(e: DataFrame): DataFrame =
+  /** Seeded k-means init: the `NCentroids` lowest vec_ids (deterministic,
+    * the classic "first k points" seeding).
+    */
+  private def initCentroids(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < NCentroids)
       .select(col("vec_id").as("c_id"), col("qe").as("c_qe"),
         col("qn").as("c_qn"))
+
+  /** One nearest-centroid assignment pass (training-time spelling):
+    * broadcast centroids, map-only scoring, hash-agg argmax — cheaper than
+    * a window sort when only the winning bucket is needed. Tie-break on
+    * lowest c_id matches the window spelling in [[assignedBuckets]].
+    */
+  private def assignNearest(e: DataFrame, cent: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cent))
+      .withColumn("ccos",
+        expr(s"CAST(${sparkDot("c_qe", "qe")} AS DOUBLE)") /
+          (sqrt(col("c_qn").cast("double")) * sqrt(col("qn").cast("double"))))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("c_id"), struct(col("ccos"), negate(col("c_id"))))
+          .as("bucket"),
+        first(col("qe")).as("qe"))
+
+  /** Lloyd iterations in exact integer arithmetic: explode each member
+    * vector to (bucket, dim, value), sum/count per (bucket, dim) — the
+    * shuffle ships at most `NCentroids × dims` rows after map-side partial
+    * aggregation — and reassemble `sum div count` into the new centroid.
+    */
+  private def trainedCentroids(e: DataFrame): DataFrame =
+    (1 to KmeansIters).foldLeft(initCentroids(e)) { (cent, _) =>
+      assignNearest(e, cent)
+        .select(col("bucket"), posexplode(col("qe")).as(Seq("pos", "v")))
+        .groupBy(col("bucket"), col("pos"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+        .withColumn("cv", expr("sv div cnt"))
+        .groupBy(col("bucket"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv"))))
+          .as("ps"))
+        .select(col("bucket").as("c_id"),
+          expr("transform(ps, p -> p.cv)").as("c_qe"))
+        .withColumn("c_qn",
+          expr("aggregate(c_qe, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"))
+    }
+
+  /** The same Lloyd chain as [[trainedCentroids]] in DuckDB SQL: CTEs
+    * `c0 → (a1, s1, c1) → (a2, s2, c2)`, with the final centroid table
+    * aliased `c`. Exact integer sums + trunc division keep both engines
+    * bit-identical.
+    */
+  private def duckKmeansCtes: String = {
+    def cosDesc(c: String, v: String, cn: String, vn: String) =
+      s"""CAST(${duckDot(c, v)} AS DOUBLE)
+              / (sqrt(CAST($cn AS DOUBLE)) * sqrt(CAST($vn AS DOUBLE))) DESC"""
+    val init =
+      s"""c0 AS (SELECT vec_id AS c_id, qe AS c_qe, qn AS c_qn FROM e
+      WHERE vec_id < $NCentroids)"""
+    val iters = (1 to KmeansIters).map { i =>
+      s"""a$i AS (
+  SELECT vec_id, qe, c_id AS bucket
+  FROM (SELECT e.vec_id, e.qe, c.c_id,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+            ${cosDesc("c.c_qe", "e.qe", "c.c_qn", "e.qn")}, c.c_id) AS rn
+        FROM e CROSS JOIN c${i - 1} c)
+  WHERE rn = 1
+),
+s$i AS (
+  SELECT bucket, pos, CAST(sum(qe[pos]) AS BIGINT) AS sv, count(*) AS cnt
+  FROM a$i CROSS JOIN (SELECT unnest(generate_series(1, $Dims)) AS pos) pp
+  GROUP BY bucket, pos
+),
+c$i AS (
+  SELECT c_id, c_qe,
+    CAST(list_sum(list_transform(c_qe, v -> v * v)) AS BIGINT) AS c_qn
+  FROM (SELECT bucket AS c_id, list(sv // cnt ORDER BY pos) AS c_qe
+        FROM s$i GROUP BY bucket)
+)"""
+    }
+    (init +: iters).mkString(",\n") +
+      s",\nc AS (SELECT * FROM c$KmeansIters)"
+  }
 
   /** Corpus → nearest-centroid bucket assignment (the IVF partitioning
     * step): broadcast centroids, map-only scoring, window top-1. Persisted
@@ -123,12 +224,12 @@ FROM (SELECT *, row_number() OVER (PARTITION BY q_id
 WHERE rn <= $K ORDER BY q_id, rank"""),
       "exact ANN baseline: broadcast probes, map-side scoring, window top-k"),
 
-    // ── IVF assignment: nearest of 64 fixed centroids (broadcast), the
+    // ── IVF assignment: nearest of 64 k-means centroids (broadcast), the
     // partitioning step that makes similarity search sub-quadratic.
     "x10_ann_ivf_assign" -> QueryDef(
       (s, d) => {
-        val e = quantized(s, d)
-        assignedBuckets(e, centroids(e))
+        val e = quantizedCached(s, d)
+        assignedBuckets(e, trainedCentroids(e))
           .select(col("vec_id"), col("bucket"), col("centroid_cos"))
           .withColumn("bucket_size",
             count(lit(1)).over(Window.partitionBy("bucket")))
@@ -136,8 +237,7 @@ WHERE rn <= $K ORDER BY q_id, rank"""),
       },
       Some(s"""
 WITH $duckQuantizedCte,
-c AS (SELECT vec_id AS c_id, qe AS c_qe, qn AS c_qn FROM e
-      WHERE vec_id < $NCentroids),
+$duckKmeansCtes,
 scored AS (
   SELECT e.vec_id, c.c_id,
     CAST(${duckDot("c.c_qe", "e.qe")} AS DOUBLE)
@@ -153,14 +253,14 @@ assigned AS (
 SELECT vec_id, bucket, centroid_cos,
   count(*) OVER (PARTITION BY bucket) AS bucket_size
 FROM assigned ORDER BY vec_id"""),
-      "IVF bucketing: broadcast centroids, map-only assignment"),
+      "IVF bucketing: broadcast k-means centroids, map-only assignment"),
 
     // ── Embedding near-dup pairs, bucket-local: the quadratic scan runs
     // only inside each IVF bucket.
     "x11_embed_neardup" -> QueryDef(
       (s, d) => {
-        val e = quantized(s, d)
-        val assigned = assignedBuckets(e, centroids(e))
+        val e = quantizedCached(s, d)
+        val assigned = assignedBuckets(e, trainedCentroids(e))
           .select(col("vec_id"), col("qe"), col("qn"), col("bucket"))
         assigned.as("a").join(assigned.as("b"),
           col("a.bucket") === col("b.bucket") &&
@@ -176,8 +276,7 @@ FROM assigned ORDER BY vec_id"""),
       },
       Some(s"""
 WITH $duckQuantizedCte,
-c AS (SELECT vec_id AS c_id, qe AS c_qe, qn AS c_qn FROM e
-      WHERE vec_id < $NCentroids),
+$duckKmeansCtes,
 scored AS (
   SELECT e.vec_id, e.qe, e.qn, c.c_id,
     CAST(${duckDot("c.c_qe", "e.qe")} AS DOUBLE)
@@ -208,8 +307,8 @@ ORDER BY vec_a, vec_b"""),
     // bucket once and every probe touches NProbe partitions, not all.
     "x12_ann_ivf_search" -> QueryDef(
       (s, d) => {
-        val e = quantized(s, d)
-        val cent = centroids(e)
+        val e = quantizedCached(s, d)
+        val cent = trainedCentroids(e)
         val assigned = assignedBuckets(e, cent)
         val wp = Window.partitionBy("q_id").orderBy(desc("pcos"), col("c_id"))
         val probeBuckets = e.filter(col("vec_id") < NQueries)
@@ -239,8 +338,7 @@ ORDER BY vec_a, vec_b"""),
       },
       Some(s"""
 WITH $duckQuantizedCte,
-c AS (SELECT vec_id AS c_id, qe AS c_qe, qn AS c_qn FROM e
-      WHERE vec_id < $NCentroids),
+$duckKmeansCtes,
 assigned AS (
   SELECT vec_id, qe, qn, c_id AS bucket
   FROM (SELECT e.vec_id, e.qe, e.qn, c.c_id,
