@@ -17,6 +17,13 @@ object Graft {
   def loanDetail(spark: SparkSession, dir: String): DataFrame =
     operators.LoanDetail.pipeline(spark, dir)
 
+  /** The monthly accounting report (`load_accounting_data.py` analog):
+    * accounting-by-issue-month ∪ settled-by-settled-month rollups over
+    * [[loanDetail]].
+    */
+  def reportingMonthly(spark: SparkSession, dir: String): DataFrame =
+    run("reporting_monthly", spark, dir)
+
   /** Quincena payroll calendar dimension (`create_calendar.py` analog). */
   def calendar(spark: SparkSession, dir: String): DataFrame =
     run("u06_calendar_dim", spark, dir)

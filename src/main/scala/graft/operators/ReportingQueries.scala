@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import graft.functions.{Cleaning, Money}
+import graft.functions.{Cleaning, DateTimeFns, Money}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -33,7 +33,113 @@ object ReportingQueries {
         "Amount Spent (MXN)" -> "amount_spent", "Reach" -> "reach"))
   }
 
+  /** E3 money columns rolled up by issue month (12) and by settled month
+    * (7), `load_accounting_data.py:112-127`.
+    */
+  private val accountingSums = Seq("PrincipalAmount", "Fee", "TaxOnFee",
+    "LateFee", "TaxOnLateFee", "TotalAmountDue", "PrincipalPaid", "FeePaid",
+    "TaxOnFeePaid", "LateFeePaid", "TaxOnLateFeePaid", "ApportionedAmountPaid")
+  private val settledSums = Seq("PrincipalPaid", "FeePaid", "TaxOnFeePaid",
+    "LateFeePaid", "TaxOnLateFeePaid", "ApportionedAmountPaid",
+    "DisputeAmount")
+
+  /** End of the month before [[LoanDetail.AsOf]] — the reference's
+    * `last_day_prev_month` (`load_accounting_data.py:110`), as a literal
+    * per the no-wall-clock rule (F10).
+    */
+  private val LastDayPrevMonth = "2001-12-31 00:00:00"
+
   def defs: Map[String, QueryDef] = Map(
+
+    // ── E3: the accounting reporting pipeline composed end-to-end
+    // (load_accounting_data.py:66-133): loan detail → 34-col projection
+    // with month twins → monthly accounting rollup (12 sums, bounded by
+    // the as-of literal) ∪ settled-month rollup (7 sums; NULL settled
+    // months drop via the <= bound on both engines). One persisted
+    // projection feeds both rollups; each rollup is a single hash
+    // aggregation with map-side combine on an already-reduced key space
+    // (months), so the shuffle is rows≈months regardless of input scale.
+    "reporting_monthly" -> QueryDef(
+      (s, d) => {
+        val proj = LoanDetail.pipeline(s, d)
+          .withColumn("IssueMonthCDMX",
+            date_trunc("month",
+              DateTimeFns.toCdmx(col("IssueDate")).cast("timestamp_ntz")))
+          .withColumn("SettledAtMonthCDMX",
+            date_trunc("month", col("SettledAtCDMX")))
+          .withColumn("ApportionedAmountPaid",
+            col("LateFeePaid") + col("TaxOnLateFeePaid") + col("FeePaid") +
+              col("TaxOnFeePaid") + col("PrincipalPaid"))
+          .select((Seq("IssueMonthCDMX", "SettledAtMonthCDMX") ++
+            (accountingSums ++ settledSums).distinct).map(col): _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val bound = lit(LastDayPrevMonth).cast("timestamp_ntz")
+        val acc = proj
+          .filter(col("IssueMonthCDMX") < bound)
+          .groupBy(col("IssueMonthCDMX").as("month"))
+          .agg(moneySum(col(accountingSums.head)).as(accountingSums.head),
+            accountingSums.tail.map(c => moneySum(col(c)).as(c)): _*)
+          .withColumn("section", lit("accounting_cdmx"))
+        val setl = proj
+          .filter(col("SettledAtMonthCDMX") <= bound)
+          .groupBy(col("SettledAtMonthCDMX").as("month"))
+          .agg(moneySum(col(settledSums.head)).as(settledSums.head),
+            settledSums.tail.map(c => moneySum(col(c)).as(c)): _*)
+          .withColumn("section", lit("settled_cdmx"))
+        acc.unionByName(setl, allowMissingColumns = true)
+          .select((Seq("section", "month") ++
+            (accountingSums ++ settledSums).distinct).map(col): _*)
+          .orderBy("section", "month")
+      },
+      Some {
+        val accList = accountingSums
+          .map(c => s"${sqlSum(c)} AS $c").mkString(",\n    ")
+        val setList = settledSums
+          .map(c => s"${sqlSum(c)} AS $c").mkString(",\n    ")
+        s"""
+WITH detail AS (
+${LoanDetail.oracle}
+),
+proj AS (
+  SELECT
+    date_trunc('month', ${DateTimeFns.sqlToCdmx("IssueDate")})
+      AS IssueMonthCDMX,
+    date_trunc('month', SettledAtCDMX) AS SettledAtMonthCDMX,
+    PrincipalAmount, Fee, TaxOnFee, LateFee, TaxOnLateFee, TotalAmountDue,
+    PrincipalPaid, FeePaid, TaxOnFeePaid, LateFeePaid, TaxOnLateFeePaid,
+    LateFeePaid + TaxOnLateFeePaid + FeePaid + TaxOnFeePaid + PrincipalPaid
+      AS ApportionedAmountPaid,
+    DisputeAmount
+  FROM detail
+),
+acc AS (
+  SELECT 'accounting_cdmx' AS section, IssueMonthCDMX AS month,
+    $accList
+  FROM proj
+  WHERE IssueMonthCDMX < TIMESTAMP '$LastDayPrevMonth'
+  GROUP BY 1, 2
+),
+setl AS (
+  SELECT 'settled_cdmx' AS section, SettledAtMonthCDMX AS month,
+    $setList
+  FROM proj
+  WHERE SettledAtMonthCDMX <= TIMESTAMP '$LastDayPrevMonth'
+  GROUP BY 1, 2
+)
+SELECT section, month, PrincipalAmount, Fee, TaxOnFee, LateFee, TaxOnLateFee,
+  TotalAmountDue, PrincipalPaid, FeePaid, TaxOnFeePaid, LateFeePaid,
+  TaxOnLateFeePaid, ApportionedAmountPaid, CAST(NULL AS DOUBLE)
+    AS DisputeAmount
+FROM acc
+UNION ALL
+SELECT section, month, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+  CAST(NULL AS DOUBLE), PrincipalPaid, FeePaid, TaxOnFeePaid, LateFeePaid,
+  TaxOnLateFeePaid, ApportionedAmountPaid, DisputeAmount
+FROM setl
+ORDER BY section, month"""
+      },
+      "E3 composed: loan detail → month twins → accounting ∪ settled rollups"),
 
     // ── J11: 4-way chained join where a LEFT JOIN is logically re-narrowed
     // to inner by the WHERE on the right side's column — replicated as
