@@ -49,8 +49,13 @@ object Graft {
       run("x07_dedup_simhash", spark, dir)
     def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
       run("x13_simhash_neardup", spark, dir)
-    def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
-      run("x08_ngram_jaccard", spark, dir)
+    /** `dfCap`: opt-in hot-shingle document-frequency cap (skew lever for
+      * boilerplate-heavy corpora) — see
+      * [[operators.DedupQueries.ngramJaccard]] for the semantics change.
+      */
+    def ngramJaccard(spark: SparkSession, dir: String,
+        dfCap: Option[Int] = None): DataFrame =
+      operators.DedupQueries.ngramJaccard(spark, dir, dfCap)
   }
 
   /** Similarity search over an `embeddings`-shaped table. Same cache

@@ -75,6 +75,60 @@ object DedupQueries {
 sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t)"""
   }
 
+  /** n-gram Jaccard similarity join (the declared `x08_ngram_jaccard`).
+    *
+    * `dfCap` is the hot-shingle skew lever for 100 TB corpora: a shingle
+    * appearing in more than `dfCap` documents of a (lang, length-bucket)
+    * block is dropped from the posting list BEFORE the pair join, bounding
+    * the worst key's fan-out to dfCap² candidate pairs instead of df².
+    * This is a documented semantics change, not an optimization: dropped
+    * shingles no longer vote in |A∩B| (sizes keep the full |A|, |B|), so
+    * jaccard is underestimated for pairs whose overlap is mostly
+    * boilerplate — which is exactly the behavior corpus-dedup pipelines
+    * want from a df cap (common n-grams carry no near-dup signal). The
+    * default `None` is the exact inverted-index join.
+    */
+  def ngramJaccard(s: org.apache.spark.sql.SparkSession, d: String,
+      dfCap: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    // persisted: four plan branches read this (posting a/b, sizes a/b)
+    // and shingling is the expensive part — cache-once beats 4×
+    // recompute at any scale (MEMORY_AND_DISK spills, never OOMs)
+    val docs = Tables.documentsSpread(s, d)
+      .withColumn("w", expr("split(text, ' ')"))
+      .withColumn("sh", expr(sparkShingles))
+      .select(col("doc_id"), col("lang"),
+        expr("n_chars div 200").as("bkt"), col("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
+    val fullPosting = docs.select(col("doc_id"), col("lang"), col("bkt"),
+      explode(col("sh")).as("shingle"))
+    // The df computation is one extra aggregation on the same key space
+    // the pair join shuffles on; the hot set it anti-joins away is small
+    // by construction (only keys over the cap), so AQE broadcasts it.
+    val posting = dfCap.fold(fullPosting) { cap =>
+      val hot = fullPosting
+        .groupBy(col("shingle"), col("lang"), col("bkt"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap)
+        .select("shingle", "lang", "bkt")
+      fullPosting.join(hot, Seq("shingle", "lang", "bkt"), "left_anti")
+    }
+    posting.as("a").join(posting.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.lang") === col("b.lang") &&
+          col("a.bkt") === col("b.bkt") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.05d)
+      .orderBy("doc_a", "doc_b")
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     // ── Exact dedup: hash-groupBy on a normalized prefix fingerprint,
@@ -249,37 +303,10 @@ ORDER BY doc_a, doc_b"""),
     // from a joined size table (AQE broadcasts it while it fits; at corpus
     // scale it degrades gracefully to a shuffle join — never forced).
     // All stages are key-partitioned
-    // shuffles — the shape survives 100 TB (skew cap on hot shingles would
-    // be the next lever if a corpus had degenerate repeated n-grams).
+    // shuffles — the shape survives 100 TB (the opt-in `dfCap` parameter
+    // of [[ngramJaccard]] is the skew lever for degenerate hot n-grams).
     "x08_ngram_jaccard" -> QueryDef(
-      (s, d) => {
-        // persisted: four plan branches read this (posting a/b, sizes a/b)
-        // and shingling is the expensive part — cache-once beats 4×
-        // recompute at any scale (MEMORY_AND_DISK spills, never OOMs)
-        val docs = Tables.documentsSpread(s, d)
-          .withColumn("w", expr("split(text, ' ')"))
-          .withColumn("sh", expr(sparkShingles))
-          .select(col("doc_id"), col("lang"),
-            expr("n_chars div 200").as("bkt"), col("sh"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
-        val posting = docs.select(col("doc_id"), col("lang"), col("bkt"),
-          explode(col("sh")).as("shingle"))
-        posting.as("a").join(posting.as("b"),
-            col("a.shingle") === col("b.shingle") &&
-              col("a.lang") === col("b.lang") &&
-              col("a.bkt") === col("b.bkt") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("inter"))
-          .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-          .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-          .select(col("doc_a"), col("doc_b"),
-            (col("inter").cast("double") /
-              (col("sa.sz") + col("sb.sz") - col("inter"))).as("jaccard"))
-          .filter(col("jaccard") >= 0.05d)
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, d) => ngramJaccard(s, d),
       Some(s"""
 WITH t AS (
   SELECT doc_id, lang, n_chars // 200 AS bkt, $duckShingles AS sh
