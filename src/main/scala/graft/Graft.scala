@@ -98,6 +98,27 @@ object Graft {
       operators.Multimodal.frameSamples(spark, dir)
   }
 
+  /** Ad-hoc JDBC query read (S1, the `fetch_data(query)` analog); see
+    * [[sources.Jdbc]] for the partitioned-read guidance.
+    */
+  def readJdbc(spark: SparkSession, url: String, query: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    sources.Jdbc.readQuery(spark, url, query, options)
+
+  /** JDBC table read; accepts the partitioned-read options for parallel
+    * range scans (S1).
+    */
+  def readJdbcTable(spark: SparkSession, url: String, table: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    sources.Jdbc.readTable(spark, url, table, options)
+
+  /** Excel scan (S4, the pandas `read_excel` analog): one xlsx or a glob
+    * of them, string-typed like un-inferred CSV; see [[sources.Xlsx]].
+    */
+  def readXlsx(spark: SparkSession, path: String,
+      header: Boolean = true): DataFrame =
+    sources.Xlsx.read(spark, path, header)
+
   /** Sinks and incremental-ingestion patterns: see [[sources.Sinks]]. */
   def sinks: sources.Sinks.type = sources.Sinks
 
