@@ -16,10 +16,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * enclosing codegen stage instead: no allocation, no virtual calls, and
   * the surrounding filter/projection stays fused.
   *
-  * Semantics: assumes dense non-null elements (embedding vectors); pairs
-  * beyond the shorter length are ignored. Integer math — exact and
-  * associative, so results are bit-identical to the HOF spelling and to
-  * the DuckDB oracle.
+  * Semantics: pairs beyond the shorter length are ignored; a NULL element
+  * in the overlapped region makes the result NULL, matching the HOF
+  * spelling (`x*y` of a NULL is NULL, and folding NULL into the sum
+  * poisons it) — relevant to ad-hoc SQL users reached via
+  * `Graft.registerTables`, where `array(1L, NULL)` is easy to write.
+  * Integer math — exact and associative, so results are bit-identical to
+  * the HOF spelling and to the DuckDB oracle.
   */
 case class DotLong(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -37,6 +40,17 @@ case class DotLong(left: Expression, right: Expression)
 
   override def prettyName: String = "dot_long"
 
+  /** Whether a NULL element can appear (drives the codegen null path; when
+    * the schema proves elements non-null the loop stays check-free).
+    */
+  private def elemNullable: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(_, n1), ArrayType(_, n2)) => n1 || n2
+    case _ => true
+  }
+
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elemNullable
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -44,6 +58,7 @@ case class DotLong(left: Expression, right: Expression)
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getLong(i) * y.getLong(i)
       i += 1
     }
@@ -55,13 +70,21 @@ case class DotLong(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (elemNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      val assign =
+        if (elemNullable) s"if (!${ev.isNull}) { ${ev.value} = $acc; }"
+        else s"${ev.value} = $acc;"
       s"""
          |final int $n = Math.min($a.numElements(), $b.numElements());
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $acc += $a.getLong($i) * $b.getLong($i);
          |}
-         |${ev.value} = $acc;
+         |$assign
        """.stripMargin
     })
 

@@ -33,6 +33,7 @@ object Quality {
     * passed) rows, deterministic order.
     */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "Quality.check requires at least one rule")
     val agg = df.agg(rules.head.violations.as(rules.head.name),
       rules.tail.map(r => r.violations.as(r.name)): _*)
     val stacked = rules.map(r =>

@@ -52,6 +52,11 @@ object StreamingQueries {
             col("user_id"), col("n_events"))
           .orderBy("user_id", "session_start")
       },
+      // Exact-gap boundary: session_window MERGES an event landing
+      // exactly gap after the previous one (its merge condition is
+      // next.start <= current.end, end-inclusive), so the strict `>` here
+      // is the correct new-session mark — SessionBoundarySpec pins this
+      // empirically, and st05's timeout assembly merges the same way.
       Some("""
 WITH marked AS (
   SELECT user_id, ts,

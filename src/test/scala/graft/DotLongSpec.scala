@@ -24,6 +24,20 @@ class DotLongSpec extends SparkSpec {
     assert(row.isNullAt(0))
   }
 
+  test("dot_long returns NULL on NULL elements, like the HOF spelling") {
+    GraftExtensions.install(spark)
+    val rows = spark.sql(
+      """SELECT
+           dot_long(array(1L, NULL, 3L), array(4L, 5L, 6L)) AS d1,
+           aggregate(zip_with(array(1L, NULL, 3L), array(4L, 5L, 6L),
+             (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v) AS d2,
+           dot_long(array(1L, 2L), array(NULL, 5L)) AS d3,
+           dot_long(array(1L, 2L), array(4L, 5L)) AS d4""")
+      .collect().head
+    assert(rows.isNullAt(0) && rows.isNullAt(1) && rows.isNullAt(2))
+    assert(rows.getLong(3) == 14L)
+  }
+
   test("dot_long agrees with aggregate/zip_with on random vectors") {
     GraftExtensions.install(spark)
     val vecs = Tables.embeddings(spark, sf).limit(50)

@@ -129,6 +129,46 @@ class SinksSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketed flagship: channel aggs + multiway left join, zero Exchange") {
+    // the loan_detail join topology (per-channel groupBy + chained left
+    // joins, LoanDetail.pipeline) over inputs written by writeBucketed on
+    // the join key: every groupBy and every join reuses the bucket
+    // partitioning, so the whole pipeline plans WITHOUT a single shuffle
+    // — the standing shape for a fact table every job joins on one key
+    Seq("bf_orders", "bf_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
+    Sinks.writeBucketed(Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice")),
+      "bf_orders", "o_orderkey", 4)
+    Sinks.writeBucketed(Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"),
+        col("l_discount"), col("l_returnflag"), col("l_shipdate")),
+      "bf_lineitem", "o_orderkey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = spark.table("bf_lineitem")
+      def channel(flag: String, sfx: String) =
+        li.filter(col("l_returnflag") === flag)
+          .groupBy("o_orderkey")
+          .agg(sum(col("l_extendedprice") * (lit(1d) - col("l_discount")))
+            .as(s"paid$sfx"), max(col("l_shipdate")).as(s"last$sfx"))
+      val joined = spark.table("bf_orders")
+        .join(channel("N", "Arcus"), Seq("o_orderkey"), "left")
+        .join(channel("R", "Stripe"), Seq("o_orderkey"), "left")
+        .join(channel("A", "Cash"), Seq("o_orderkey"), "left")
+      val plan = joined.queryExecution.sparkPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(!plan.contains("Exchange"), plan.take(2000))
+      assert(joined.count() == Tables.orders(spark, sf).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("S3/S5 csv and json scans roundtrip") {
     val dir = tmp("scan")
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
