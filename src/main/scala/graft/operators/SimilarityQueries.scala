@@ -92,42 +92,67 @@ object SimilarityQueries {
       .select(col("vec_id").as("c_id"), col("qe").as("c_qe"),
         col("qn").as("c_qn"))
 
-  /** One nearest-centroid assignment pass (training-time spelling):
-    * broadcast centroids, map-only scoring, hash-agg argmax — cheaper than
-    * a window sort when only the winning bucket is needed. Tie-break on
-    * lowest c_id matches the window spelling in [[assignedBuckets]].
+  /** One nearest-centroid assignment pass (training-time spelling): the
+    * whole centroid table packs into ONE broadcast row (`collect_list` of
+    * ≤ NCentroids structs) and each vector folds over it with an argmax
+    * HOF — a pure map stage, zero shuffle of the corpus. The fold
+    * computes the exact cosine the oracle orders by and breaks ties to
+    * the lowest c_id, so the result is independent of the packed list's
+    * order.
     */
-  private def assignNearest(e: DataFrame, cent: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cent))
-      .withColumn("ccos",
-        expr(s"CAST(${sparkDot("c_qe", "qe")} AS DOUBLE)") /
-          (sqrt(col("c_qn").cast("double")) * sqrt(col("qn").cast("double"))))
-      .groupBy(col("vec_id"))
-      .agg(
-        max_by(col("c_id"), struct(col("ccos"), negate(col("c_id"))))
-          .as("bucket"),
-        first(col("qe")).as("qe"))
+  private def assignNearest(e: DataFrame, cent: DataFrame): DataFrame = {
+    val packed = cent.agg(
+      collect_list(struct(col("c_id"), col("c_qe"), col("c_qn")))
+        .as("cents"))
+    e.crossJoin(broadcast(packed))
+      .withColumn("bucket", expr(s"""
+        aggregate(
+          transform(cents, c -> named_struct('id', c.c_id, 'cos',
+            CAST(${sparkDot("c.c_qe", "qe")} AS DOUBLE)
+              / (sqrt(CAST(c.c_qn AS DOUBLE)) * sqrt(CAST(qn AS DOUBLE))))),
+          named_struct('id', CAST(-1 AS BIGINT),
+            'cos', CAST('-Infinity' AS DOUBLE)),
+          (acc, x) -> CASE WHEN x.cos > acc.cos
+                            OR (x.cos = acc.cos AND x.id < acc.id)
+                           THEN x ELSE acc END,
+          acc -> acc.id)"""))
+      .select(col("vec_id"), col("qe"), col("bucket"))
+  }
 
-  /** Lloyd iterations in exact integer arithmetic: explode each member
-    * vector to (bucket, dim, value), sum/count per (bucket, dim) — the
-    * shuffle ships at most `NCentroids × dims` rows after map-side partial
-    * aggregation — and reassemble `sum div count` into the new centroid.
+  /** Lloyd iterations in exact integer arithmetic. Each iteration is the
+    * map-only assignment above plus ONE partially-aggregated shuffle:
+    * `reduceGroups` folds (vector-sum, count) pairs per bucket map-side,
+    * so the wire carries at most NCentroids rows per input partition no
+    * matter the corpus size. Sums are int64 (associative — fold order
+    * can't change them) and the mean is truncating long division, same as
+    * the oracle's `//`. The trained table is persisted: consumers
+    * broadcast it more than once (bucket assignment + probe routing).
     */
-  private def trainedCentroids(e: DataFrame): DataFrame =
-    (1 to KmeansIters).foldLeft(initCentroids(e)) { (cent, _) =>
+  private def trainedCentroids(e: DataFrame): DataFrame = {
+    val session = e.sparkSession
+    import session.implicits._
+    val fin = (1 to KmeansIters).foldLeft(initCentroids(e)) { (cent, _) =>
       assignNearest(e, cent)
-        .select(col("bucket"), posexplode(col("qe")).as(Seq("pos", "v")))
-        .groupBy(col("bucket"), col("pos"))
-        .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
-        .withColumn("cv", expr("sv div cnt"))
-        .groupBy(col("bucket"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("cv"))))
-          .as("ps"))
-        .select(col("bucket").as("c_id"),
-          expr("transform(ps, p -> p.cv)").as("c_qe"))
-        .withColumn("c_qn",
-          expr("aggregate(c_qe, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"))
+        .select(col("bucket"), col("qe")).as[(Long, Array[Long])]
+        .groupByKey(_._1)
+        .mapValues(t => (t._2, 1L))
+        .reduceGroups { (a, b) =>
+          val s = new Array[Long](a._1.length)
+          var i = 0
+          while (i < s.length) { s(i) = a._1(i) + b._1(i); i += 1 }
+          (s, a._2 + b._2)
+        }
+        .map { case (b, (s, n)) =>
+          val q = s.map(_ / n)
+          var qn = 0L
+          var i = 0
+          while (i < q.length) { qn += q(i) * q(i); i += 1 }
+          (b, q, qn)
+        }
+        .toDF("c_id", "c_qe", "c_qn")
     }
+    fin.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
   /** The same Lloyd chain as [[trainedCentroids]] in DuckDB SQL: CTEs
     * `c0 → (a1, s1, c1) → (a2, s2, c2)`, with the final centroid table
