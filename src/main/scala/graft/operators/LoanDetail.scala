@@ -101,7 +101,20 @@ object LoanDetail {
       .drop("rn")
   }
 
-  def pipeline(spark: SparkSession, dir: String): DataFrame = {
+  /** The declared flagship result: [[detail]] in deterministic (numeric
+    * id) order, matching the oracle's `ORDER BY UserLoanIdNum`.
+    */
+  def pipeline(spark: SparkSession, dir: String): DataFrame =
+    detail(spark, dir).orderBy(col("UserLoanId").cast("bigint"))
+
+  /** The loan-detail frame WITHOUT the final global sort — the entry point
+    * for downstream aggregations (reporting_monthly): a consumer that
+    * groups or joins must not pay the range-partition shuffle a
+    * deterministic ordering costs, and a persist() boundary between the
+    * two would otherwise freeze the sort into the cached plan where no
+    * optimizer rule can elide it.
+    */
+  def detail(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val base = loans(spark, dir)
       .join(channel(li, "N", "Arcus"), Seq("UserLoanIdNum"), "left")
@@ -179,7 +192,6 @@ object LoanDetail {
         coalesce(col("StrategyName"), lit("Twilio"))) // P13 `:374`
 
     strategized
-      .orderBy("UserLoanIdNum")
       .select(
         Cleaning.idString(col("UserLoanIdNum")).as("UserLoanId"), // P15
         Cleaning.idString(col("UserIdNum")).as("UserId"),

@@ -61,7 +61,7 @@ object ReportingQueries {
     // (months), so the shuffle is rows≈months regardless of input scale.
     "reporting_monthly" -> QueryDef(
       (s, d) => {
-        val proj = LoanDetail.pipeline(s, d)
+        val proj = LoanDetail.detail(s, d)
           .withColumn("IssueMonthCDMX",
             date_trunc("month",
               DateTimeFns.toCdmx(col("IssueDate")).cast("timestamp_ntz")))

@@ -53,6 +53,31 @@ object EventStream {
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
 
+  /** Streaming exact deduplication on key columns — dedup-at-ingest, the
+    * first stage of a corpus pipeline (drop repeated events/documents
+    * BEFORE paying downstream compute). First occurrence wins; output is
+    * restricted to the key columns so the result is independent of
+    * arrival order. State grows with distinct keys and never expires —
+    * deterministic (one row per distinct key however the backlog is
+    * chunked), which is why the declared st06 uses it.
+    */
+  def dedupKeys(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.select(keys.map(col): _*).dropDuplicates(keys)
+
+  /** Bounded-state streaming dedup: state for a key is dropped once the
+    * watermark passes its event time + delay, so a perpetual ingest holds
+    * only the recent key set — the 100 TB firehose variant. The price is
+    * windowed semantics: a key recurring after its state expired emits
+    * again (pinned in StreamingDedupSpec), so results depend on the
+    * watermark schedule — surfaced on the API, not as a declared query.
+    */
+  def dedupKeysWithinWatermark(events: DataFrame, keys: Seq[String],
+      delay: String): DataFrame =
+    events
+      .select((keys.map(col) :+ col("ts")): _*)
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Per-user running totals with custom state (`flatMapGroupsWithState`)
     * — the state-store path the reference's hand-rolled incremental jobs
     * would need for anything beyond append. Money is accumulated as exact

@@ -123,6 +123,21 @@ ORDER BY user_id, session_start"""),
               GROUP BY 1 ORDER BY c_mktsegment"""),
       "stream-static dimension join == batch join+groupBy"),
 
+    // ── Streaming exact dedup (dedup-at-ingest): stateful first-occurrence
+    // filter, output restricted to the key so arrival order can't leak
+    // into the result — streaming DISTINCT == batch DISTINCT.
+    "st06_stream_dedup" -> QueryDef(
+      (s, d) => {
+        val dedup = EventStream.dedupKeys(EventStream.readEvents(s, d),
+          Seq("user_id", "event_type"))
+        EventStream.runToMemory(s, dedup, s"st06_sink_${System.nanoTime}",
+            outputMode = "append")
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+              ORDER BY user_id, event_type"""),
+      "streaming dropDuplicates (dedup-at-ingest) == batch DISTINCT"),
+
     // ── Event-time-timeout sessions: the state store closes a session
     // when the watermark passes lastEvent + gap. Watermark mechanics
     // decide WHEN a session emits, not WHAT it is — so the declared
