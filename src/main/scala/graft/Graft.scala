@@ -119,6 +119,12 @@ object Graft {
       header: Boolean = true): DataFrame =
     sources.Xlsx.read(spark, path, header)
 
+  /** Excel sink (S11's engine half, the `export_dataframe_to_drive`
+    * render): small report frame → one xlsx workbook at a local path.
+    */
+  def writeXlsx(df: DataFrame, path: String): Unit =
+    sources.Xlsx.write(df, path)
+
   /** Sinks and incremental-ingestion patterns: see [[sources.Sinks]]. */
   def sinks: sources.Sinks.type = sources.Sinks
 

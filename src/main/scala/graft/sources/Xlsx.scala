@@ -4,9 +4,11 @@ import java.io.ByteArrayInputStream
 import java.util.zip.ZipInputStream
 import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
 
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.{NumericType, StringType, StructField, StructType}
 
 /** Excel scan (S4): the reference ingests xlsx routinely
   * (`/root/reference/utils/gsheets_utils.py:177-181`, pandas
@@ -173,5 +175,89 @@ object Xlsx {
       }
     }
     spark.createDataFrame(rows, schema)
+  }
+
+  /** 2 → "C"; 27 → "AB". */
+  private def colRef(i: Int): String = {
+    var n = i + 1
+    val sb = new StringBuilder
+    while (n > 0) { sb.insert(0, ('A' + (n - 1) % 26).toChar); n = (n - 1) / 26 }
+    sb.toString
+  }
+
+  private def xmlEscape(s: String): String = s.flatMap {
+    case '&' => "&amp;"
+    case '<' => "&lt;"
+    case '>' => "&gt;"
+    case '"' => "&quot;"
+    case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' => ""
+    case c => c.toString
+  }
+
+  /** Excel sink (S11's engine half): render a SMALL frame as one xlsx
+    * workbook at a local `path` — the reference's export path emits
+    * report tables for humans (`gsheets_utils.py:39-78`), and the format
+    * itself caps a sheet at 1,048,576 rows, so this is a driver-side
+    * single-file render BY DESIGN: aggregate upstream (distributed), then
+    * render the small result; the upload-to-Drive leg stays connector
+    * tier. Header row from column names; numeric cells write as numbers,
+    * everything else as escaped inline strings; NULLs become skipped
+    * cells (which [[read]] surfaces back as null — lossless roundtrip).
+    */
+  def write(df: DataFrame, path: String): Unit = {
+    val rows = df.collect()
+    require(rows.length < 1048576,
+      s"xlsx sheets cap at 1,048,576 rows incl. header (got ${rows.length}" +
+        ") — aggregate first or use a parquet sink")
+    val isNum = df.schema.fields.map(_.dataType.isInstanceOf[NumericType])
+    val names = df.columns
+    def cell(ref: String, v: Any, num: Boolean): String = v match {
+      case null => ""
+      case x if num => s"""<c r="$ref"><v>$x</v></c>"""
+      case x =>
+        s"""<c r="$ref" t="inlineStr"><is><t>${xmlEscape(x.toString)}</t></is></c>"""
+    }
+    val sheet = new StringBuilder(
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    sheet ++= names.zipWithIndex
+      .map { case (n, i) => cell(s"${colRef(i)}1", n, num = false) }
+      .mkString("<row r=\"1\">", "", "</row>")
+    rows.zipWithIndex.foreach { case (r, ri) =>
+      sheet ++= names.indices
+        .map(i => cell(s"${colRef(i)}${ri + 2}", r.get(i), isNum(i)))
+        .mkString(s"""<row r="${ri + 2}">""", "", "</row>")
+    }
+    sheet ++= "</sheetData></worksheet>"
+    val z = new ZipOutputStream(new java.io.FileOutputStream(path))
+    try {
+      def put(name: String, body: String): Unit = {
+        z.putNextEntry(new ZipEntry(name))
+        z.write(body.getBytes("UTF-8")); z.closeEntry()
+      }
+      put("[Content_Types].xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+          """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+          """<Default Extension="xml" ContentType="application/xml"/>""" +
+          """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+          """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+          """</Types>""")
+      put("_rels/.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+          """</Relationships>""")
+      put("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
+          """</Relationships>""")
+      put("xl/workbook.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+          """<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+      put("xl/worksheets/sheet1.xml", sheet.toString)
+    } finally z.close()
   }
 }

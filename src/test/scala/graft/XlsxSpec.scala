@@ -68,6 +68,26 @@ class XlsxSpec extends SparkSpec {
       Seq("1", "2", "3"))
   }
 
+  test("write → read roundtrip: numbers, strings, escaping, NULL cells") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a&b <tag>"), Some(12.5)),
+      (2L, None, Some(0.25)),
+      (3L, Some("plain"), None))
+      .toDF("id", "name", "amount")
+    val path = s"$dir/out.xlsx"
+    sources.Xlsx.write(df, path)
+    val back = sources.Xlsx.read(spark, path)
+    assert(back.columns.toSeq == Seq("id", "name", "amount"))
+    val rows = back.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("1", "a&b <tag>", "12.5"),
+      ("2", null, "0.25"),
+      ("3", "plain", null)))
+  }
+
   test("header=false exposes raw rows with positional names") {
     val df = sources.Xlsx.read(spark, s"$dir/b.xlsx", header = false)
     assert(df.columns.toSeq == Seq("_c0", "_c1", "_c2"))
