@@ -91,6 +91,69 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
   min(ts) AS session_start, max(ts) AS session_end
 FROM sessions GROUP BY 1, 2 ORDER BY user_id, session_seq""")),
 
+    // ── Band (range) join: facts land in value tiers via a non-equi
+    // condition. The tier table is tiny and BROADCAST, so the range
+    // predicate evaluates map-side against every fact row — no shuffle of
+    // the fact side at any scale. (Were the banded dimension large, the
+    // scale move is to add a coarse equi-key — e.g. `floor(value / step)`
+    // on both sides — turning it into a hash join plus residual filter.)
+    "j13_range_band_join" -> QueryDef(
+      (s, d) => {
+        import s.implicits._
+        val tiers = Seq((0d, 50d, "small"), (50d, 200d, "medium"),
+          (200d, 1000d, "large")).toDF("lo", "hi", "tier")
+        Tables.events(s, d)
+          .join(broadcast(tiers),
+            col("value") >= col("lo") && col("value") < col("hi"))
+          .groupBy(col("tier"))
+          .agg(count(lit(1)).as("n_events"),
+            Money.moneySum(col("value")).as("total_value"))
+          .orderBy("tier")
+      },
+      Some(s"""
+WITH tiers(lo, hi, tier) AS (
+  VALUES (0.0, 50.0, 'small'), (50.0, 200.0, 'medium'),
+         (200.0, 1000.0, 'large'))
+SELECT tier, count(*) AS n_events, ${sqlSum("value")} AS total_value
+FROM events JOIN tiers ON value >= lo AND value < hi
+GROUP BY 1 ORDER BY tier"""),
+      "broadcast band join: non-equi range predicate, zero fact shuffle"),
+
+    // ── As-of join (pandas merge_asof shape): each event picks the most
+    // recent order at-or-before its timestamp for the same user. Composed
+    // from existing operators — equi-join on the user key (hash join; the
+    // fan-out is bounded by orders-per-user) + per-event top-1 window —
+    // because that composition IS the scalable spelling: both stages
+    // partition by high-cardinality keys.
+    "j14_asof_join" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val ord = Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        val w = Window.partitionBy("event_id")
+          .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+        ev.join(ord,
+            col("user_id") === col("o_custkey") &&
+              col("o_orderdate").cast("timestamp_ntz") <= col("ts"), "left")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("o_orderkey").as("asof_order"),
+            col("o_orderdate").as("asof_orderdate"))
+          .orderBy("event_id")
+      },
+      Some("""
+SELECT event_id, user_id, ts, asof_order, asof_orderdate FROM (
+  SELECT e.event_id, e.user_id, e.ts,
+    o.o_orderkey AS asof_order, o.o_orderdate AS asof_orderdate,
+    row_number() OVER (PARTITION BY e.event_id
+      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e LEFT JOIN orders o
+    ON e.user_id = o.o_custkey AND CAST(o.o_orderdate AS TIMESTAMP) <= e.ts)
+WHERE rn = 1 ORDER BY event_id"""),
+      "as-of join composed as equi-join + per-row top-1 window"),
+
     // ── JSON property extraction (extension of the schema-sniffing JSON
     // reads, `utils/gsheets_utils.py:183-184`).
     "e03_json_props" -> QueryDef(

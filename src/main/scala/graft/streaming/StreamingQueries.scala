@@ -138,6 +138,44 @@ ORDER BY user_id, session_start"""),
               ORDER BY user_id, event_type"""),
       "streaming dropDuplicates (dedup-at-ingest) == batch DISTINCT"),
 
+    // ── Stream-stream inner join with an event-time interval: purchases
+    // attribute to any click by the same user in the preceding hour. Both
+    // sides carry a watermark so each side's buffered state frees once
+    // the watermark passes the interval — the attribution-join shape for
+    // a perpetual firehose (state ∝ one hour of events per side, not
+    // history). Inner-join emission doesn't depend on batch chunking, so
+    // a full drain is deterministic and batch-checkable.
+    "st07_stream_stream_join" -> QueryDef(
+      (s, d) => {
+        val ev = EventStream.readEvents(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+          .withWatermark("click_ts", "1 hour")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+          .withWatermark("purchase_ts", "1 hour")
+        val joined = clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+        EventStream.runToMemory(s, joined,
+            s"st07_sink_${System.nanoTime}", outputMode = "append")
+          .select(col("click_id"), col("purchase_id"), col("user_id"),
+            col("click_ts").cast("timestamp_ntz").as("click_ts"),
+            col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"))
+          .orderBy("click_id", "purchase_id")
+      },
+      Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+              c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+              FROM events c JOIN events p
+                ON c.event_type = 'click' AND p.event_type = 'purchase'
+               AND p.user_id = c.user_id
+               AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+              ORDER BY click_id, purchase_id"""),
+      "watermarked stream-stream interval join == batch self-join"),
+
     // ── Event-time-timeout sessions: the state store closes a session
     // when the watermark passes lastEvent + gap. Watermark mechanics
     // decide WHEN a session emits, not WHAT it is — so the declared
