@@ -49,6 +49,13 @@ object Graft {
       run("x07_dedup_simhash", spark, dir)
     def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
       run("x13_simhash_neardup", spark, dir)
+    /** Near-dup clusters: LSH candidate pairs assembled into connected
+      * components (min-label propagation + pointer jumping) — one
+      * canonical `cluster_id` (= min member) per component.
+      */
+    def clusters(spark: SparkSession, dir: String): DataFrame =
+      run("x14_dedup_clusters", spark, dir)
+
     /** `dfCap`: opt-in hot-shingle document-frequency cap (skew lever for
       * boilerplate-heavy corpora) — see
       * [[operators.DedupQueries.ngramJaccard]] for the semantics change.

@@ -129,6 +129,76 @@ sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t)"""
       .orderBy("doc_a", "doc_b")
   }
 
+  /** MinHash signatures per doc (persisted — the minhash pass over every
+    * shingle dwarfs the cache cost) and the LSH band-collision candidate
+    * pairs derived from them. Shared by x06 (pair scoring) and x14
+    * (cluster assembly).
+    */
+  private def lshSigs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    graft.GraftExtensions.install(s)
+    Tables.documentsSpread(s, d)
+      .withColumn("w", expr("split(text, ' ')"))
+      .withColumn("sh", expr(sparkShingles))
+      .withColumn("sigs", expr(s"minhash_sigs(sh, $K)"))
+      .select(col("doc_id") +:
+        (0 until K).map(i => col("sigs").getItem(i).as(s"sig$i")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  private def lshCandidates(
+      sigs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val stackExpr = (0 until K)
+      .map(i => s"$i, sig$i").mkString(s"stack($K, ", ", ", ")")
+    val bands = sigs.select(col("doc_id"),
+      expr(s"$stackExpr AS (band, sigval)"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.sigval") === col("b.sigval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** DuckDB CTE chain `docs → shingled → sigs → bands → cand` in lockstep
+    * with [[lshSigs]]/[[lshCandidates]].
+    */
+  private val duckLshCandCtes: String = {
+    val sigSelect = (0 until K)
+      .map(i => s"${duckMinhash(i)} AS sig$i").mkString(",\n    ")
+    val bandUnion = (0 until K)
+      .map(i => s"SELECT doc_id, $i AS band, sig$i AS sigval FROM sigs")
+      .mkString("\n  UNION ALL ")
+    s"""docs AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+),
+shingled AS (
+  SELECT doc_id, $duckShingles AS sh FROM docs
+),
+sigs AS (
+  SELECT doc_id, $sigSelect FROM shingled
+),
+bands AS (
+  $bandUnion
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sigval = b.sigval AND a.doc_id < b.doc_id
+)"""
+  }
+
+  /** Rounds of min-label propagation + pointer jumping in x14. Pointer
+    * jumping only helps when the current minimum sits far along the path,
+    * so the binding constraint is edge-hop distance: simulated on the
+    * real pair graphs, the fixpoint needs 10 rounds at sf0.01 (a sparse
+    * 408-doc chain component, 15 hops deep) and 3 at sf0.1 (denser ⇒
+    * shallower). 12 = worst observed + margin; `DedupClustersSpec`
+    * asserts the fixpoint so a deeper regenerated corpus fails loudly
+    * rather than mislabeling quietly.
+    */
+  private val CcRounds = 12
+
   def defs: Map[String, QueryDef] = Map(
 
     // ── Exact dedup: hash-groupBy on a normalized prefix fingerprint,
@@ -153,72 +223,109 @@ sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t)"""
     // collide; estimated resemblance = matching signatures / K.
     "x06_dedup_minhash_lsh" -> QueryDef(
       (s, d) => {
-        graft.GraftExtensions.install(s)
-        // persisted: read by the band explode and twice by the signature
-        // re-join; the minhash pass over every shingle dwarfs the cache
-        // cost. minhash_sigs (native, graft.functions.MinHashSigs) folds
-        // all K signatures in one array traversal — bit-identical to the
-        // K-pass HOF spelling the oracle uses.
-        val sigs = Tables.documentsSpread(s, d)
-          .withColumn("w", expr("split(text, ' ')"))
-          .withColumn("sh", expr(sparkShingles))
-          .withColumn("sigs", expr(s"minhash_sigs(sh, $K)"))
-          .select(col("doc_id") +:
-            (0 until K).map(i => col("sigs").getItem(i).as(s"sig$i")): _*)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val stackExpr = (0 until K)
-          .map(i => s"$i, sig$i").mkString(s"stack($K, ", ", ", ")")
-        val bands = sigs.select(col("doc_id"),
-          expr(s"$stackExpr AS (band, sigval)"))
-        val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") &&
-            col("a.sigval") === col("b.sigval") &&
-            col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
+        // minhash_sigs (native, graft.functions.MinHashSigs) folds all K
+        // signatures in one array traversal — bit-identical to the K-pass
+        // HOF spelling the oracle uses.
+        val sigs = lshSigs(s, d)
         val matches = (0 until K)
           .map(i => when(col("sa.sig" + i) === col("sb.sig" + i), 1)
             .otherwise(0))
           .reduce(_ + _)
-        cand.join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+        lshCandidates(sigs)
+          .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
           .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
           .select(col("doc_a"), col("doc_b"),
             (matches.cast("double") / K).as("est_jaccard"))
           .orderBy("doc_a", "doc_b")
       },
       Some {
-        val sigSelect = (0 until K)
-          .map(i => s"${duckMinhash(i)} AS sig$i").mkString(",\n    ")
-        val bandUnion = (0 until K)
-          .map(i => s"SELECT doc_id, $i AS band, sig$i AS sigval FROM sigs")
-          .mkString("\n  UNION ALL ")
         val matches = (0 until K)
           .map(i => s"CASE WHEN sa.sig$i = sb.sig$i THEN 1 ELSE 0 END")
           .mkString(" + ")
         s"""
-WITH docs AS (
-  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
-),
-shingled AS (
-  SELECT doc_id, $duckShingles AS sh FROM docs
-),
-sigs AS (
-  SELECT doc_id, $sigSelect FROM shingled
-),
-bands AS (
-  $bandUnion
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.sigval = b.sigval AND a.doc_id < b.doc_id
-)
+WITH $duckLshCandCtes
 SELECT doc_a, doc_b, CAST($matches AS DOUBLE) / $K AS est_jaccard
 FROM cand
 JOIN sigs sa ON doc_a = sa.doc_id
 JOIN sigs sb ON doc_b = sb.doc_id
 ORDER BY doc_a, doc_b"""
       }),
+
+    // ── Near-dup CLUSTERS: the LSH candidate pairs assembled into
+    // connected components, which is what a dedup pipeline actually keeps
+    // (one canonical doc per component). Min-label propagation with
+    // pointer jumping, unrolled a FIXED CcRounds on both engines — labels
+    // only decrease and every step is a deterministic min, so the
+    // unrolled program hash-matches the oracle whether or not it has
+    // converged (convergence on this corpus is separately asserted by
+    // DedupClustersSpec). Scale shape: each propagate round is one
+    // edge-partitioned join + min-aggregation and each shortcut is one
+    // self-join on the label — the standard BSP connected-components,
+    // log-depth thanks to the pointer jumping.
+    "x14_dedup_clusters" -> QueryDef(
+      (s, d) => {
+        val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val cand = lshCandidates(lshSigs(s, d)).persist(disk)
+        val sym = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionByName(
+            cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        val init = Tables.documents(s, d)
+          .select(col("doc_id"), col("doc_id").as("label"))
+        // each round MATERIALIZES and truncates lineage (eager
+        // localCheckpoint — the standard move for iterative graph
+        // algorithms): labels and the shortcut's self-join each reference
+        // the previous round twice, so a lazy chain would grow the plan
+        // ~3x per round; the checkpointed frame is one tiny
+        // (doc_id, label) table per round
+        val fin = (1 to CcRounds).foldLeft(init) { (labels, _) =>
+          val nbrMin = sym.join(labels, col("dst") === col("doc_id"))
+            .groupBy(col("src")).agg(min(col("label")).as("nl"))
+          val propagated = labels.as("v")
+            .join(nbrMin.as("m"), col("v.doc_id") === col("m.src"), "left")
+            .select(col("v.doc_id").as("doc_id"),
+              least(col("v.label"), coalesce(col("m.nl"), col("v.label")))
+                .as("label"))
+          propagated.as("p")
+            .join(propagated.as("q"),
+              col("p.label") === col("q.doc_id"))
+            .select(col("p.doc_id").as("doc_id"),
+              col("q.label").as("label"))
+            .localCheckpoint(true)
+        }
+        fin.select(col("doc_id"), col("label").as("cluster_id"))
+          .withColumn("cluster_size", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+          .orderBy("doc_id")
+      },
+      Some {
+        // MATERIALIZED mirrors the Spark side's per-round persist: every
+        // round CTE is referenced twice, and an inlining engine would
+        // otherwise double the plan per round (2^CcRounds LSH copies)
+        val rounds = (1 to CcRounds).map { i =>
+          s"""p$i AS MATERIALIZED (
+  SELECT v.doc_id, least(v.label, coalesce(m.nl, v.label)) AS label
+  FROM s${i - 1} v LEFT JOIN (
+    SELECT s.src, min(l.label) AS nl
+    FROM sym s JOIN s${i - 1} l ON s.dst = l.doc_id GROUP BY s.src) m
+  ON v.doc_id = m.src
+),
+s$i AS MATERIALIZED (
+  SELECT p.doc_id, q.label FROM p$i p JOIN p$i q ON p.label = q.doc_id
+)"""
+        }.mkString(",\n")
+        s"""
+WITH $duckLshCandCtes,
+sym AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL SELECT doc_b, doc_a FROM cand
+),
+s0 AS (SELECT doc_id, doc_id AS label FROM documents),
+$rounds
+SELECT doc_id, label AS cluster_id,
+  count(*) OVER (PARTITION BY label) AS cluster_size
+FROM s$CcRounds ORDER BY doc_id"""
+      },
+      "LSH pairs → connected components via min-label + pointer jumping"),
 
     // ── SimHash: 32-bit bit-majority fingerprint over md5 token hashes
     "x07_dedup_simhash" -> QueryDef(
