@@ -276,8 +276,16 @@ ORDER BY doc_a, doc_b"""
         // algorithms): labels and the shortcut's self-join each reference
         // the previous round twice, so a lazy chain would grow the plan
         // ~3x per round; the checkpointed frame is one tiny
-        // (doc_id, label) table per round
-        val fin = (1 to CcRounds).foldLeft(init) { (labels, _) =>
+        // (doc_id, label) table per round. Labels only decrease, so once
+        // a round changes nothing the fixpoint is reached and the
+        // remaining rounds are identities — stopping early returns
+        // EXACTLY the fixed-unroll (and oracle) result, for the cost of
+        // one tiny count on already-checkpointed data per round.
+        var labels = init.localCheckpoint(true)
+        var round = 0
+        var converged = false
+        while (round < CcRounds && !converged) {
+          round += 1
           val nbrMin = sym.join(labels, col("dst") === col("doc_id"))
             .groupBy(col("src")).agg(min(col("label")).as("nl"))
           val propagated = labels.as("v")
@@ -285,13 +293,19 @@ ORDER BY doc_a, doc_b"""
             .select(col("v.doc_id").as("doc_id"),
               least(col("v.label"), coalesce(col("m.nl"), col("v.label")))
                 .as("label"))
-          propagated.as("p")
+          val next = propagated.as("p")
             .join(propagated.as("q"),
               col("p.label") === col("q.doc_id"))
             .select(col("p.doc_id").as("doc_id"),
               col("q.label").as("label"))
             .localCheckpoint(true)
+          converged = next.as("n")
+            .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+            .filter(col("n.label") =!= col("o.label"))
+            .isEmpty
+          labels = next
         }
+        val fin = labels
         fin.select(col("doc_id"), col("label").as("cluster_id"))
           .withColumn("cluster_size", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
