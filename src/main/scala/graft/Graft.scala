@@ -105,6 +105,17 @@ object Graft {
       operators.Multimodal.frameSamples(spark, dir)
   }
 
+  /** Generic as-of join (pandas `merge_asof` "backward"): see
+    * [[operators.Joins.asOf]]. The declared `j14_asof_join` is its
+    * oracle-checked instantiation.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      tieBreak: Seq[String] = Nil): DataFrame =
+    operators.Joins.asOf(left, right, leftKey, rightKey, leftTime,
+      rightTime, tieBreak)
+
   /** Ad-hoc JDBC query read (S1, the `fetch_data(query)` analog); see
     * [[sources.Jdbc]] for the partitioned-read guidance.
     */

@@ -1,0 +1,49 @@
+package graft
+
+import java.sql.Timestamp
+
+/** Generic as-of join combinator: backward pick, null for unmatched,
+  * deterministic tie-break, and no key requirement on the left frame.
+  */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOf picks the latest right row at-or-before each left time") {
+    val trades = Seq(
+      ("AAPL", ts("2001-01-01 10:00:05"), 100),
+      ("AAPL", ts("2001-01-01 10:00:00"), 50), // exact-time match counts
+      ("MSFT", ts("2001-01-01 10:00:03"), 75),
+      ("NVDA", ts("2001-01-01 10:00:03"), 10)) // no quotes at all
+      .toDF("sym", "trade_ts", "qty")
+    val quotes = Seq(
+      ("AAPL", ts("2001-01-01 10:00:00"), 1.0),
+      ("AAPL", ts("2001-01-01 10:00:03"), 2.0),
+      ("AAPL", ts("2001-01-01 10:00:06"), 3.0), // after both trades
+      ("MSFT", ts("2001-01-01 10:00:04"), 9.0)) // after the MSFT trade
+      .toDF("qsym", "quote_ts", "px")
+    val out = operators.Joins.asOf(trades, quotes,
+        "sym", "qsym", "trade_ts", "quote_ts")
+      .select("sym", "qty", "px").collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(out == Set(
+      ("AAPL", 100, 2.0), // latest quote <= 10:00:05 is 10:00:03
+      ("AAPL", 50, 1.0),  // equal timestamps match (at-or-before)
+      ("MSFT", 75, null), // only quote is after the trade
+      ("NVDA", 10, null)))
+  }
+
+  test("ties on the winning time break deterministically") {
+    val l = Seq(("k", ts("2001-01-01 00:00:10"))).toDF("k", "t")
+    val r = Seq(
+      ("k", ts("2001-01-01 00:00:05"), "a"),
+      ("k", ts("2001-01-01 00:00:05"), "b"))
+      .toDF("rk", "rt", "tag")
+    val out = operators.Joins.asOf(l, r, "k", "rk", "t", "rt",
+      tieBreak = Seq("tag"))
+    assert(out.select("tag").collect().map(_.getString(0)).toSeq ==
+      Seq("b")) // desc tie-break
+  }
+}
