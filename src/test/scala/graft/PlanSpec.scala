@@ -63,6 +63,23 @@ class PlanSpec extends SparkSpec {
       plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("j13: the banded dimension broadcasts; fact side never shuffles") {
+    val plan = q("j13_range_band_join").queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    // the only exchange below the aggregate is the broadcast itself
+    assert(!plan.contains("Exchange hashpartitioning(value"), plan.take(1500))
+  }
+
+  test("j14: as-of join keeps its equi conjunct in a hash join") {
+    // if Catalyst ever failed to extract user_id = o_custkey from the
+    // compound condition, this would silently become a nested-loop join —
+    // the one regression that kills the operator at scale
+    val plan = q("j14_asof_join").queryExecution.sparkPlan.toString
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(1500))
+    assert(!plan.contains("NestedLoopJoin"), plan.take(1500))
+  }
+
   test("registry sweep: no unintended cartesian product in any plan") {
     // similarity scans intentionally crossJoin a BROADCAST probe/centroid
     // side (bounded, small); streaming queries execute on construction so
