@@ -169,6 +169,27 @@ class SinksSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("partition pruning: a month filter scans exactly one partition") {
+    val dir = tmp("prune")
+    val df = Tables.orders(spark, sf)
+      .withColumn("om", date_format(col("o_orderdate"), "yyyy-MM"))
+    Sinks.refreshPartitions(df, dir, "om")
+    val aMonth = spark.read.parquet(dir)
+      .select("om").distinct().orderBy("om").head.getString(0)
+    val pruned = spark.read.parquet(dir).filter(col("om") === aMonth)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .head
+    // the filter must prune at the DIRECTORY level, not scan-then-filter:
+    // that's the property that makes month-refresh layouts cheap to read
+    // back at 100 TB of history
+    assert(scan.metadata("PartitionFilters").contains("om"),
+      scan.metadata("PartitionFilters"))
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 partition, scanned ${scan.selectedPartitions.partitionCount}")
+    assert(pruned.count() > 0)
+  }
+
   test("S3/S5 csv and json scans roundtrip") {
     val dir = tmp("scan")
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "name")
