@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotLong, MinHashSigs}
+import graft.functions.{DotLong, MinHashSigs, SimHashBits}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -29,7 +29,10 @@ object GraftExtensions {
         case Literal(k: Int, _) => MinHashSigs(args(0), k)
         case other => throw new IllegalArgumentException(
           s"minhash_sigs(arr, k): k must be an integer literal, got $other")
-      }))
+      }),
+    (FunctionIdentifier("simhash_bits"),
+      new ExpressionInfo(classOf[SimHashBits].getName, "simhash_bits"),
+      (args: Seq[Expression]) => SimHashBits(args(0))))
 
   /** Idempotent runtime registration for sessions built without the
     * extensions config.

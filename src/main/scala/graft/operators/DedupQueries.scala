@@ -46,19 +46,27 @@ object DedupQueries {
 
   private val K = 6 // minhash signature length; 6 bands of 1 row for LSH
 
+  /** The 32-term HOF spelling of the bit-majority — retained as the
+    * reference semantics `simhash_bits` (native one-pass,
+    * graft.functions.SimHashBits) must match bit-exactly
+    * (SimHashBitsSpec asserts it); the oracle uses the DuckDB twin.
+    */
+  private[graft] val sparkSimhashHof: String = (0 until 32).map { b =>
+    s"(CASE WHEN 2 * size(filter(th, h -> (shiftright(h, $b) & 1) = 1)) > size(th) THEN ${1L << b}L ELSE 0L END)"
+  }.mkString(" + ")
+
   /** (doc_id, simhash): 32-bit bit-majority fingerprint over per-token
-    * md5 hashes (Charikar '02), shared by x07/x13.
+    * md5 hashes (Charikar '02), shared by x07/x13 — one native array
+    * traversal instead of 32 interpreted lambda passes.
     */
   private def simhashes(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    val bits = (0 until 32).map { b =>
-      s"(CASE WHEN 2 * size(filter(th, h -> (shiftright(h, $b) & 1) = 1)) > size(th) THEN ${1L << b}L ELSE 0L END)"
-    }.mkString(" + ")
+    graft.GraftExtensions.install(s)
     Tables.documentsSpread(s, d)
       .withColumn("w", expr("split(text, ' ')"))
       .withColumn("th", expr(
         "transform(w, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT))"))
-      .select(col("doc_id"), expr(s"$bits").as("simhash"))
+      .select(col("doc_id"), expr("simhash_bits(th)").as("simhash"))
   }
 
   /** DuckDB CTE (`sh`) in lockstep with [[simhashes]]. */
