@@ -159,5 +159,53 @@ FROM t ORDER BY doc_id"""
                 AS fp_norm,
               md5(substr(text, 1, 64)) AS fp_prefix,
               CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp_long
-              FROM documents ORDER BY doc_id""")))
+              FROM documents ORDER BY doc_id""")),
+
+    // ── Corpus length-distribution QC: decile bounds of document length
+    // per language — ntile over a TOTAL order (n_chars, then doc_id) is
+    // deterministic on both engines; the decile summary is the shape a
+    // pipeline dashboards before/after each filtering stage. One window
+    // shuffle on lang + one tiny aggregation.
+    "x15_length_deciles" -> QueryDef(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+        Tables.documents(s, d)
+          .withColumn("decile", ntile(10).over(w).cast("bigint"))
+          .groupBy(col("lang"), col("decile"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(col("n_chars")).as("len_lo"),
+            max(col("n_chars")).as("len_hi"))
+          .orderBy("lang", "decile")
+      },
+      Some("""
+SELECT lang, decile, count(*) AS n_docs,
+  min(n_chars) AS len_lo, max(n_chars) AS len_hi
+FROM (SELECT lang, n_chars,
+        ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+          AS decile
+      FROM documents)
+GROUP BY 1, 2 ORDER BY lang, decile"""),
+      "per-language length deciles: total-order ntile, deterministic"),
+
+    // ── Deterministic held-out split: assign every document to
+    // train/validation by md5 hash bucket — the corpus-standard split
+    // (stable under re-runs, insertion order, and partitioning; no RNG,
+    // no shuffle at all — pure map). Bucket = first 15 md5 nibbles of
+    // the doc id mod 10; bucket 0 ⇒ validation (~10%).
+    "x16_split_holdout" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .withColumn("bucket",
+          expr("pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT), 10)"))
+        .select(col("doc_id"), col("lang"),
+          when(col("bucket") === 0, "validation").otherwise("train")
+            .as("split"))
+        .orderBy("doc_id"),
+      Some("""
+SELECT doc_id, lang,
+  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         AS BIGINT) % 10 = 0
+       THEN 'validation' ELSE 'train' END AS split
+FROM documents ORDER BY doc_id"""),
+      "md5-bucket train/validation split: deterministic, map-only"))
 }
