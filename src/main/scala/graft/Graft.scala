@@ -85,6 +85,12 @@ object Graft {
     */
   def clearCaches(spark: SparkSession): Unit = spark.catalog.clearCache()
 
+  /** The corpus-prep pipeline composed end-to-end (quality filter →
+    * exact dedup → deterministic held-out split) — the LLM-side flagship.
+    */
+  def corpusPrepare(spark: SparkSession, dir: String): DataFrame =
+    run("corpus_prepare", spark, dir)
+
   /** Text analysis over a `documents`-shaped table. */
   object text {
     def tokens(spark: SparkSession, dir: String): DataFrame =

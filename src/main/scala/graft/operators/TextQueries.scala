@@ -207,5 +207,76 @@ SELECT doc_id, lang,
          AS BIGINT) % 10 = 0
        THEN 'validation' ELSE 'train' END AS split
 FROM documents ORDER BY doc_id"""),
-      "md5-bucket train/validation split: deterministic, map-only"))
+      "md5-bucket train/validation split: deterministic, map-only"),
+
+    // ── The corpus-prep pipeline COMPOSED end-to-end (the LLM-side
+    // flagship, as loan_detail is for the relational side): quality
+    // score → threshold filter → exact dedup keep-first on the
+    // normalized fingerprint → deterministic held-out split. Shapes:
+    // scoring and splitting are pure map stages, the dedup is the one
+    // hash shuffle (window on fp_norm), and the quality filter runs
+    // BEFORE the shuffle so losers never ship.
+    "corpus_prepare" -> QueryDef(
+      (s, d) => {
+        val en = inList(stopwords.head._2)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("fp_norm").orderBy("doc_id")
+        Tables.documents(s, d)
+          .withColumn("n_tokens", expr("size(split(text, ' '))"))
+          .withColumn("stop_ratio", expr(
+            s"size(filter(split(text, ' '), w -> w IN $en)) / CAST(n_tokens AS DOUBLE)"))
+          .withColumn("uniq_ratio", expr(
+            "size(array_distinct(split(text, ' '))) / CAST(n_tokens AS DOUBLE)"))
+          .withColumn("quality_score", Money.moneyRound(
+            lit(100d) * (lit(0.4d) * col("stop_ratio") +
+              lit(0.3d) * col("uniq_ratio") +
+              lit(0.3d) * least(col("n_tokens") / 100d, lit(1d)))))
+          .filter(col("quality_score") >= 25d)
+          .withColumn("fp_norm",
+            md5(regexp_replace(lower(trim(col("text"))), " +", " ")
+              .cast("binary")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .withColumn("split",
+            when(expr("pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT), 10)") === 0,
+              "validation").otherwise("train"))
+          .select(col("doc_id"), col("lang"),
+            col("n_tokens").cast("bigint").as("n_tokens"),
+            col("quality_score"), col("split"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val en = inList(stopwords.head._2)
+        s"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+    len(string_split(text, ' ')) AS n_tokens,
+    ${sqlRound(
+          s"""100 * (0.4 * (len(list_filter(string_split(text, ' '), w -> w IN $en))
+                / CAST(len(string_split(text, ' ')) AS DOUBLE))
+              + 0.3 * (len(list_distinct(string_split(text, ' ')))
+                / CAST(len(string_split(text, ' ')) AS DOUBLE))
+              + 0.3 * least(len(string_split(text, ' ')) / 100.0, 1.0))""")}
+      AS quality_score
+  FROM documents
+),
+kept AS (
+  SELECT *, md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
+    AS fp_norm
+  FROM scored WHERE quality_score >= 25
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp_norm ORDER BY doc_id)
+      AS rn
+    FROM kept)
+  WHERE rn = 1
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, quality_score,
+  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         AS BIGINT) % 10 = 0
+       THEN 'validation' ELSE 'train' END AS split
+FROM deduped ORDER BY doc_id"""
+      },
+      "corpus flagship: quality filter → exact dedup → held-out split"))
 }
