@@ -78,6 +78,19 @@ object Graft {
       run("x12_ann_ivf_search", spark, dir)
     def nearDup(spark: SparkSession, dir: String): DataFrame =
       run("x11_embed_neardup", spark, dir)
+
+    /** Train + persist the IVF index (centroids + bucket-partitioned
+      * assignment) — amortize training across every later search.
+      */
+    def buildIndex(spark: SparkSession, dir: String, indexPath: String): Unit =
+      operators.SimilarityQueries.buildIndex(spark, dir, indexPath)
+
+    /** Serve nprobe top-k from a persisted index: zero training,
+      * bucket-pruned scans; identical results to [[ivfSearch]].
+      */
+    def searchIndex(spark: SparkSession, dir: String,
+        indexPath: String): DataFrame =
+      operators.SimilarityQueries.searchIndex(spark, dir, indexPath)
   }
 
   /** Release persisted intermediate branches left by the dedup/similarity

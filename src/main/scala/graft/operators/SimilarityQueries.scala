@@ -209,6 +209,70 @@ c$i AS (
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** nprobe top-k over a (centroids, assignment) pair: probes route to
+    * their NProbe nearest centroid buckets (broadcast centroids, window
+    * top-NProbe) and scan ONLY those via the bucket equi-join. Shared by
+    * the self-contained x12 and the persisted-index serve path.
+    */
+  private def nprobeTopK(probes: DataFrame, cent: DataFrame,
+      assigned: DataFrame): DataFrame = {
+    val wp = Window.partitionBy("q_id").orderBy(desc("pcos"), col("c_id"))
+    val probeBuckets = probes
+      .crossJoin(broadcast(cent))
+      .withColumn("pcos",
+        expr(s"CAST(${sparkDot("c_qe", "q_qe")} AS DOUBLE)") /
+          (sqrt(col("c_qn").cast("double")) *
+            sqrt(col("q_qn").cast("double"))))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= NProbe)
+      .select(col("q_id"), col("q_qe"), col("q_qn"),
+        col("c_id").as("bucket"))
+    val wk = Window.partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
+    probeBuckets.join(assigned, "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        expr(s"CAST(${sparkDot("q_qe", "qe")} AS DOUBLE)") /
+          (sqrt(col("q_qn").cast("double")) *
+            sqrt(col("qn").cast("double"))))
+      .withColumn("rank", row_number().over(wk).cast("bigint"))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cos"), col("bucket"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Train the IVF index ONCE and persist it — the production serve path
+    * amortizes centroid training and corpus assignment across every
+    * query instead of paying them per search. The centroid table is a
+    * tiny parquet; the assignment is PARTITIONED BY bucket, so a search
+    * reads only its probed buckets (directory-level pruning through the
+    * bucket join — the disk layout mirrors what the in-memory equi-join
+    * exploits).
+    */
+  def buildIndex(s: SparkSession, dir: String, indexPath: String): Unit = {
+    val e = quantizedCached(s, dir)
+    val cent = trainedCentroids(e)
+    cent.write.mode("overwrite").parquet(s"$indexPath/centroids")
+    assignedBuckets(e, cent)
+      .select(col("vec_id"), col("qe"), col("qn"), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$indexPath/assignment")
+  }
+
+  /** Serve nprobe top-k for `dir`'s probe set from a persisted index —
+    * zero training, bucket-pruned scans; results identical to the
+    * self-contained `x12_ann_ivf_search` (IvfIndexSpec pins this).
+    */
+  def searchIndex(s: SparkSession, dir: String,
+      indexPath: String): DataFrame = {
+    val probes = quantized(s, dir).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("qe").as("q_qe"),
+        col("qn").as("q_qn"))
+    nprobeTopK(probes,
+      s.read.parquet(s"$indexPath/centroids"),
+      s.read.parquet(s"$indexPath/assignment"))
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     // ── Brute-force cosine top-k: exact baseline; probe set broadcast,
@@ -334,32 +398,10 @@ ORDER BY vec_a, vec_b"""),
       (s, d) => {
         val e = quantizedCached(s, d)
         val cent = trainedCentroids(e)
-        val assigned = assignedBuckets(e, cent)
-        val wp = Window.partitionBy("q_id").orderBy(desc("pcos"), col("c_id"))
-        val probeBuckets = e.filter(col("vec_id") < NQueries)
+        val probes = e.filter(col("vec_id") < NQueries)
           .select(col("vec_id").as("q_id"), col("qe").as("q_qe"),
             col("qn").as("q_qn"))
-          .crossJoin(broadcast(cent))
-          .withColumn("pcos",
-            expr(s"CAST(${sparkDot("c_qe", "q_qe")} AS DOUBLE)") /
-              (sqrt(col("c_qn").cast("double")) *
-                sqrt(col("q_qn").cast("double"))))
-          .withColumn("rn", row_number().over(wp))
-          .filter(col("rn") <= NProbe)
-          .select(col("q_id"), col("q_qe"), col("q_qn"),
-            col("c_id").as("bucket"))
-        val wk = Window.partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
-        probeBuckets.join(assigned, "bucket")
-          .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("cos",
-            expr(s"CAST(${sparkDot("q_qe", "qe")} AS DOUBLE)") /
-              (sqrt(col("q_qn").cast("double")) *
-                sqrt(col("qn").cast("double"))))
-          .withColumn("rank", row_number().over(wk).cast("bigint"))
-          .filter(col("rank") <= K)
-          .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
-            col("cos"), col("bucket"))
-          .orderBy("q_id", "rank")
+        nprobeTopK(probes, cent, assignedBuckets(e, cent))
       },
       Some(s"""
 WITH $duckQuantizedCte,

@@ -1,0 +1,29 @@
+package graft
+
+/** Persisted IVF index: build once, serve many. The serve path must
+  * return exactly what the self-contained x12 computes, and the on-disk
+  * assignment must be laid out one directory per bucket so probed-bucket
+  * reads prune at the directory level.
+  */
+class IvfIndexSpec extends SparkSpec {
+
+  test("searchIndex over a built index equals the self-contained x12") {
+    val idx = java.nio.file.Files.createTempDirectory("ivf").toString
+    operators.SimilarityQueries.buildIndex(spark, sf, idx)
+    spark.catalog.clearCache()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rank", "neighbor_id", "bucket").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val served = rows(
+      operators.SimilarityQueries.searchIndex(spark, sf, idx))
+    val selfContained = rows(
+      SparkEntry.queries("x12_ann_ivf_search")(spark, sf))
+    spark.catalog.clearCache()
+    assert(served == selfContained)
+    // bucket-partitioned layout on disk
+    val parts = new java.io.File(s"$idx/assignment").listFiles()
+      .filter(_.getName.startsWith("bucket="))
+    assert(parts.length > 1, s"expected bucket=* dirs, got ${parts.length}")
+  }
+}
