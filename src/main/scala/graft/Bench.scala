@@ -4,11 +4,16 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every declared query at SPARK_GRAFT_SF_DIR and
   * reports one JSON object two ways:
   *
-  *   1. full precision to `/root/repo/bench_out.json` (machine-readable
-  *      regardless of how stdout is captured), and
-  *   2. a compact (2-decimal) single line as the FINAL stdout line — the
-  *      driver's log capture keeps only a bounded tail, so the line is
-  *      kept short and nothing may print after it (build.sbt sets
+  *   1. full precision, every query, to `bench_out.json`
+  *      (`SPARK_GRAFT_BENCH_OUT` overrides the path) — machine-readable
+  *      regardless of how stdout is captured, and
+  *   2. a BOUNDED single line as the FINAL stdout line. The driver's log
+  *      capture keeps only the last ~2000 characters of stdout; round 2's
+  *      full 80-query line was ~2350 chars, so the capture truncated its
+  *      head and the driver recorded `parsed: null`. The final line now
+  *      carries the total plus only the slowest queries, greedily added
+  *      until a hard 1500-char budget — it always parses from a 2000-char
+  *      tail. Nothing may print after it (build.sbt sets
   *      `showSuccess := false` so sbt's own trailer doesn't follow it).
   *
   * Before the timed pass, EVERY declared query runs once against the
@@ -56,24 +61,37 @@ object Bench {
     }
     val total = results.collect { case (_, dt, true) => dt }.sum
     val errors = results.collect { case (n, _, false) => n }
-    def render(fmt: Double => String): String = {
-      val qs = results
+    def compact(d: Double): String = f"$d%.2f".stripSuffix("0") match {
+      case s if s.endsWith(".") => s + "0"
+      case s                    => s
+    }
+    def render(entries: Seq[(String, Double, Boolean)],
+               fmt: Double => String): String = {
+      val qs = entries
         .map { case (n, dt, ok) => s"\"$n\":" + fmt(if (ok) dt else -dt) }
         .mkString("{", ",", "}")
       val errs =
         if (errors.isEmpty) ""
         else errors.mkString(",\"errors\":[\"", "\",\"", "\"]")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
-        s""","queries":$qs$errs,"sf":"$sfDir"}"""
+        s""","n_queries":${results.size},"queries":$qs$errs,"sf":"$sfDir"}"""
     }
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/bench_out.json")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/bench_out.json"),
-      render(_.toString).getBytes("UTF-8"))
+      java.nio.file.Paths.get(benchOut),
+      render(results, _.toString).getBytes("UTF-8"))
     spark.stop()
-    // compact spelling, LAST line: %.2f, strip the trailing zero of x.x0
-    println(render(d => f"$d%.2f".stripSuffix("0") match {
-      case s if s.endsWith(".") => s + "0"
-      case s                    => s
-    }))
+    // Final stdout line: slowest-first, greedily kept under a 1500-char
+    // budget so a 2000-char tail capture always holds the whole line.
+    // Failed queries are always included (negative duration + errors list).
+    val failed = results.filter(!_._3)
+    val bySlowest = results.filter(_._3).sortBy(-_._2)
+    val budget = 1500
+    val picked = bySlowest.foldLeft(failed) { (acc, e) =>
+      val cand = acc :+ e
+      if (render(cand, compact).length <= budget) cand else acc
+    }
+    println(render(picked.sortBy(_._1), compact))
   }
 }

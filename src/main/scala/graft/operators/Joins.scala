@@ -25,22 +25,44 @@ object Joins {
     * The window partitions on an internal per-row id
     * (`monotonically_increasing_id` — unique within the job), so the
     * left frame needs no key of its own; the id never escapes.
+    *
+    * Column-name collisions (the common pandas `merge_asof(on=...)`
+    * usage, where both sides carry e.g. `user_id`): the right key is
+    * joined under an internal alias and only the right copy is dropped,
+    * so a shared key name survives exactly once (the left copy). Any
+    * OTHER right column whose name already exists on the left comes out
+    * suffixed `_right` (mirroring pandas' `_x`/`_y` disambiguation);
+    * this includes the right time column when it shares the left time's
+    * name.
     */
   def asOf(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
       tieBreak: Seq[String] = Nil): DataFrame = {
     val rowId = "__asof_row_id"
-    val ordering: Seq[Column] =
-      desc(rightTime) +: tieBreak.map(desc)
+    val rkey  = "__asof_rkey"
+    val leftCols = left.columns.toSet
+    // The right key gets an internal alias (dropped after the join); any
+    // other colliding right column gets the public `_right` suffix.
+    def publicName(c: String): String =
+      if (leftCols(c)) c + "_right" else c
+    val renamed = right.columns.foldLeft(right) { (df, c) =>
+      if (c == rightKey) df.withColumnRenamed(c, rkey)
+      else if (leftCols(c)) df.withColumnRenamed(c, publicName(c))
+      else df
+    }
+    val rtime = if (rightTime == rightKey) rkey else publicName(rightTime)
+    val ordering: Seq[Column] = desc(rtime) +: tieBreak.map { c =>
+      desc(if (c == rightKey) rkey else publicName(c))
+    }
     val w = Window.partitionBy(rowId).orderBy(ordering: _*)
     val tagged = left.withColumn(rowId, monotonically_increasing_id())
     tagged
-      .join(right,
-        tagged(leftKey) === right(rightKey) &&
-          right(rightTime) <= tagged(leftTime), "left")
+      .join(renamed,
+        tagged(leftKey) === renamed(rkey) &&
+          renamed(rtime) <= tagged(leftTime), "left")
       .withColumn("__asof_rn", row_number().over(w))
       .filter(col("__asof_rn") === 1)
-      .drop("__asof_rn", rowId, rightKey)
+      .drop("__asof_rn", rowId, rkey)
   }
 }

@@ -14,9 +14,14 @@ import org.apache.spark.sql.types.{NumericType, StringType, StructField, StructT
   * (`/root/reference/utils/gsheets_utils.py:177-181`, pandas
   * `read_excel`). No xlsx library ships in this environment, so this is a
   * minimal self-contained reader for the public OOXML SpreadsheetML
-  * format (ECMA-376): an xlsx file is a zip whose first worksheet lives
-  * at `xl/worksheets/sheet1.xml` with strings interned in
-  * `xl/sharedStrings.xml`.
+  * format (ECMA-376): an xlsx file is a zip of XML parts with strings
+  * interned in `xl/sharedStrings.xml`. "First worksheet" means the first
+  * `<sheet>` in `xl/workbook.xml` resolved through
+  * `xl/_rels/workbook.xml.rels` — sheet ORDER is defined by the
+  * workbook part, not by part filenames (a workbook whose sheets were
+  * reordered or deleted may store its first sheet as `sheet3.xml`);
+  * when those parts are absent, fall back to the lowest numeric
+  * `sheetN.xml` suffix (`sheet2` before `sheet10`).
   *
   * Distribution shape: files load through Spark's `binaryFile` source and
   * each file is parsed where its bytes land, so a folder of workbooks
@@ -83,6 +88,10 @@ object Xlsx {
     var curCol = 0
     var curType = ""
     var curVal: String = null
+    // inlineStr cells can hold several rich-text runs (<is><r><t>a</t></r>
+    // <r><t>b</t></r></is>); runs concatenate, same as parseShared.
+    val inlineSb = new StringBuilder
+    var inlineSeen = false
     val r = newFactory().createXMLStreamReader(new ByteArrayInputStream(bytes))
     try {
       while (r.hasNext) {
@@ -97,15 +106,19 @@ object Xlsx {
                 curCol = if (ref != null) colIndex(ref) else nextCol
                 nextCol = curCol + 1
                 curVal = null
+                inlineSb.clear(); inlineSeen = false
               case "v" => curVal = r.getElementText
-              case "t" if curType == "inlineStr" => curVal = r.getElementText
+              case "t" if curType == "inlineStr" =>
+                inlineSb.append(r.getElementText); inlineSeen = true
               case _ =>
             }
           case XMLStreamConstants.END_ELEMENT =>
             r.getLocalName match {
               case "c" =>
                 val resolved =
-                  if (curVal == null) null
+                  if (curType == "inlineStr")
+                    (if (inlineSeen) inlineSb.toString else null)
+                  else if (curVal == null) null
                   else if (curType == "s") shared(curVal.trim.toInt)
                   else curVal
                 if (resolved != null) cells += ((curCol, resolved))
@@ -123,28 +136,73 @@ object Xlsx {
     rows.result()
   }
 
-  /** Workbook bytes → first worksheet as rows of nullable strings. */
+  private val RelNs =
+    "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+
+  /** `xl/workbook.xml` → the first `<sheet>`'s relationship id. */
+  private def firstSheetRelId(wb: Array[Byte]): Option[String] = {
+    val r = newFactory().createXMLStreamReader(new ByteArrayInputStream(wb))
+    try {
+      while (r.hasNext)
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "sheet")
+          return Option(r.getAttributeValue(RelNs, "id"))
+      None
+    } finally r.close()
+  }
+
+  /** `xl/_rels/workbook.xml.rels` → the Target part for a given rel id,
+    * resolved to a full zip-entry name (Targets are workbook-relative).
+    */
+  private def relTarget(rels: Array[Byte], rid: String): Option[String] = {
+    val r = newFactory().createXMLStreamReader(new ByteArrayInputStream(rels))
+    try {
+      while (r.hasNext)
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "Relationship" &&
+            r.getAttributeValue(null, "Id") == rid)
+          return Option(r.getAttributeValue(null, "Target")).map(t =>
+            if (t.startsWith("/")) t.drop(1) else "xl/" + t)
+      None
+    } finally r.close()
+  }
+
+  /** Workbook bytes → first worksheet as rows of nullable strings. Sheet
+    * order comes from `xl/workbook.xml` (see class doc); the numeric-
+    * suffix fallback covers stripped-down workbooks without one.
+    */
   private[graft] def parse(bytes: Array[Byte]): Vector[Vector[String]] = {
-    var shared: Array[Byte] = null
-    var sheets = List.empty[(String, Array[Byte])]
+    val parts = scala.collection.mutable.Map.empty[String, Array[Byte]]
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     try {
       var e = zin.getNextEntry
       while (e != null) {
-        e.getName match {
-          case "xl/sharedStrings.xml" => shared = zin.readAllBytes()
-          case n if n.startsWith("xl/worksheets/sheet") && n.endsWith(".xml") =>
-            sheets ::= (n, zin.readAllBytes())
-          case _ =>
-        }
+        val n = e.getName
+        if (n == "xl/sharedStrings.xml" || n == "xl/workbook.xml" ||
+            n == "xl/_rels/workbook.xml.rels" ||
+            (n.startsWith("xl/worksheets/") && n.endsWith(".xml")))
+          parts(n) = zin.readAllBytes()
         e = zin.getNextEntry
       }
     } finally zin.close()
-    val sheet = sheets.sortBy(_._1).headOption.getOrElse(
+    val declared = for {
+      wb     <- parts.get("xl/workbook.xml")
+      rels   <- parts.get("xl/_rels/workbook.xml.rels")
+      rid    <- firstSheetRelId(wb)
+      target <- relTarget(rels, rid)
+      if parts.contains(target)
+    } yield target
+    val numbered = "xl/worksheets/sheet([0-9]+)\\.xml".r
+    val fallback = parts.keys.toSeq
+      .collect { case n @ numbered(i) => (i.toInt, n) }
+      .minByOption(_._1).map(_._2)
+      .orElse(parts.keys.filter(_.startsWith("xl/worksheets/")).toSeq
+        .sorted.headOption)
+    val sheetName = declared.orElse(fallback).getOrElse(
       throw new IllegalArgumentException("not an xlsx: no xl/worksheets/"))
-    val strings = if (shared == null) Vector.empty[String]
-      else parseShared(shared)
-    parseSheet(sheet._2, strings)
+    val strings = parts.get("xl/sharedStrings.xml")
+      .map(parseShared).getOrElse(Vector.empty[String])
+    parseSheet(parts(sheetName), strings)
   }
 
   /** Read one xlsx file or a glob of them into a string-typed DataFrame.
@@ -213,6 +271,13 @@ object Xlsx {
     val names = df.columns
     def cell(ref: String, v: Any, num: Boolean): String = v match {
       case null => ""
+      // NaN/Infinity are not valid SpreadsheetML numeric content (Excel
+      // itself cannot represent them as numbers) — write them as inline
+      // strings; a downstream cast("double") still round-trips them.
+      case x: Double if x.isNaN || x.isInfinite =>
+        s"""<c r="$ref" t="inlineStr"><is><t>$x</t></is></c>"""
+      case x: Float if x.isNaN || x.isInfinite =>
+        s"""<c r="$ref" t="inlineStr"><is><t>$x</t></is></c>"""
       case x if num => s"""<c r="$ref"><v>$x</v></c>"""
       case x =>
         s"""<c r="$ref" t="inlineStr"><is><t>${xmlEscape(x.toString)}</t></is></c>"""

@@ -46,4 +46,33 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.select("tag").collect().map(_.getString(0)).toSeq ==
       Seq("b")) // desc tie-break
   }
+
+  test("shared key name survives exactly once (pandas on= usage)") {
+    val l = Seq(
+      ("u1", ts("2001-01-01 00:00:10"), "a"),
+      ("u2", ts("2001-01-01 00:00:10"), "b"))
+      .toDF("user_id", "t", "payload")
+    val r = Seq(("u1", ts("2001-01-01 00:00:05"), 1.5))
+      .toDF("user_id", "rt", "score")
+    val out = operators.Joins.asOf(l, r, "user_id", "user_id", "t", "rt")
+    assert(out.columns.count(_ == "user_id") == 1)
+    val rows = out.select("user_id", "payload", "score").collect()
+      .map(rr => (rr.getString(0), rr.getString(1),
+        if (rr.isNullAt(2)) null else rr.getDouble(2))).toSet
+    assert(rows == Set(("u1", "a", 1.5), ("u2", "b", null)))
+  }
+
+  test("colliding non-key right columns come out suffixed _right") {
+    val l = Seq(("k", ts("2001-01-01 00:00:10"), "L"))
+      .toDF("k", "t", "src")
+    val r = Seq(("k", ts("2001-01-01 00:00:05"), "R"))
+      .toDF("rk", "t", "src") // both `t` and `src` collide
+    val out = operators.Joins.asOf(l, r, "k", "rk", "t", "t")
+    assert(out.columns.sorted.toSeq ==
+      Seq("k", "src", "src_right", "t", "t_right"))
+    val row = out.select("src", "src_right", "t", "t_right").head()
+    assert(row.getString(0) == "L" && row.getString(1) == "R")
+    assert(row.getTimestamp(2) == ts("2001-01-01 00:00:10") &&
+      row.getTimestamp(3) == ts("2001-01-01 00:00:05"))
+  }
 }

@@ -94,4 +94,77 @@ class XlsxSpec extends SparkSpec {
     assert(df.count() == 2) // header row surfaces as data
     assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("3", "id"))
   }
+
+  private def writeParts(path: String, parts: (String, String)*): Unit = {
+    val z = new ZipOutputStream(new FileOutputStream(path))
+    parts.foreach { case (name, body) =>
+      z.putNextEntry(new ZipEntry(name))
+      z.write(body.getBytes("UTF-8")); z.closeEntry()
+    }
+    z.close()
+  }
+
+  test("first sheet resolves through workbook.xml, not part filenames") {
+    // sheets were deleted/reordered: the workbook's FIRST declared sheet
+    // is stored as sheet10.xml, and sheet2.xml (lexicographically and
+    // numerically smaller) is a decoy later in the book.
+    val p = s"$dir/reordered.xlsx"
+    writeParts(p,
+      "xl/workbook.xml" ->
+        """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="Real" sheetId="7" r:id="rId7"/><sheet name="Decoy" sheetId="2" r:id="rId2"/></sheets></workbook>""",
+      "xl/_rels/workbook.xml.rels" ->
+        """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/><Relationship Id="rId7" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet10.xml"/></Relationships>""",
+      "xl/worksheets/sheet2.xml" -> sheet(
+        """<row r="1"><c r="A1" t="inlineStr"><is><t>wrong</t></is></c></row>"""),
+      "xl/worksheets/sheet10.xml" -> sheet(
+        """<row r="1"><c r="A1" t="inlineStr"><is><t>right</t></is></c></row>"""))
+    val df = sources.Xlsx.read(spark, p, header = false)
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("right"))
+  }
+
+  test("fallback without workbook rels sorts by numeric suffix") {
+    // sheet2 must win over sheet10 (lexicographic order would pick 10)
+    val p = s"$dir/norels.xlsx"
+    writeParts(p,
+      "xl/worksheets/sheet10.xml" -> sheet(
+        """<row r="1"><c r="A1" t="inlineStr"><is><t>ten</t></is></c></row>"""),
+      "xl/worksheets/sheet2.xml" -> sheet(
+        """<row r="1"><c r="A1" t="inlineStr"><is><t>two</t></is></c></row>"""))
+    val df = sources.Xlsx.read(spark, p, header = false)
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("two"))
+  }
+
+  test("inlineStr rich-text runs concatenate like shared strings") {
+    val p = s"$dir/richruns.xlsx"
+    writeXlsx(p, null, sheet(
+      """<row r="1"><c r="A1" t="inlineStr"><is><r><rPr><b/></rPr><t>bold</t></r><r><t xml:space="preserve"> plain</t></r></is></c><c r="B1" t="inlineStr"><is/></c><c r="C1" t="inlineStr"><is><t>z</t></is></c></row>"""))
+    val df = sources.Xlsx.read(spark, p, header = false)
+    val row = df.collect().head
+    assert(row.getString(0) == "bold plain")
+    assert(row.isNullAt(1)) // empty <is/> stays a NULL cell
+    assert(row.getString(2) == "z")
+  }
+
+  test("non-finite doubles write as inline strings, not <v>NaN</v>") {
+    import spark.implicits._
+    val df = Seq((1L, Double.NaN), (2L, Double.PositiveInfinity),
+      (3L, 2.5)).toDF("id", "x")
+    val p = s"$dir/nonfinite.xlsx"
+    sources.Xlsx.write(df, p)
+    // the sheet part must contain no numeric NaN/Infinity cells
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.FileInputStream(p))
+    val xml = Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+      .collectFirst { case e if e.getName == "xl/worksheets/sheet1.xml" =>
+        new String(zin.readAllBytes(), "UTF-8") }.get
+    zin.close()
+    assert(!xml.contains("<v>NaN</v>") && !xml.contains("<v>Infinity</v>"))
+    // and the values still round-trip through a downstream cast
+    val back = sources.Xlsx.read(spark, p)
+      .selectExpr("cast(id as long) id", "cast(x as double) x")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(back(0)._2.isNaN)
+    assert(back(1)._2.isPosInfinity)
+    assert(back(2)._2 == 2.5)
+  }
 }
