@@ -33,4 +33,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Bench/Verify run 80 queries twice (warm-up + timed); whole-stage
+  // codegen emits a class per plan and the JDK default 240 MB code cache
+  // fills late in the run, silently disabling C2 — late-alphabet queries
+  // then measure 2-4x their steady state. Size it so compilation never
+  // stops.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -290,6 +290,15 @@ ORDER BY doc_a, doc_b"""
         // EXACTLY the fixed-unroll (and oracle) result, for the cost of
         // one tiny count on already-checkpointed data per round.
         var labels = init.localCheckpoint(true)
+        // Convergence probe: `label(x) <= x` is invariant (init sets
+        // label = id; min-propagation and the `label(label(x))` shortcut
+        // both preserve it), so any per-row change strictly DECREASES
+        // that row's label — a round changed something iff sum(label)
+        // dropped. One single-stage agg over the checkpointed table per
+        // round, instead of a two-join anti-diff.
+        def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+          df.agg(sum(col("label"))).head().getLong(0)
+        var prevSum = labelSum(labels)
         var round = 0
         var converged = false
         while (round < CcRounds && !converged) {
@@ -307,10 +316,9 @@ ORDER BY doc_a, doc_b"""
             .select(col("p.doc_id").as("doc_id"),
               col("q.label").as("label"))
             .localCheckpoint(true)
-          converged = next.as("n")
-            .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
-            .filter(col("n.label") =!= col("o.label"))
-            .isEmpty
+          val nextSum = labelSum(next)
+          converged = nextSum == prevSum
+          prevSum = nextSum
           labels = next
         }
         val fin = labels

@@ -55,13 +55,20 @@ object ReportingQueries {
     // (load_accounting_data.py:66-133): loan detail → 34-col projection
     // with month twins → monthly accounting rollup (12 sums, bounded by
     // the as-of literal) ∪ settled-month rollup (7 sums; NULL settled
-    // months drop via the <= bound on both engines). One persisted
-    // projection feeds both rollups; each rollup is a single hash
-    // aggregation with map-side combine on an already-reduced key space
-    // (months), so the shuffle is rows≈months regardless of input scale.
+    // months drop via the <= bound on both engines). Spelled as ONE
+    // aggregation pass: each detail row explodes into its qualifying
+    // (section, month) tags (≤2) and a single hash agg with map-side
+    // combine covers both rollups — no second scan, no persist, no
+    // union; per-section column masking happens in the final projection
+    // because a (section, month) group only ever holds one section's
+    // rows. The shuffle stays rows≈months regardless of input scale.
     "reporting_monthly" -> QueryDef(
       (s, d) => {
-        val proj = LoanDetail.detail(s, d)
+        val allSums = (accountingSums ++ settledSums).distinct
+        val accOnly = accountingSums.diff(settledSums).toSet
+        val setlOnly = settledSums.diff(accountingSums).toSet
+        val bound = lit(LastDayPrevMonth).cast("timestamp_ntz")
+        val tagged = LoanDetail.detail(s, d)
           .withColumn("IssueMonthCDMX",
             date_trunc("month",
               DateTimeFns.toCdmx(col("IssueDate")).cast("timestamp_ntz")))
@@ -70,25 +77,28 @@ object ReportingQueries {
           .withColumn("ApportionedAmountPaid",
             col("LateFeePaid") + col("TaxOnLateFeePaid") + col("FeePaid") +
               col("TaxOnFeePaid") + col("PrincipalPaid"))
-          .select((Seq("IssueMonthCDMX", "SettledAtMonthCDMX") ++
-            (accountingSums ++ settledSums).distinct).map(col): _*)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val bound = lit(LastDayPrevMonth).cast("timestamp_ntz")
-        val acc = proj
-          .filter(col("IssueMonthCDMX") < bound)
-          .groupBy(col("IssueMonthCDMX").as("month"))
-          .agg(moneySum(col(accountingSums.head)).as(accountingSums.head),
-            accountingSums.tail.map(c => moneySum(col(c)).as(c)): _*)
-          .withColumn("section", lit("accounting_cdmx"))
-        val setl = proj
-          .filter(col("SettledAtMonthCDMX") <= bound)
-          .groupBy(col("SettledAtMonthCDMX").as("month"))
-          .agg(moneySum(col(settledSums.head)).as(settledSums.head),
-            settledSums.tail.map(c => moneySum(col(c)).as(c)): _*)
-          .withColumn("section", lit("settled_cdmx"))
-        acc.unionByName(setl, allowMissingColumns = true)
-          .select((Seq("section", "month") ++
-            (accountingSums ++ settledSums).distinct).map(col): _*)
+          .withColumn("tag", explode(array(
+            when(col("IssueMonthCDMX") < bound,
+              struct(lit("accounting_cdmx").as("section"),
+                col("IssueMonthCDMX").as("month"))),
+            when(col("SettledAtMonthCDMX") <= bound,
+              struct(lit("settled_cdmx").as("section"),
+                col("SettledAtMonthCDMX").as("month"))))))
+          .filter(col("tag").isNotNull)
+        tagged
+          .groupBy(col("tag.section").as("section"),
+            col("tag.month").as("month"))
+          .agg(moneySum(col(allSums.head)).as(allSums.head),
+            allSums.tail.map(c => moneySum(col(c)).as(c)): _*)
+          .select((Seq(col("section"), col("month")) ++ allSums.map {
+            case c if accOnly(c) =>
+              when(col("section") === "accounting_cdmx", col(c))
+                .cast("double").as(c)
+            case c if setlOnly(c) =>
+              when(col("section") === "settled_cdmx", col(c))
+                .cast("double").as(c)
+            case c => col(c)
+          }): _*)
           .orderBy("section", "month")
       },
       Some {

@@ -195,6 +195,16 @@ object EventStream {
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val ndPrev = spark.conf.getOption(ndKey)
     spark.conf.set(ndKey, keepNoDataBatches.toString)
+    // Stateful operators open one state-store instance PER SHUFFLE
+    // PARTITION per micro-batch (a stream-stream join opens four), and
+    // each instance pays checkpoint-commit I/O — with 32 partitions that
+    // fixed cost dwarfs the data. 8 keeps the drain parallel enough for
+    // the backlog while quartering the store commits; partitioning never
+    // changes results. Restored after the drain (a real firehose sizes
+    // this to its key cardinality instead).
+    val spKey = "spark.sql.shuffle.partitions"
+    val spPrev = spark.conf.getOption(spKey)
+    spark.conf.set(spKey, "8")
     val q = agg.writeStream
       .outputMode(outputMode)
       .format("memory")
@@ -212,6 +222,10 @@ object EventStream {
         ndPrev match {
           case Some(v) => spark.conf.set(ndKey, v)
           case None    => spark.conf.unset(ndKey)
+        }
+        spPrev match {
+          case Some(v) => spark.conf.set(spKey, v)
+          case None    => spark.conf.unset(spKey)
         }
       }
     }
