@@ -17,6 +17,7 @@ object SparkEntry {
       operators.SimilarityQueries.defs ++
       operators.EventQueries.defs ++
       operators.ReportingQueries.defs ++
+      operators.PipelineQueries.defs ++
       operators.MultimodalQueries.defs ++
       streaming.StreamingQueries.defs
 

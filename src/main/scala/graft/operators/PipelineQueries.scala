@@ -1,0 +1,291 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Money
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus pipeline operators beyond the x01-x16 text surface,
+  * plus the reshaping operators (pivot/unpivot/cube) an analytics user of
+  * the reference reaches for in pandas (`pivot_table`/`melt`) — SURVEY
+  * §2.10 extension tier. Everything stays map-only or one-shuffle and
+  * codegen-friendly; no UDFs, no driver-side loops.
+  */
+object PipelineQueries {
+  import Money.{moneySum, sqlSum}
+
+  /** Tokens per packed sequence for x17 — the context-window budget. */
+  private val PackTarget = 2048L
+
+  /** Max duplicate-3-gram fraction a doc may carry and stay kept (x18) —
+    * the Gopher-style repetition filter threshold.
+    */
+  private val RepTau = 0.30
+
+  /** Per-language sampling rates out of 100 for x20. */
+  private val SampleRates = Seq("en" -> 50, "es" -> 30)
+  private val DefaultRate = 10
+
+  private val PhonePat = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private val EmailPat = "[a-z0-9.]+@[a-z0-9]+[.][a-z]+"
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ── Sequence packing: assign docs (in stable doc_id order, per
+    // language shard) to fixed-token-budget bins by prefix-sum division —
+    // the step that turns a filtered corpus into training sequences.
+    // One window shuffle per shard + one tiny aggregation; exact integer
+    // arithmetic end-to-end, so the oracle replays it bit-for-bit. At
+    // 100 TB the shard key is (lang, shard_id) so no partition exceeds a
+    // worker; the prefix sum never leaves the shard.
+    "x17_pack_sequences" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, d)
+          .withColumn("n_tokens",
+            expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+          .withColumn("offset",
+            coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .withColumn("bin_id", expr(s"offset div $PackTarget"))
+          .groupBy(col("lang"), col("bin_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy("lang", "bin_id")
+      },
+      Some(s"""
+WITH t AS (
+  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+    AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT lang, doc_id, n_tokens,
+    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      // $PackTarget AS bin_id
+  FROM t
+)
+SELECT lang, bin_id, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM packed GROUP BY 1, 2 ORDER BY lang, bin_id"""),
+      "greedy sequence packing: per-shard prefix sum div token budget"),
+
+    // ── Repetition filter: fraction of duplicate word-3-grams per doc
+    // (high ⇒ boilerplate/spam) — pure map stage over codegen'd array
+    // expressions; `element_at` is 1-based like the oracle's list index.
+    "x18_repetition_3gram" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .withColumn("w", expr("split(text, ' ')"))
+        .withColumn("g3", expr(
+          """CASE WHEN size(w) >= 3
+             THEN transform(sequence(1, size(w) - 2),
+               i -> concat(element_at(w, i), ' ', element_at(w, i + 1),
+                 ' ', element_at(w, i + 2)))
+             ELSE CAST(array() AS ARRAY<STRING>) END"""))
+        .select(col("doc_id"),
+          expr("CAST(size(g3) AS BIGINT)").as("n_3grams"),
+          expr("CAST(size(array_distinct(g3)) AS BIGINT)")
+            .as("n_distinct"),
+          expr("""CASE WHEN size(g3) > 0
+                  THEN (size(g3) - size(array_distinct(g3)))
+                    / CAST(size(g3) AS DOUBLE)
+                  ELSE CAST(0 AS DOUBLE) END""").as("dup_ratio"))
+        .withColumn("keep", col("dup_ratio") <= RepTau)
+        .orderBy("doc_id"),
+      Some(s"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(w) >= 3
+    THEN list_transform(generate_series(1, len(w) - 2),
+      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])
+    ELSE [] END AS g3
+  FROM t
+)
+SELECT doc_id, CAST(len(g3) AS BIGINT) AS n_3grams,
+  CAST(len(list_distinct(g3)) AS BIGINT) AS n_distinct,
+  CASE WHEN len(g3) > 0
+    THEN (len(g3) - len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE)
+    ELSE CAST(0 AS DOUBLE) END AS dup_ratio,
+  (CASE WHEN len(g3) > 0
+    THEN (len(g3) - len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE)
+    ELSE CAST(0 AS DOUBLE) END) <= $RepTau AS keep
+FROM g ORDER BY doc_id"""),
+      "duplicate-3-gram repetition ratio (Gopher-style) + keep flag"),
+
+    // ── PII scrub: count and redact phone/email patterns before a corpus
+    // ships. The synthetic documents carry no PII, so the input is
+    // synthesized deterministically from `customer` (the u04 pattern:
+    // build the raw form in-query, then prove the transform) — phones in
+    // the TPC-H NN-NNN-NNN-NNNN shape, emails from the customer name.
+    // Patterns avoid backslash escapes so the Java and RE2 dialects agree
+    // by construction; the scrubbed-text md5 pins byte-identical output.
+    "x19_pii_scrub" -> QueryDef(
+      (s, d) => Tables.customer(s, d)
+        .withColumn("phone", concat(
+          lpad(expr("CAST(c_custkey % 90 + 10 AS STRING)"), 2, "0"),
+          lit("-"),
+          lpad(expr("CAST(c_custkey % 1000 AS STRING)"), 3, "0"),
+          lit("-"),
+          lpad(expr("CAST((c_custkey * 7) % 1000 AS STRING)"), 3, "0"),
+          lit("-"),
+          lpad(expr("CAST((c_custkey * 13) % 10000 AS STRING)"), 4, "0")))
+        .withColumn("note", concat(
+          lit("contact "), col("c_name"), lit(" at "), col("phone"),
+          lit(" or "), lower(regexp_replace(col("c_name"), "#", "")),
+          lit("@example.com")))
+        .select(col("c_custkey").as("doc_id"),
+          expr(s"CAST(size(regexp_extract_all(note, '$PhonePat', 0)) AS BIGINT)")
+            .as("n_phones"),
+          expr(s"CAST(size(regexp_extract_all(note, '$EmailPat', 0)) AS BIGINT)")
+            .as("n_emails"),
+          regexp_replace(
+            regexp_replace(col("note"), PhonePat, "[PHONE]"),
+            EmailPat, "[EMAIL]").as("scrubbed"))
+        .withColumn("scrub_md5", md5(col("scrubbed").cast("binary")))
+        .orderBy("doc_id"),
+      Some(s"""
+WITH t AS (
+  SELECT c_custkey,
+    'contact ' || c_name || ' at '
+      || lpad(CAST(c_custkey % 90 + 10 AS VARCHAR), 2, '0') || '-'
+      || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+      || lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-'
+      || lpad(CAST((c_custkey * 13) % 10000 AS VARCHAR), 4, '0')
+      || ' or ' || lower(regexp_replace(c_name, '#', '', 'g'))
+      || '@example.com' AS note
+  FROM customer
+)
+SELECT c_custkey AS doc_id,
+  CAST(len(regexp_extract_all(note, '$PhonePat')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(note, '$EmailPat')) AS BIGINT) AS n_emails,
+  regexp_replace(regexp_replace(note, '$PhonePat', '[PHONE]', 'g'),
+    '$EmailPat', '[EMAIL]', 'g') AS scrubbed,
+  md5(regexp_replace(regexp_replace(note, '$PhonePat', '[PHONE]', 'g'),
+    '$EmailPat', '[EMAIL]', 'g')) AS scrub_md5
+FROM t ORDER BY doc_id"""),
+      "deterministic PII redaction: count + scrub phones/emails, md5-pinned"),
+
+    // ── Stratified sampling: per-language keep rates via the same md5
+    // bucket as the x16 split — deterministic, map-only, no RNG, stable
+    // under partitioning. The shape a pipeline uses to rebalance a corpus
+    // (downsample the dominant language) without a shuffle.
+    "x20_stratified_sample" -> QueryDef(
+      (s, d) => {
+        val rate = SampleRates.foldRight(lit(DefaultRate): org.apache.spark.sql.Column) {
+          case ((l, r), acc) => when(col("lang") === l, lit(r)).otherwise(acc)
+        }
+        Tables.documents(s, d)
+          .withColumn("bucket",
+            expr("pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT), 100)"))
+          .withColumn("rate", rate)
+          .filter(col("bucket") < col("rate"))
+          .select(col("doc_id"), col("lang"), col("bucket"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val rateSql = SampleRates
+          .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+          .mkString("CASE ", " ", s" ELSE $DefaultRate END")
+        s"""
+SELECT doc_id, lang, bucket
+FROM (SELECT doc_id, lang,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+          AS BIGINT) % 100 AS bucket
+      FROM documents)
+WHERE bucket < ($rateSql)
+ORDER BY doc_id"""
+      },
+      "md5-bucket stratified sampling: per-language rates, map-only"),
+
+    // ── Pivot: monthly event counts and money per event_type as columns
+    // (pandas `pivot_table`). The value list is EXPLICIT — an inferred
+    // list would be a driver-side distinct scan and nondeterministic
+    // column order. One hash aggregation; absent cells: count→0, sum→NULL
+    // on both engines.
+    "o11_pivot_events" -> QueryDef(
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val pivoted = Tables.events(s, d)
+          .withColumn("month",
+            date_trunc("month", col("ts")).cast("timestamp_ntz"))
+          .groupBy(col("month"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)).as("n"), moneySum(col("value")).as("amt"))
+        pivoted.select(col("month") +:
+          types.flatMap(t => Seq(
+            coalesce(col(s"${t}_n"), lit(0L)).as(s"${t}_n"),
+            col(s"${t}_amt"))): _*)
+          .orderBy("month")
+      },
+      Some {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val cells = types.map(t =>
+          s"""count(CASE WHEN event_type = '$t' THEN 1 END) AS ${t}_n,
+  ${sqlSum(s"CASE WHEN event_type = '$t' THEN value END")} AS ${t}_amt""")
+          .mkString(",\n  ")
+        s"""
+SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
+  $cells
+FROM events GROUP BY 1 ORDER BY month"""
+      },
+      "explicit-list pivot == conditional aggregation (pandas pivot_table)"),
+
+    // ── Unpivot/melt: wide per-flag rollup back to long (metric, value)
+    // rows — the inverse reshape (pandas `melt`), Spark's native unpivot
+    // operator over an aggregated base.
+    "o12_unpivot_metrics" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_price"),
+          moneySum(col("l_discount")).as("sum_disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "metric", "value")
+        .orderBy("l_returnflag", "metric"),
+      Some(s"""
+WITH agg AS (
+  SELECT l_returnflag,
+    ${sqlSum("l_quantity")} AS sum_qty,
+    ${sqlSum("l_extendedprice")} AS sum_price,
+    ${sqlSum("l_discount")} AS sum_disc
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, metric, value FROM (
+  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM agg
+  UNION ALL
+  SELECT l_returnflag, 'sum_price', sum_price FROM agg
+  UNION ALL
+  SELECT l_returnflag, 'sum_disc', sum_disc FROM agg)
+ORDER BY l_returnflag, metric"""),
+      "native unpivot (melt): wide rollup -> long (metric, value) rows"),
+
+    // ── CUBE: all grouping-set combinations of (year, status) with a
+    // grouping_id level marker — the full-lattice sibling of a10's
+    // ROLLUP. One pass; Spark expands the sets map-side before the
+    // single shuffle.
+    "a11_cube_orders" -> QueryDef(
+      (s, d) => Tables.orders(s, d)
+        .cube(year(col("o_orderdate")).as("yr"),
+          col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("amount"),
+          grouping_id().cast("bigint").as("lvl"))
+        .orderBy(col("yr").asc_nulls_first, col("status").asc_nulls_first,
+          col("lvl")),
+      Some(s"""SELECT yr, status, count(*) AS n_orders,
+              ${sqlSum("o_totalprice")} AS amount,
+              CAST(GROUPING(yr) * 2 + GROUPING(status) AS BIGINT) AS lvl
+              FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                      o_orderstatus AS status, o_totalprice
+                    FROM orders)
+              GROUP BY CUBE (yr, status)
+              ORDER BY yr NULLS FIRST, status NULLS FIRST, lvl"""),
+      "full grouping-set lattice with grouping_id (CUBE twin of a10)"))
+}
