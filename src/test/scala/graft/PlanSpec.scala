@@ -80,6 +80,36 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("NestedLoopJoin"), plan.take(1500))
   }
 
+  // exchange nodes are inserted by EnsureRequirements, so exchange
+  // assertions must execute first and read the final adaptive plan —
+  // only the "Final Plan" section (toString repeats the pre-AQE initial
+  // plan below it, which would double-count every node)
+  private def executedPlan(name: String): String = {
+    val df = q(name)
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("x18/x19/x20: corpus map stages never hash-shuffle") {
+    // repetition / PII-scrub / stratified-sample are pure per-row work;
+    // the only exchange allowed is the final orderBy's rangepartitioning
+    Seq("x18_repetition_3gram", "x19_pii_scrub", "x20_stratified_sample")
+      .foreach { n =>
+        val plan = executedPlan(n)
+        assert(!plan.contains("Exchange hashpartitioning"),
+          s"$n: ${plan.take(800)}")
+      }
+  }
+
+  test("x17: packing is ONE hash exchange (window partitioning reused)") {
+    // the groupBy(lang, bin_id) must reuse the window's hashpartitioning
+    // on lang (subset clustering) — a second exchange would mean the
+    // aggregation reshuffles what the prefix-sum already co-located
+    val plan = executedPlan("x17_pack_sequences")
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 1, s"expected 1 hash exchange, got $n:\n${plan.take(1200)}")
+  }
+
   test("registry sweep: no unintended cartesian product in any plan") {
     // similarity scans intentionally crossJoin a BROADCAST probe/centroid
     // side (bounded, small); streaming queries execute on construction so
