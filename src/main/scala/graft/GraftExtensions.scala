@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotLong, MinHashSigs, SimHashBits}
+import graft.functions.{DotLong, KmvSketch, MinHashSigs, SimHashBits}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -32,7 +32,14 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("simhash_bits"),
       new ExpressionInfo(classOf[SimHashBits].getName, "simhash_bits"),
-      (args: Seq[Expression]) => SimHashBits(args(0))))
+      (args: Seq[Expression]) => SimHashBits(args(0))),
+    (FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),
+      (args: Seq[Expression]) => args(1) match {
+        case Literal(k: Int, _) => KmvSketch(args(0), k)
+        case other => throw new IllegalArgumentException(
+          s"kmv_sketch(hash, k): k must be an integer literal, got $other")
+      }))
 
   /** Idempotent runtime registration for sessions built without the
     * extensions config.

@@ -29,6 +29,9 @@ object PipelineQueries {
   private val PhonePat = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
   private val EmailPat = "[a-z0-9.]+@[a-z0-9]+[.][a-z]+"
 
+  /** Retained minimum hashes per group in the x21 KMV sketch. */
+  private val KmvK = 256
+
   def defs: Map[String, QueryDef] = Map(
 
     // ── Sequence packing: assign docs (in stable doc_id order, per
@@ -265,6 +268,56 @@ SELECT l_returnflag, metric, value FROM (
   SELECT l_returnflag, 'sum_disc', sum_disc FROM agg)
 ORDER BY l_returnflag, metric"""),
       "native unpivot (melt): wide rollup -> long (metric, value) rows"),
+
+    // ── KMV distinct-count sketch: O(K)-state approximate COUNT(DISTINCT)
+    // via the native kmv_sketch aggregate (graft.functions.KmvSketch) —
+    // mergeable min-K state, so partial aggregation works map-side and
+    // the wire carries ≤ K longs per group per partition, vs a full
+    // distinct shuffle for the exact count. The md5-derived hash makes
+    // the estimate deterministic (engine-independent), so the oracle
+    // replays it exactly with a window rank — unlike HLL-based
+    // approx_count_distinct, which is engine-specific by design. Exact
+    // counts ride along to show the error.
+    "x21_kmv_distinct" -> QueryDef(
+      (s, d) => {
+        graft.GraftExtensions.install(s)
+        Tables.lineitem(s, d)
+          .withColumn("h", expr(
+            "CAST(conv(substr(md5(CAST(l_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+          .groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_orderkey")).as("n_exact"),
+            expr(s"kmv_sketch(h, $KmvK)").as("kmv_est"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""
+WITH h AS (
+  SELECT DISTINCT l_returnflag,
+    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))
+      AS BIGINT) AS h
+  FROM lineitem
+),
+r AS (
+  SELECT l_returnflag, h,
+    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+    count(*) OVER (PARTITION BY l_returnflag) AS nd
+  FROM h
+),
+est AS (
+  SELECT l_returnflag, max(nd) AS nd,
+    max(CASE WHEN rn = $KmvK THEN h END) AS hk
+  FROM r GROUP BY 1
+),
+ex AS (
+  SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_exact
+  FROM lineitem GROUP BY 1
+)
+SELECT e.l_returnflag AS l_returnflag, CAST(ex.n_exact AS BIGINT) AS n_exact,
+  CASE WHEN e.nd < $KmvK THEN CAST(e.nd AS DOUBLE)
+       ELSE (CAST($KmvK - 1 AS DOUBLE) * pow(2, 60))
+              / CAST(e.hk AS DOUBLE) END AS kmv_est
+FROM est e JOIN ex ON e.l_returnflag = ex.l_returnflag
+ORDER BY l_returnflag"""),
+      "native KMV sketch aggregate: O(K) mergeable state, oracle-exact"),
 
     // ── CUBE: all grouping-set combinations of (year, status) with a
     // grouping_id level marker — the full-lattice sibling of a10's
