@@ -114,6 +114,25 @@ object Graft {
       run("x03_lang_id", spark, dir)
     def fingerprint(spark: SparkSession, dir: String): DataFrame =
       run("x04_fingerprint", spark, dir)
+    /** Duplicate-3-gram repetition ratio + keep flag (Gopher-style). */
+    def repetition(spark: SparkSession, dir: String): DataFrame =
+      run("x18_repetition_3gram", spark, dir)
+  }
+
+  /** Corpus assembly: packing, sampling, splits over `documents`. */
+  object corpus {
+    /** Fixed-token-budget sequence packing (per-shard prefix sum). */
+    def packSequences(spark: SparkSession, dir: String): DataFrame =
+      run("x17_pack_sequences", spark, dir)
+    /** Per-language md5-bucket stratified sample (deterministic). */
+    def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+      run("x20_stratified_sample", spark, dir)
+    /** md5-bucket train/validation split. */
+    def holdoutSplit(spark: SparkSession, dir: String): DataFrame =
+      run("x16_split_holdout", spark, dir)
+    /** Phone/email redaction demo over synthesized contact text. */
+    def piiScrub(spark: SparkSession, dir: String): DataFrame =
+      run("x19_pii_scrub", spark, dir)
   }
 
   /** Multimodal binary-column plumbing (stubbed codecs, real plumbing). */
@@ -176,8 +195,9 @@ object Graft {
     SparkEntry.queries(name)(spark, dir)
 
   /** Register every table present in `dir` as a temp view (plus the
-    * `dot_long` extension function), so ad-hoc SQL works the way the
-    * reference's users query DuckDB through Metabase:
+    * extension functions: `dot_long`, `minhash_sigs`, `simhash_bits`,
+    * `kmv_sketch`), so ad-hoc SQL works the way the reference's users
+    * query DuckDB through Metabase:
     * `Graft.registerTables(spark, dir); spark.sql("SELECT ... FROM
     * lineitem JOIN orders ...")`.
     *

