@@ -154,6 +154,25 @@ object Graft {
     operators.Joins.asOf(left, right, leftKey, rightKey, leftTime,
       rightTime, tieBreak)
 
+  /** Salted skew-safe equi-join: exactly a plain inner join, with the
+    * hot key's work spread `salt` ways; see [[operators.Joins.saltedJoin]].
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, salt: Int): DataFrame =
+    operators.Joins.saltedJoin(left, right, leftKey, rightKey, salt)
+
+  /** Binned range join for two LARGE sides (points ⋈ intervals on
+    * (keys, time-bin) + residual); see
+    * [[operators.Joins.rangeJoinBinned]]. The declared
+    * `j15_binned_range_join` is its oracle-checked instantiation.
+    */
+  def rangeJoinBinned(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTimeUs: String, rightLoUs: String, rightHiUs: String,
+      binWidthUs: Long): DataFrame =
+    operators.Joins.rangeJoinBinned(left, right, leftKeys, rightKeys,
+      leftTimeUs, rightLoUs, rightHiUs, binWidthUs)
+
   /** Ad-hoc JDBC query read (S1, the `fetch_data(query)` analog); see
     * [[sources.Jdbc]] for the partitioned-read guidance.
     */

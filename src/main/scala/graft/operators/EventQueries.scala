@@ -154,6 +154,43 @@ SELECT event_id, user_id, ts, asof_order, asof_orderdate FROM (
 WHERE rn = 1 ORDER BY event_id"""),
       "as-of join composed as equi-join + per-row top-1 window"),
 
+    // ── Binned range join, LARGE × LARGE (the shape j13's broadcast band
+    // join can't take): purchases (points) ⋈ click-attribution windows
+    // (intervals) for the same user — the batch twin of st07, spelled via
+    // [[Joins.rangeJoinBinned]]. Both sides shuffle once on (user,
+    // hour-bin); each 1 h interval spans ≤ 2 one-hour bins, so the
+    // fan-out is bounded and the residual filter restores the exact
+    // interval semantics. Same result set as the st07 stream drain.
+    "j15_binned_range_join" -> QueryDef(
+      (s, d) => {
+        val HourUs = 3600000000L
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"),
+            col("user_id").as("c_user"), col("ts").as("click_ts"),
+            unix_micros(col("ts").cast("timestamp")).as("lo_us"))
+          .withColumn("hi_us", col("lo_us") + HourUs)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("purchase_ts"),
+            unix_micros(col("ts").cast("timestamp")).as("t_us"))
+        Joins.rangeJoinBinned(purchases, clicks,
+            Seq("user_id"), Seq("c_user"),
+            "t_us", "lo_us", "hi_us", HourUs)
+          .select(col("click_id"), col("purchase_id"), col("user_id"),
+            col("click_ts").cast("timestamp_ntz").as("click_ts"),
+            col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"))
+          .orderBy("click_id", "purchase_id")
+      },
+      Some("""SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+              c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+              FROM events c JOIN events p
+                ON c.event_type = 'click' AND p.event_type = 'purchase'
+               AND p.user_id = c.user_id
+               AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+              ORDER BY click_id, purchase_id"""),
+      "binned range join: two big sides, (key, time-bin) equi + residual"),
+
     // ── JSON property extraction (extension of the schema-sniffing JSON
     // reads, `utils/gsheets_utils.py:183-184`).
     "e03_json_props" -> QueryDef(

@@ -65,4 +65,59 @@ object Joins {
       .filter(col("__asof_rn") === 1)
       .drop("__asof_rn", rowId, rkey)
   }
+
+  /** Salted equi-join for skewed keys: when one join key holds a large
+    * share of the left side, a plain hash join sends that whole key to
+    * one reducer. Salting splits each left key across `salt` partitions
+    * (deterministic spread via a per-row id) and replicates each RIGHT
+    * row once per salt value, so the hot key's work fans out `salt` ways.
+    * Results are exactly a plain inner equi-join (spec-pinned).
+    *
+    * Use when AQE's skew-join splitting isn't available or the skew is
+    * in an aggregation-feeding join it can't split; the right side pays
+    * a `salt`× replication, so keep it the smaller input.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, salt: Int): DataFrame = {
+    require(salt >= 2, s"salt must be >= 2, got $salt")
+    val sl = left.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salt.toLong)))
+    val sr = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salt.toLong - 1))))
+    sl.join(sr,
+        sl(leftKey) === sr(rightKey) && sl("__salt") === sr("__salt"))
+      .drop("__salt")
+  }
+
+  /** Binned range join for two LARGE sides: points `t` on the left join
+    * intervals `[lo, hi]` on the right (plus optional equi keys). The
+    * broadcast band join (j13) needs one small side; here BOTH sides
+    * shuffle on (keys, time-bin): each interval explodes across the bins
+    * it spans — bounded by `ceil(interval / binWidth) + 1`, so sizing the
+    * bin near the typical interval length keeps the fan-out ≤ 2 — and
+    * each point lands in exactly one bin, so the bin equi-join plus the
+    * residual `lo <= t <= hi` filter is exactly the interval join with
+    * no duplicates. Bin math is exact integer division (`div`), which
+    * equals floor on the non-negative epoch micros this operates on.
+    *
+    * @param binWidthUs bin width in MICROSECONDS of the epoch-micro
+    *   columns `leftTimeUs` / `rightLoUs` / `rightHiUs` (all >= 0)
+    */
+  def rangeJoinBinned(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTimeUs: String, rightLoUs: String, rightHiUs: String,
+      binWidthUs: Long): DataFrame = {
+    require(binWidthUs > 0, s"binWidthUs must be positive, got $binWidthUs")
+    val pl = left.withColumn("__bin",
+      expr(s"$leftTimeUs div $binWidthUs"))
+    val pr = right.withColumn("__bin",
+      explode(expr(s"sequence($rightLoUs div $binWidthUs, " +
+        s"$rightHiUs div $binWidthUs)")))
+    val keyCond = leftKeys.zip(rightKeys)
+      .map { case (l, r) => pl(l) === pr(r) }
+      .foldLeft(pl("__bin") === pr("__bin"))(_ && _)
+    pl.join(pr, keyCond &&
+        pr(rightLoUs) <= pl(leftTimeUs) && pl(leftTimeUs) <= pr(rightHiUs))
+      .drop("__bin")
+  }
 }
