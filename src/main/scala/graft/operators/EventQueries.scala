@@ -154,6 +154,66 @@ SELECT event_id, user_id, ts, asof_order, asof_orderdate FROM (
 WHERE rn = 1 ORDER BY event_id"""),
       "as-of join composed as equi-join + per-row top-1 window"),
 
+    // ── Staged funnel: per user, the first signup, the first click AT OR
+    // AFTER that signup, and the first purchase at or after that click —
+    // ordered-stage conversion, the standard product-analytics ask. Three
+    // conditional-min aggregations; each stage's bound comes from the
+    // previous stage via a broadcast-joinable (user, ts) frame, so the
+    // event table is scanned, never windowed whole. All mins — order-
+    // independent and oracle-exact.
+    "e04_funnel" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"))
+        val s1 = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts")).as("first_signup"))
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(s1, "user_id")
+          .filter(col("ts") >= col("first_signup"))
+          .groupBy("user_id").agg(min(col("ts")).as("first_click"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(s2, "user_id")
+          .filter(col("ts") >= col("first_click"))
+          .groupBy("user_id").agg(min(col("ts")).as("first_purchase"))
+        s1.join(s2, Seq("user_id"), "left")
+          .join(s3, Seq("user_id"), "left")
+          .select(col("user_id"),
+            col("first_signup").cast("timestamp_ntz").as("first_signup"),
+            col("first_click").cast("timestamp_ntz").as("first_click"),
+            col("first_purchase").cast("timestamp_ntz")
+              .as("first_purchase"),
+            (when(col("first_purchase").isNotNull, 3)
+              .when(col("first_click").isNotNull, 2)
+              .otherwise(1)).cast("bigint").as("reached_stage"))
+          .orderBy("user_id")
+      },
+      Some("""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS first_signup FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS first_click
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s1.first_signup
+  GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS first_purchase
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.first_click
+  GROUP BY 1
+)
+SELECT s1.user_id AS user_id, s1.first_signup, s2.first_click,
+  s3.first_purchase,
+  CAST(CASE WHEN s3.first_purchase IS NOT NULL THEN 3
+            WHEN s2.first_click IS NOT NULL THEN 2
+            ELSE 1 END AS BIGINT) AS reached_stage
+FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+ORDER BY user_id"""),
+      "ordered-stage funnel: conditional mins bounded by the prior stage"),
+
     // ── Binned range join, LARGE × LARGE (the shape j13's broadcast band
     // join can't take): purchases (points) ⋈ click-attribution windows
     // (intervals) for the same user — the batch twin of st07, spelled via

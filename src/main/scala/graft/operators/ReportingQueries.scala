@@ -234,6 +234,58 @@ ORDER BY section, month"""
               GROUP BY 1, 2 ORDER BY n_name, p_brand"""),
       "fact ⋈ supplier ⋈ part ⋈ nation rollup; all dims broadcast"),
 
+    // ── SCD type-2 dimension apply: fold a change set into a dimension
+    // snapshot as VERSIONED rows (valid_from / valid_to / is_current) —
+    // the warehouse-table pattern the reference's full-rebuild sink
+    // (upload_dataframe_to_dwh) cannot express. Changes are synthesized
+    // deterministically (first fulfilled order upgrades the segment);
+    // each dim row explodes into its 1-2 versions map-side, so the only
+    // shuffle is the change-set aggregation — at scale this is one
+    // broadcast (or key-partitioned) join against the dimension, never a
+    // rewrite of history.
+    "o13_scd2_apply" -> QueryDef(
+      (s, d) => {
+        val chg = Tables.orders(s, d)
+          .filter(col("o_orderstatus") === "F")
+          .groupBy(col("o_custkey"))
+          .agg(min(col("o_orderdate")).as("eff_date"))
+        Tables.customer(s, d)
+          .join(chg, col("c_custkey") === col("o_custkey"), "left")
+          .withColumn("v", explode(array(
+            struct(col("c_mktsegment").as("segment"),
+              to_date(lit("1992-01-01")).as("valid_from"),
+              col("eff_date").as("valid_to"),
+              col("eff_date").isNull.as("is_current")),
+            when(col("eff_date").isNotNull,
+              struct(lit("PRIORITY").as("segment"),
+                col("eff_date").as("valid_from"),
+                lit(null).cast("date").as("valid_to"),
+                lit(true).as("is_current"))))))
+          .filter(col("v").isNotNull)
+          .select(col("c_custkey"), col("v.segment"), col("v.valid_from"),
+            col("v.valid_to"), col("v.is_current"))
+          .orderBy("c_custkey", "valid_from")
+      },
+      Some("""
+WITH chg AS (
+  SELECT o_custkey, min(o_orderdate) AS eff_date
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+),
+base AS (
+  SELECT c.c_custkey, c.c_mktsegment, chg.eff_date
+  FROM customer c LEFT JOIN chg ON c.c_custkey = chg.o_custkey
+)
+SELECT c_custkey, segment, valid_from, valid_to, is_current FROM (
+  SELECT c_custkey, c_mktsegment AS segment,
+    DATE '1992-01-01' AS valid_from, eff_date AS valid_to,
+    eff_date IS NULL AS is_current
+  FROM base
+  UNION ALL
+  SELECT c_custkey, 'PRIORITY', eff_date, CAST(NULL AS DATE), true
+  FROM base WHERE eff_date IS NOT NULL)
+ORDER BY c_custkey, valid_from"""),
+      "SCD-2 versioning: change set folded into valid_from/valid_to rows"),
+
     // ── Data-quality constraint check (the reference's acknowledged gap,
     // README.md:183-185): all rules in one aggregation pass.
     "dq01_constraint_check" -> QueryDef(
