@@ -650,6 +650,36 @@ object RelationalQueries {
                            ORDER BY o_orderdate, o_orderkey)
               ORDER BY o_custkey, o_orderkey""")),
 
+    // ── RANGE-frame rolling window: per-user 7-day trailing count and
+    // money sum over event time — the time-based sibling of w04's
+    // ROWS frame (a RANGE frame bounds by VALUE distance and includes
+    // ties, which rows-offset windows can't express). Frame math runs on
+    // exact epoch micros; the money sum goes through decimal, so the
+    // rolling total is order-independent within the frame. One window
+    // shuffle on the (high-cardinality) user key.
+    "w06_rolling_range" -> QueryDef(
+      (s, d) => {
+        val WeekUs = 7L * 86400L * 1000000L
+        val w = Window.partitionBy("user_id").orderBy("ts_us")
+          .rangeBetween(-WeekUs, 0)
+        Tables.events(s, d)
+          .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            count(lit(1)).over(w).as("n_7d"),
+            sum(moneyRound(col("value")).cast(DecimalType(18, 2)))
+              .over(w).cast("double").as("amt_7d"))
+          .orderBy("event_id")
+      },
+      Some(s"""SELECT event_id, user_id, ts,
+              count(*) OVER w AS n_7d,
+              CAST(sum(CAST(${sqlRound("value")} AS DECIMAL(18,2))) OVER w
+                AS DOUBLE) AS amt_7d
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+              ORDER BY event_id"""),
+      "RANGE-frame trailing window: value-bounded, tie-inclusive"),
+
     // ── Hierarchical subtotals (SURVEY §2.5 note: rollup/cube absent in
     // the reference, zero custom code in Spark): year → month → grand.
     "a10_rollup_subtotals" -> QueryDef(
