@@ -372,6 +372,50 @@ WHERE levenshtein(name_a, name_b) <= 1
 ORDER BY key_a, key_b"""),
       "entity resolution: pigeonhole-blocked Levenshtein pairs, no quadratic"),
 
+    // ── Salient terms: top-3 terms per doc ranked by term frequency,
+    // rarity (document frequency ascending), then term — the TF-IDF
+    // ranking with INTEGER keys only (a log-based idf would hang parity
+    // on libm's last-ulp behavior; the (tf desc, df asc) sort order is
+    // the same ranking information). Shapes: explode → two hash aggs
+    // (term-in-doc, doc-freq) → broadcast-able df join → per-doc top-3
+    // window. The inverted-index shuffle is (doc, term)-keyed — high
+    // cardinality, no hot reducer.
+    "x23_salient_terms" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("doc_id")
+          .orderBy(desc("tf"), col("df"), col("term"))
+        val terms = Tables.documentsSpread(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " "))
+            .as("term"))
+        val tf = terms.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = terms.groupBy(col("term"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        tf.join(df, "term")
+          .withColumn("rank", row_number().over(w).cast("bigint"))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("term"),
+            col("tf"), col("df"))
+          .orderBy("doc_id", "rank")
+      },
+      Some("""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1
+)
+SELECT doc_id, rank, term, tf, df FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+    CAST(row_number() OVER (PARTITION BY tf.doc_id
+      ORDER BY tf.tf DESC, df.df, tf.term) AS BIGINT) AS rank
+  FROM tf JOIN df ON tf.term = df.term)
+WHERE rank <= 3 ORDER BY doc_id, rank"""),
+      "integer TF-IDF ranking: inverted index, rarity tie-break, top-3"),
+
     // ── CUBE: all grouping-set combinations of (year, status) with a
     // grouping_id level marker — the full-lattice sibling of a10's
     // ROLLUP. One pass; Spark expands the sets map-side before the

@@ -286,6 +286,69 @@ SELECT c_custkey, segment, valid_from, valid_to, is_current FROM (
 ORDER BY c_custkey, valid_from"""),
       "SCD-2 versioning: change set folded into valid_from/valid_to rows"),
 
+    // ── MERGE apply (CDC upsert/delete batch onto a snapshot): the
+    // operation behind `MERGE INTO` — matched rows update, unmatched
+    // change rows insert, delete-marked rows drop. The change set is
+    // synthesized deterministically from orders (frequent buyers get a
+    // balance update, a shifted key range inserts as new rows, near-
+    // inactive customers delete). One outer join between snapshot and
+    // changes — the scale shape is a key-partitioned (or broadcast, for
+    // small batches) join, never a rewrite of unmatched history. The
+    // new balance comes from moneySum, already exact 2-dp on both
+    // engines, so no re-rounding is needed.
+    "o14_merge_apply" -> QueryDef(
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+        val snap = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        val counts = ord.groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_ord"),
+            moneySum(col("o_totalprice")).as("spend"))
+        val updates = counts.filter(col("n_ord") >= 20)
+          .select(col("o_custkey").as("k"),
+            lit("update").as("op"), col("spend").as("new_bal"))
+        val inserts = counts.filter(col("n_ord") >= 25)
+          .select((col("o_custkey") + 1000000L).as("k"),
+            lit("insert").as("op"), col("spend").as("new_bal"))
+        val deletes = counts.filter(col("n_ord") <= 2)
+          .select(col("o_custkey").as("k"),
+            lit("delete").as("op"), lit(null).cast("double").as("new_bal"))
+        val chg = updates.unionByName(inserts).unionByName(deletes)
+        snap.join(chg, col("c_custkey") === col("k"), "full_outer")
+          .filter(coalesce(col("op"), lit("keep")) =!= "delete")
+          .select(
+            coalesce(col("c_custkey"), col("k")).as("c_custkey"),
+            coalesce(col("c_mktsegment"), lit("NEW")).as("c_mktsegment"),
+            when(col("op").isin("update", "insert"), col("new_bal"))
+              .otherwise(col("c_acctbal")).as("c_acctbal"),
+            coalesce(col("op"), lit("keep")).as("op"))
+          .orderBy("c_custkey")
+      },
+      Some(s"""
+WITH counts AS (
+  SELECT o_custkey, count(*) AS n_ord,
+    ${sqlSum("o_totalprice")} AS spend
+  FROM orders GROUP BY 1
+),
+chg AS (
+  SELECT o_custkey AS k, 'update' AS op, spend AS new_bal
+  FROM counts WHERE n_ord >= 20
+  UNION ALL
+  SELECT o_custkey + 1000000, 'insert', spend FROM counts WHERE n_ord >= 25
+  UNION ALL
+  SELECT o_custkey, 'delete', CAST(NULL AS DOUBLE) FROM counts
+  WHERE n_ord <= 2
+)
+SELECT coalesce(c.c_custkey, chg.k) AS c_custkey,
+  coalesce(c.c_mktsegment, 'NEW') AS c_mktsegment,
+  CASE WHEN chg.op IN ('update', 'insert') THEN chg.new_bal
+       ELSE c.c_acctbal END AS c_acctbal,
+  coalesce(chg.op, 'keep') AS op
+FROM customer c FULL OUTER JOIN chg ON c.c_custkey = chg.k
+WHERE coalesce(chg.op, 'keep') <> 'delete'
+ORDER BY c_custkey"""),
+      "MERGE-INTO apply: update/insert/delete batch via one outer join"),
+
     // ── Data-quality constraint check (the reference's acknowledged gap,
     // README.md:183-185): all rules in one aggregation pass.
     "dq01_constraint_check" -> QueryDef(
