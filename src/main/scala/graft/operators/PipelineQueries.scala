@@ -32,6 +32,17 @@ object PipelineQueries {
   /** Retained minimum hashes per group in the x21 KMV sketch. */
   private val KmvK = 256
 
+  /** x24 chunk window (tokens per chunk) and stride (S < W → overlap). */
+  private val ChunkW = 32
+  private val ChunkS = 24
+
+  /** x26's "new batch": the last two source shards play the incoming
+    * ingest; everything else is the already-accepted corpus.
+    */
+  private val IncomingSources = Seq("src18", "src19")
+  private val IncomingSqlList =
+    IncomingSources.map(s => s"'$s'").mkString(", ")
+
   def defs: Map[String, QueryDef] = Map(
 
     // ── Sequence packing: assign docs (in stable doc_id order, per
@@ -415,6 +426,125 @@ SELECT doc_id, rank, term, tf, df FROM (
   FROM tf JOIN df ON tf.term = df.term)
 WHERE rank <= 3 ORDER BY doc_id, rank"""),
       "integer TF-IDF ranking: inverted index, rarity tie-break, top-3"),
+
+    // ── Sliding-window chunking: split each document into fixed-size
+    // token windows with overlap (context-window preparation: W tokens
+    // per chunk, stride S < W so consecutive chunks share W-S tokens).
+    // Map-only fan-out — chunk count is output-proportional, the
+    // sequence+explode never leaves the input split, so this scales
+    // linearly with corpus bytes. Output carries the chunk fingerprint
+    // (for downstream chunk-level dedup) rather than the chunk text.
+    "x24_chunk_overlap" -> QueryDef(
+      (s, d) => {
+        val W = ChunkW; val S = ChunkS
+        Tables.documentsSpread(s, d)
+          .withColumn("w", expr("split(text, ' ')"))
+          .withColumn("n", expr("size(w)"))
+          .withColumn("k", explode(expr(
+            s"sequence(0, CASE WHEN n <= $W THEN 0 ELSE (n - $W + ${S - 1}) div $S END)")))
+          .select(col("doc_id"),
+            col("k").cast("bigint").as("chunk_id"),
+            expr(s"CAST(k * $S + 1 AS BIGINT)").as("start_token"),
+            expr(s"CAST(size(slice(w, k * $S + 1, $W)) AS BIGINT)")
+              .as("n_chunk_tokens"),
+            md5(expr(s"array_join(slice(w, k * $S + 1, $W), ' ')")
+              .cast("binary")).as("chunk_fp"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some(s"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, w,
+    unnest(generate_series(0,
+      CASE WHEN n <= $ChunkW THEN 0
+           ELSE (n - $ChunkW + ${ChunkS - 1}) // $ChunkS END)) AS k
+  FROM t
+)
+SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+  CAST(k * $ChunkS + 1 AS BIGINT) AS start_token,
+  CAST(len(w[k * $ChunkS + 1 : k * $ChunkS + $ChunkW]) AS BIGINT)
+    AS n_chunk_tokens,
+  md5(array_to_string(w[k * $ChunkS + 1 : k * $ChunkS + $ChunkW], ' '))
+    AS chunk_fp
+FROM c ORDER BY doc_id, chunk_id"""),
+      "sliding token-window chunking with overlap, map-only fan-out"),
+
+    // ── Vocabulary heavy hitters: top-10 tokens per language by exact
+    // count. Two hash aggregations — the first is (lang, term)-keyed
+    // (high cardinality, map-side partial combine eats the heavy
+    // tokens before the shuffle), the window is lang-keyed over the
+    // already-tiny per-language vocab. The classic exact heavy-hitter
+    // shape that replaces a driver-side Counter at corpus scale.
+    "x25_vocab_topk" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("lang").orderBy(desc("cnt"), col("term"))
+        Tables.documentsSpread(s, d)
+          .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("lang"), col("term"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rank", row_number().over(w).cast("bigint"))
+          .filter(col("rank") <= 10)
+          .select(col("lang"), col("rank"), col("term"), col("cnt"))
+          .orderBy("lang", "rank")
+      },
+      Some("""
+WITH terms AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+),
+c AS (
+  SELECT lang, term, count(*) AS cnt FROM terms GROUP BY 1, 2
+)
+SELECT lang, rank, term, cnt FROM (
+  SELECT lang, term, cnt,
+    CAST(row_number() OVER (PARTITION BY lang
+      ORDER BY cnt DESC, term) AS BIGINT) AS rank
+  FROM c)
+WHERE rank <= 10 ORDER BY lang, rank"""),
+      "exact per-language top-10 tokens: partial-agg then tiny window"),
+
+    // ── Incremental ingest dedup: new-batch docs (sources src18/src19)
+    // are deduped within the batch (keep lowest doc_id per fingerprint)
+    // and anti-joined against the existing corpus on the same x05
+    // 5-token-prefix fingerprint. Both sides shuffle on the content
+    // key — at 100 TB the corpus fingerprint set is stored bucketed by
+    // fp so the anti-join's corpus side needs no shuffle, and a bloom
+    // filter on corpus fps prunes the incoming side before the join.
+    "x26_incremental_dedup" -> QueryDef(
+      (s, d) => {
+        val fp = md5(expr("array_join(slice(split(text, ' '), 1, 5), ' ')")
+          .cast("binary"))
+        val docs = Tables.documents(s, d).withColumn("fp", fp)
+        val inc = docs.filter(col("source").isin(IncomingSources: _*))
+        val corpus = docs.filter(!col("source").isin(IncomingSources: _*))
+          .select("fp")
+        val w = Window.partitionBy("fp").orderBy("doc_id")
+        inc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .join(corpus, Seq("fp"), "left_anti")
+          .select(col("doc_id"), col("source"), col("fp"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+WITH d AS (
+  SELECT doc_id, source,
+    md5(array_to_string((string_split(text, ' '))[:5], ' ')) AS fp
+  FROM documents
+),
+keep AS (
+  SELECT doc_id, source, fp FROM (
+    SELECT doc_id, source, fp,
+      row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM d WHERE source IN ($IncomingSqlList)) WHERE rn = 1
+)
+SELECT doc_id, source, fp FROM keep
+WHERE NOT EXISTS (
+  SELECT 1 FROM d ex
+  WHERE ex.fp = keep.fp AND ex.source NOT IN ($IncomingSqlList))
+ORDER BY doc_id"""),
+      "new-batch dedup + anti-join vs existing corpus on content key"),
 
     // ── CUBE: all grouping-set combinations of (year, status) with a
     // grouping_id level marker — the full-lattice sibling of a10's

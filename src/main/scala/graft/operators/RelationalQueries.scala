@@ -680,6 +680,33 @@ object RelationalQueries {
               ORDER BY event_id"""),
       "RANGE-frame trailing window: value-bounded, tie-inclusive"),
 
+    // ── Distribution ranks: ntile / percent_rank / cume_dist per status.
+    // The ordering key is made unique (price, then orderkey) so ntile's
+    // bucket assignment and percent_rank's rank are deterministic; the
+    // rank ratios divide the same integers on both engines, so the
+    // doubles are bit-identical. One window shuffle on the status key.
+    "w07_distribution_ranks" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("o_orderstatus")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        ord(s, d).select(
+          col("o_orderkey"), col("o_orderstatus").as("status"),
+          col("o_totalprice"),
+          ntile(4).over(w).cast("bigint").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cum_dist"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus AS status, o_totalprice,
+              CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+              percent_rank() OVER w AS pct_rank,
+              cume_dist() OVER w AS cum_dist
+              FROM orders
+              WINDOW w AS (PARTITION BY o_orderstatus
+                           ORDER BY o_totalprice, o_orderkey)
+              ORDER BY o_orderkey"""),
+      "ntile/percent_rank/cume_dist over a unique ordering"),
+
     // ── Hierarchical subtotals (SURVEY §2.5 note: rollup/cube absent in
     // the reference, zero custom code in Spark): year → month → grand.
     "a10_rollup_subtotals" -> QueryDef(
@@ -700,6 +727,38 @@ object RelationalQueries {
                     FROM orders)
               GROUP BY ROLLUP (yr, mo)
               ORDER BY yr NULLS FIRST, mo NULLS FIRST, lvl""")),
+
+    // ── GROUPING SETS: two independent one-dimensional rollups (by
+    // year, by priority) plus the grand total in ONE pass over orders —
+    // the arbitrary-lattice sibling of a10's ROLLUP / a11's CUBE, via
+    // Spark 4's Dataset.groupingSets. Spark expands the sets map-side
+    // before the single shuffle, so this reads the fact table once
+    // where a UNION of three aggregates would read it three times.
+    "a12_grouping_sets" -> QueryDef(
+      (s, d) => {
+        // grouping expressions are pre-projected: groupingSets unifies
+        // set members with grouping columns by attribute, so an aliased
+        // expression used in both spots would group twice over
+        ord(s, d)
+          .select(year(col("o_orderdate")).as("yr"),
+            col("o_orderpriority").as("pri"), col("o_totalprice"))
+          .groupingSets(Seq(Seq(col("yr")), Seq(col("pri")), Seq()),
+            col("yr"), col("pri"))
+          .agg(count(lit(1)).as("n_orders"),
+            moneySum(col("o_totalprice")).as("amount"),
+            grouping_id().cast("bigint").as("lvl"))
+          .orderBy(col("yr").asc_nulls_first, col("pri").asc_nulls_first,
+            col("lvl"))
+      },
+      Some(s"""SELECT yr, pri, count(*) AS n_orders,
+              ${sqlSum("o_totalprice")} AS amount,
+              CAST(GROUPING(yr) * 2 + GROUPING(pri) AS BIGINT) AS lvl
+              FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+                      o_orderpriority AS pri, o_totalprice
+                    FROM orders)
+              GROUP BY GROUPING SETS ((yr), (pri), ())
+              ORDER BY yr NULLS FIRST, pri NULLS FIRST, lvl"""),
+      "arbitrary grouping-set lattice in one scan (GROUPING SETS)"),
 
     // ── Row-set operations (SURVEY §2.7 note: INTERSECT/EXCEPT absent in
     // the reference, built-in here): customers by order-status overlap.
