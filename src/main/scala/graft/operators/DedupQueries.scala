@@ -46,6 +46,17 @@ object DedupQueries {
 
   private val K = 6 // minhash signature length; 6 bands of 1 row for LSH
 
+  /** x27's benchmark-set source and the distinct md5'd word-8-gram
+    * spelling (Spark side; the oracle's DuckDB twin is inline). Docs
+    * under 8 words carry no 8-grams — they cannot leak an eval item.
+    */
+  private val BenchSource = "src0"
+  private val spark8grams =
+    """CASE WHEN size(w) >= 8
+       THEN array_distinct(transform(sequence(1, size(w) - 7),
+         i -> md5(CAST(array_join(slice(w, i, 8), ' ') AS BINARY))))
+       ELSE CAST(array() AS ARRAY<STRING>) END"""
+
   /** The 32-term HOF spelling of the bit-majority — retained as the
     * reference semantics `simhash_bits` (native one-pass,
     * graft.functions.SimHashBits) must match bit-exactly
@@ -462,5 +473,97 @@ SELECT doc_a, doc_b, jaccard FROM (
   FROM t a JOIN t b
     ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id)
 WHERE jaccard >= 0.05
-ORDER BY doc_a, doc_b""")))
+ORDER BY doc_a, doc_b""")),
+
+    // ── Benchmark decontamination: corpus docs sharing any distinct word
+    // 8-gram with the held-out benchmark set (source src0 plays the
+    // benchmark) — the standard eval-leakage check a training pipeline
+    // runs before shipping a corpus. Inverted-index shape like x08:
+    // grams are md5'd so the shuffle key is 32 bytes regardless of gram
+    // text; the benchmark side is tiny relative to the corpus (a few
+    // eval suites vs the crawl), so AQE broadcasts it and the corpus
+    // side stays map-only + one count aggregation. Threshold: >= 2
+    // shared grams flags the doc (1 gram = collision noise).
+    "x27_decontaminate" -> QueryDef(
+      (s, d) => {
+        val g = Tables.documentsSpread(s, d)
+          .withColumn("w", expr("split(text, ' ')"))
+          .select(col("doc_id"), col("source"),
+            explode(expr(spark8grams)).as("g"))
+        val bench = g.filter(col("source") === BenchSource)
+          .select(col("g"), col("doc_id").as("bench_id"))
+        val corpus = g.filter(col("source") =!= BenchSource)
+          .select("doc_id", "g")
+        corpus.join(bench, "g")
+          .groupBy("doc_id")
+          .agg(countDistinct(col("g")).as("n_shared_grams"),
+            countDistinct(col("bench_id")).as("n_bench_docs"))
+          .withColumn("contaminated", col("n_shared_grams") >= 2)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+WITH g AS (
+  SELECT doc_id, source, unnest(CASE WHEN len(w) >= 8
+    THEN list_distinct([md5(array_to_string(w[i:i+7], ' '))
+      for i in generate_series(1, len(w) - 7)])
+    ELSE [] END) AS g
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+        FROM documents)
+)
+SELECT c.doc_id AS doc_id, count(DISTINCT c.g) AS n_shared_grams,
+  count(DISTINCT b.bench_id) AS n_bench_docs,
+  count(DISTINCT c.g) >= 2 AS contaminated
+FROM (SELECT doc_id, g FROM g WHERE source != '$BenchSource') c
+JOIN (SELECT doc_id AS bench_id, g FROM g WHERE source = '$BenchSource') b
+  ON c.g = b.g
+GROUP BY 1 ORDER BY doc_id"""),
+      "eval-leakage check: 8-gram overlap vs benchmark set, inverted index"),
+
+    // ── Containment near-dup: |A∩B| / min(|A|,|B|) over the distinct
+    // 3-gram shingles — catches the SMALL-INSIDE-BIG duplication
+    // (quotes, excerpts, page-boilerplate wrappers) that symmetric
+    // Jaccard (x08) misses, because the union in Jaccard's denominator
+    // drowns a small contained doc. Same inverted-index join as x08 but
+    // with NO size bucket (containment pairs docs of very different
+    // sizes by design) — lang is the only block; at corpus scale the
+    // x08 df-cap applies unchanged to tame hot shingles.
+    "x29_containment" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documentsSpread(s, d)
+          .withColumn("w", expr("split(text, ' ')"))
+          .withColumn("sh", expr(sparkShingles))
+          .select(col("doc_id"), col("lang"), col("sh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
+        val posting = docs.select(col("doc_id"), col("lang"),
+          explode(col("sh")).as("shingle"))
+        posting.as("a").join(posting.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+              col("a.lang") === col("b.lang") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .select(col("doc_a"), col("doc_b"), col("inter"),
+            (col("inter").cast("double") /
+              least(col("sa.sz"), col("sb.sz"))).as("containment"))
+          .filter(col("containment") >= 0.8d)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""
+WITH t AS (
+  SELECT doc_id, lang, $duckShingles AS sh
+  FROM (SELECT doc_id, lang, text, string_split(text, ' ') AS w
+        FROM documents)
+)
+SELECT doc_a, doc_b, inter, containment FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / least(len(a.sh), len(b.sh)) AS containment
+  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+WHERE containment >= 0.8
+ORDER BY doc_a, doc_b"""),
+      "asymmetric containment dedup: small-inside-big pairs Jaccard misses"))
 }

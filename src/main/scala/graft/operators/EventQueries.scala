@@ -19,6 +19,30 @@ object EventQueries {
 
   private val Gap = 30 * 60 * 1000000L // 30 min session gap, in micros
 
+  /** Shared oracle for the 6 h / 2 h hopping window (e06 batch, st08
+    * streaming — the same aggregation by design). Each event belongs to
+    * the 3 windows starting at floor_2h(ts) - k*2h, k ∈ 0..2; the floor
+    * is the e01 positive-mod spelling so pre-1970 timestamps bucket like
+    * Spark's window() (floor), not DuckDB's `//` (trunc toward zero).
+    */
+  private[operators] val HopUs = 7200000000L
+  private[operators] val HopLenUs = 21600000000L
+  val HoppingOracle: String = s"""
+WITH e AS (
+  SELECT epoch_us(ts) AS us, event_type, value FROM events
+),
+expanded AS (
+  SELECT us - ((us % $HopUs + $HopUs) % $HopUs) - k.k * $HopUs AS w_us,
+    event_type, value
+  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS k) k
+)
+SELECT CAST(to_timestamp(w_us / 1000000) AS TIMESTAMP) AS window_start,
+  CAST(to_timestamp((w_us + $HopLenUs) / 1000000) AS TIMESTAMP)
+    AS window_end,
+  event_type, count(*) AS n_events, ${sqlSum("value")} AS total_value
+FROM expanded GROUP BY 1, 2, 3
+ORDER BY window_start, event_type"""
+
   def defs: Map[String, QueryDef] = Map(
 
     // ── Tumbling 6-hour windows: batch analog of the Structured Streaming
@@ -250,6 +274,109 @@ ORDER BY user_id"""),
                AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
               ORDER BY click_id, purchase_id"""),
       "binned range join: two big sides, (key, time-bin) equi + residual"),
+
+    // ── Retention cohorts: users grouped by first-seen week, distinct
+    // actives per (cohort_week, week_offset) — the standard retention
+    // triangle. Shapes: one per-user min (hash agg on user_id), one
+    // shuffle join back on user_id (both sides user-keyed, co-
+    // partitioned), one distinct-count agg. Week truncation is Monday-
+    // based on both engines; both bounds are week-truncated so the day
+    // diff is an exact multiple of 7 and the integer division is exact.
+    "e05_retention_cohorts" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("user_id"), col("ts"))
+        val first = ev.groupBy("user_id")
+          .agg(min(col("ts")).as("first_ts"))
+        ev.join(first, "user_id")
+          .withColumn("cohort_week",
+            date_trunc("week", col("first_ts")).cast("timestamp_ntz"))
+          .withColumn("week_offset",
+            (datediff(date_trunc("week", col("ts")),
+              date_trunc("week", col("first_ts"))) / lit(7))
+              .cast("bigint"))
+          .groupBy(col("cohort_week"), col("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""
+WITH first AS (
+  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1
+)
+SELECT CAST(date_trunc('week', f.first_ts) AS TIMESTAMP) AS cohort_week,
+  CAST(date_diff('day', date_trunc('week', f.first_ts),
+    date_trunc('week', e.ts)) // 7 AS BIGINT) AS week_offset,
+  count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN first f ON e.user_id = f.user_id
+GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""),
+      "retention triangle: first-seen cohort week x week offset actives"),
+
+    // ── Hopping (sliding) windows: 6-hour windows advancing every 2 hours
+    // via Spark's native window(ts, size, slide) — each event lands in
+    // exactly size/slide = 3 overlapping windows, expanded MAP-SIDE
+    // before the single hash-agg shuffle (fan-out is the fixed window
+    // ratio, never data-dependent). The streaming twin is st08 — same
+    // aggregation, same oracle: batch/stream unification again.
+    "e06_hopping_window" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .groupBy(window(col("ts"), "6 hours", "2 hours"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          Money.moneySum(col("value")).as("total_value"))
+        .select(
+          col("window.start").cast("timestamp_ntz").as("window_start"),
+          col("window.end").cast("timestamp_ntz").as("window_end"),
+          col("event_type"), col("n_events"), col("total_value"))
+        .orderBy("window_start", "event_type"),
+      Some(HoppingOracle),
+      "native sliding windows: bounded map-side fan-out, one shuffle"),
+
+    // ── Volume-anomaly detection: daily event counts vs the trailing
+    // 7-day average (a data-quality guard a pipeline runs before
+    // accepting an ingest day). Day-grain cardinality is bounded
+    // (365 rows/year regardless of corpus bytes), so the single global
+    // ordered window is a deliberately tiny post-aggregate stage — the
+    // heavy lifting is the one day-keyed count aggregation. The ratio is
+    // one IEEE division of exact integers: engine-identical.
+    "dq02_volume_anomaly" -> QueryDef(
+      (s, d) => {
+        val w7 = Window.orderBy("day").rowsBetween(-7, -1)
+        Tables.events(s, d)
+          .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz")
+            .as("day"))
+          .agg(count(lit(1)).as("n_events"))
+          .withColumn("trail_total", sum(col("n_events")).over(w7))
+          .withColumn("trail_days", count(lit(1)).over(w7))
+          .withColumn("ratio",
+            col("n_events").cast("double") *
+              col("trail_days").cast("double") /
+              col("trail_total").cast("double"))
+          .withColumn("is_spike",
+            coalesce(col("ratio") > 2.0, lit(false)))
+          .select(col("day"), col("n_events"), col("trail_total"),
+            col("trail_days"), col("ratio"), col("is_spike"))
+          .orderBy("day")
+      },
+      Some("""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+    count(*) AS n_events
+  FROM events GROUP BY 1
+),
+t AS (
+  SELECT day, n_events,
+    sum(n_events) OVER w AS trail_total,
+    count(*) OVER w AS trail_days
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT day, n_events, trail_total, trail_days,
+  CAST(n_events AS DOUBLE) * CAST(trail_days AS DOUBLE)
+    / CAST(trail_total AS DOUBLE) AS ratio,
+  coalesce(CAST(n_events AS DOUBLE) * CAST(trail_days AS DOUBLE)
+    / CAST(trail_total AS DOUBLE) > 2.0, false) AS is_spike
+FROM t ORDER BY day"""),
+      "daily volume vs trailing-7-day average: ingest-gate anomaly flag"),
 
     // ── JSON property extraction (extension of the schema-sniffing JSON
     // reads, `utils/gsheets_utils.py:183-184`).

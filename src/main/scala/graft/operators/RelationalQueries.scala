@@ -846,6 +846,61 @@ object RelationalQueries {
               FROM orders
               WHERE strftime(o_orderdate, '%Y_%m')
                 NOT IN ('1995_01','1995_02','1996_06')
-              ORDER BY o_orderkey"""))
+              ORDER BY o_orderkey""")),
+
+    // ── O15: Z-order (Morton) layout key over (o_custkey, o_orderkey)
+    // — the multi-dimensional layout key: data written sorted by zkey
+    // clusters BOTH dimensions, so parquet min/max pruning serves
+    // either-column predicates from the same file order (the classic
+    // data-skipping move for 100 TB scans; a single-column sort only
+    // skips for that column). Each dimension is RANK-NORMALIZED to
+    // 16 bits before interleaving — interleaving raw values is wrong
+    // whenever ranges differ (every high z-bit would come from the
+    // wide dimension and the narrow one never prunes; rank space is
+    // what production OPTIMIZE-ZORDER implementations interleave,
+    // via range-partition ids). LayoutQuantizeSpec proves the skipping
+    // on both dims against a single-sort control. The exact global
+    // row_number here pins the semantics; at scale the rank becomes
+    // sampled quantile-boundary ids (one pass + broadcast bounds) —
+    // same key, no global sort. The interleave itself is 32
+    // pure-arithmetic terms, engine-portable and codegen'd.
+    "o15_zorder_key" -> QueryDef(
+      (s, d) => {
+        val wx = Window.orderBy("o_custkey", "o_orderkey")
+        val wy = Window.orderBy("o_orderkey")
+        ord(s, d)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .withColumn("rx", row_number().over(wx).cast("bigint") - 1)
+          .withColumn("ry", row_number().over(wy).cast("bigint") - 1)
+          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+          .withColumn("xa", expr("rx * 65536 div n"))
+          .withColumn("yb", expr("ry * 65536 div n"))
+          .withColumn("zkey", expr(zTermsSpark))
+          .select(col("o_orderkey"), col("o_custkey"), col("zkey"))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""
+SELECT o_orderkey, o_custkey, $zTermsDuck AS zkey
+FROM (SELECT o_orderkey, o_custkey,
+        (CAST(row_number() OVER (ORDER BY o_custkey, o_orderkey) AS BIGINT)
+          - 1) * 65536 // count(*) OVER () AS xa,
+        (CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT)
+          - 1) * 65536 // count(*) OVER () AS yb
+      FROM orders)
+ORDER BY o_orderkey"""),
+      "rank-space Morton key: sort once, prune scans on either dim")
   )
+
+  /** 16-bit × 16-bit Morton interleave as pure integer arithmetic —
+    * `((xa div 2^i) % 2) * 2^(2i) + ((yb div 2^i) % 2) * 2^(2i+1)`
+    * summed over i — spelled per dialect from one generator so the two
+    * engines stay in lockstep. Inputs are pre-masked non-negative.
+    */
+  private def zTerms(div: String): String =
+    (0 until 16).flatMap { i =>
+      Seq(s"((xa $div ${1L << i}) % 2) * ${1L << (2 * i)}",
+        s"((yb $div ${1L << i}) % 2) * ${1L << (2 * i + 1)}")
+    }.mkString("CAST(", " + ", " AS BIGINT)")
+  private val zTermsSpark = zTerms("div")
+  private val zTermsDuck = zTerms("//")
 }

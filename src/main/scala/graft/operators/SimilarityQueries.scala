@@ -437,5 +437,51 @@ SELECT q_id, CAST(rn AS BIGINT) AS rank, neighbor_id, cos, bucket
 FROM (SELECT *, row_number() OVER (PARTITION BY q_id
         ORDER BY cos DESC, neighbor_id) AS rn FROM scored)
 WHERE rn <= $K ORDER BY q_id, rank"""),
-      "IVF nprobe search: probe → nearest buckets → bucket-local top-k"))
+      "IVF nprobe search: probe → nearest buckets → bucket-local top-k"),
+
+    // ── Int8 scalar quantization: per-vector min/max affine mapping to
+    // [0,255] — the 4× compression step a 100 TB vector store ships
+    // before ANN serving (float32 → uint8). Map-only array expressions;
+    // parity holds because every step is IEEE-exact on both engines:
+    // float→double widening, one multiply, one divide (correctly
+    // rounded), then floor lands on exact integers. The md5 of the
+    // rendered codes pins the whole codebook byte-for-byte; qmin/qscale
+    // are what a dequantizer needs to reconstruct.
+    "x28_embed_quantize" -> QueryDef(
+      (s, d) => Tables.embeddingsSpread(s, d)
+        .withColumn("v",
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("vmin", expr("array_min(v)"))
+        .withColumn("vmax", expr("array_max(v)"))
+        .withColumn("q", expr(
+          """CASE WHEN vmax > vmin
+             THEN transform(v, x ->
+               CAST(floor((x - vmin) * 255.0 / (vmax - vmin)) AS INT))
+             ELSE transform(v, x -> 0) END"""))
+        .select(col("vec_id"), col("vmin"), col("vmax"),
+          expr("aggregate(q, 0L, (a, x) -> a + x)").as("q_sum"),
+          expr("CAST(size(q) AS BIGINT)").as("dim"),
+          md5(expr("array_join(q, ',')").cast("binary")).as("q_md5"))
+        .orderBy("vec_id"),
+      Some("""
+WITH t AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+m AS (
+  SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax FROM t
+),
+q AS (
+  SELECT vec_id, vmin, vmax,
+    CASE WHEN vmax > vmin
+    THEN list_transform(v, x ->
+      CAST(floor((x - vmin) * 255.0 / (vmax - vmin)) AS INTEGER))
+    ELSE list_transform(v, x -> 0) END AS q
+  FROM m
+)
+SELECT vec_id, vmin, vmax, CAST(list_sum(q) AS BIGINT) AS q_sum,
+  CAST(len(q) AS BIGINT) AS dim,
+  md5(array_to_string(q, ',')) AS q_md5
+FROM q ORDER BY vec_id"""),
+      "per-vector int8 affine quantization: 4x smaller vectors, md5-pinned"))
 }

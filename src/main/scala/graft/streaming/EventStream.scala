@@ -46,6 +46,18 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"),
         graft.functions.Money.moneySum(col("value")).as("total_value"))
 
+  /** Hopping event-time windows (6 h length, 2 h slide): each event is
+    * expanded into its size/slide = 3 overlapping windows map-side, then
+    * aggregated exactly like the tumbling case — window state frees once
+    * the watermark passes each window's end.
+    */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours", "2 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Money.moneySum(col("value")).as("total_value"))
+
   /** Gap-based session windows (30 min inactivity) per user. */
   def sessionCounts(events: DataFrame): DataFrame =
     events

@@ -138,6 +138,24 @@ ORDER BY user_id, session_start"""),
               ORDER BY user_id, event_type"""),
       "streaming dropDuplicates (dedup-at-ingest) == batch DISTINCT"),
 
+    // ── Watermarked hopping (sliding) windows — streaming twin of e06,
+    // same aggregation and the SAME oracle string: each event expands
+    // map-side into its 3 overlapping 6 h windows before the stateful
+    // agg, state per open window frees as the watermark passes
+    // window_end. Unification pinned by construction.
+    "st08_stream_hopping" -> QueryDef(
+      (s, d) => {
+        val agg = EventStream.hoppingCounts(EventStream.readEvents(s, d))
+        EventStream.runToMemory(s, agg, s"st08_sink_${System.nanoTime}")
+          .select(
+            col("window.start").cast("timestamp_ntz").as("window_start"),
+            col("window.end").cast("timestamp_ntz").as("window_end"),
+            col("event_type"), col("n_events"), col("total_value"))
+          .orderBy("window_start", "event_type")
+      },
+      Some(graft.operators.EventQueries.HoppingOracle),
+      "streaming sliding windows == batch hopping agg (e06's oracle)"),
+
     // ── Stream-stream inner join with an event-time interval: purchases
     // attribute to any click by the same user in the preceding hour. Both
     // sides carry a watermark so each side's buffered state frees once

@@ -110,6 +110,34 @@ class PlanSpec extends SparkSpec {
     assert(n == 1, s"expected 1 hash exchange, got $n:\n${plan.take(1200)}")
   }
 
+  test("e06: hopping-window expand is map-side — one hash exchange only") {
+    // window(ts, 6h, 2h) must explode each row into its 3 windows BEFORE
+    // the aggregation shuffle; a second hash exchange would mean the
+    // fan-out itself shuffled (3x the data over the wire)
+    val plan = executedPlan("e06_hopping_window")
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 1, s"expected 1 hash exchange, got $n:\n${plan.take(1200)}")
+  }
+
+  test("x28: quantization is a pure map stage; o15 never hash-shuffles") {
+    // x28 is map-only codec work; o15's only exchange is the rank
+    // normalization (a single-partition window at test scale — the
+    // sampled-quantile variant replaces it at 100 TB); neither may
+    // grow a hash shuffle
+    Seq("x28_embed_quantize", "o15_zorder_key").foreach { n =>
+      val plan = executedPlan(n)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$n: ${plan.take(800)}")
+    }
+  }
+
+  test("o15: the 32-term Morton interleave stays in whole-stage codegen") {
+    val df = q("o15_zorder_key")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan.take(1000))
+  }
+
   test("registry sweep: no unintended cartesian product in any plan") {
     // similarity scans intentionally crossJoin a BROADCAST probe/centroid
     // side (bounded, small); streaming queries execute on construction so
