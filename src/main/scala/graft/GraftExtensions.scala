@@ -39,7 +39,25 @@ object GraftExtensions {
         case Literal(k: Int, _) => KmvSketch(args(0), k)
         case other => throw new IllegalArgumentException(
           s"kmv_sketch(hash, k): k must be an integer literal, got $other")
-      }))
+      }),
+    // Spark ships these two (they power its runtime row-level join
+    // filtering) but leaves them out of the public registry; exposing
+    // them via the extension point gives the engine a first-class bloom
+    // semi-join reduction without any custom sketch code.
+    (FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate].getName, "bloom_filter_agg"),
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(args(0), args(1), args(2))),
+    (FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain].getName, "might_contain"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(args(0), args(1))))
 
   /** Idempotent runtime registration for sessions built without the
     * extensions config.

@@ -331,6 +331,47 @@ GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""),
       Some(HoppingOracle),
       "native sliding windows: bounded map-side fan-out, one shuffle"),
 
+    // ── Rolling actives: DAU and trailing-7-day WAU per day, plus the
+    // DAU/WAU stickiness ratio. Exact sliding-window DISTINCT does not
+    // decompose incrementally, so the scalable spelling is: collapse to
+    // distinct (user, day) FIRST (one dedup shuffle collapses any event
+    // volume to at most users × days rows), then explode each user-day
+    // into the ≤ 7 window-days it serves — the fan-out is bounded by
+    // the window ratio and runs on the collapsed frame, not the raw
+    // firehose. DAU rides along as the k = 0 slice of the same
+    // aggregation (no second scan).
+    "e07_rolling_actives" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .select(col("user_id"),
+          date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+        .distinct()
+        .withColumn("k", explode(expr("sequence(0, 6)")))
+        .withColumn("window_day",
+          col("day") + expr("make_interval(0, 0, 0, k)"))
+        .groupBy(col("window_day"))
+        .agg(
+          countDistinct(when(col("k") === 0, col("user_id"))).as("dau"),
+          countDistinct(col("user_id")).as("wau"))
+        .withColumn("stickiness",
+          col("dau").cast("double") / col("wau").cast("double"))
+        .orderBy("window_day"),
+      Some("""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events
+),
+expanded AS (
+  SELECT user_id, day, k.k, day + k.k * INTERVAL 1 DAY AS window_day
+  FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS k) k
+)
+SELECT window_day,
+  count(DISTINCT CASE WHEN k = 0 THEN user_id END) AS dau,
+  count(DISTINCT user_id) AS wau,
+  CAST(count(DISTINCT CASE WHEN k = 0 THEN user_id END) AS DOUBLE)
+    / CAST(count(DISTINCT user_id) AS DOUBLE) AS stickiness
+FROM expanded GROUP BY 1 ORDER BY window_day"""),
+      "DAU + trailing-7-day WAU: dedup first, bounded fan-out after"),
+
     // ── Volume-anomaly detection: daily event counts vs the trailing
     // 7-day average (a data-quality guard a pipeline runs before
     // accepting an ingest day). Day-grain cardinality is bounded

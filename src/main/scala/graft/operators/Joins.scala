@@ -120,4 +120,46 @@ object Joins {
         pr(rightLoUs) <= pl(leftTimeUs) && pl(leftTimeUs) <= pr(rightHiUs))
       .drop("__bin")
   }
+
+  /** Bloom-filter semi-join reduction: build a bloom filter over
+    * `right`'s join key (one partial-aggregated pass — the sketch merges
+    * map-side, so the wire carries one `numBits`-bit filter per
+    * partition) and drop `left` rows that cannot join BEFORE the join's
+    * shuffle. At 100 TB this is the difference between shuffling the
+    * full fact table and shuffling only the ~matching slice: the filter
+    * broadcasts (numBits/8 bytes) while the big side stays map-only
+    * until it has been pruned. False positives pass through at the
+    * configured rate and are removed by the actual join that follows —
+    * never false negatives — so composing `bloomPrefilter` with the
+    * real join is result-identical to the plain join (j16 pins exactly
+    * that, and JoinCombinatorsSpec the superset/subset bounds).
+    *
+    * Uses Spark's own BloomFilterAggregate/BloomFilterMightContain
+    * (the machinery behind its runtime join filtering), surfaced as
+    * `bloom_filter_agg` / `might_contain` by [[graft.GraftExtensions]].
+    */
+  def bloomPrefilter(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      expectedItems: Long, numBits: Long): DataFrame = {
+    val s = left.sparkSession
+    graft.GraftExtensions.install(s)
+    // might_contain demands its filter as a constant or SCALAR SUBQUERY
+    // (never a joined column), so the build side is attached as a
+    // subquery: executed once, its one-row result reused across every
+    // partition of the probe side. Views exist only long enough for
+    // sql() to resolve the plan; the analyzed tree keeps the real plans.
+    val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+    val (lv, rv) = (s"bloom_left_$tag", s"bloom_right_$tag")
+    left.createOrReplaceTempView(lv)
+    right.createOrReplaceTempView(rv)
+    try s.sql(
+      s"""SELECT * FROM $lv WHERE might_contain(
+         |  (SELECT bloom_filter_agg(xxhash64($rightKey),
+         |     ${expectedItems}L, ${numBits}L) FROM $rv),
+         |  xxhash64($leftKey))""".stripMargin)
+    finally {
+      s.catalog.dropTempView(lv)
+      s.catalog.dropTempView(rv)
+    }
+  }
 }

@@ -546,6 +546,102 @@ WHERE NOT EXISTS (
 ORDER BY doc_id"""),
       "new-batch dedup + anti-join vs existing corpus on content key"),
 
+    // ── Vocabulary-coverage quality filter: fraction of a doc's tokens
+    // that fall in its language's top-20 vocabulary (built in-query via
+    // the x25 heavy-hitter shape) — the OOV-rate filter a corpus
+    // pipeline runs to drop boilerplate/garbled docs. The vocab table is
+    // at most 20 rows per language, so the hit-join broadcasts; the
+    // exploded term stream is scanned once for the vocab and once for
+    // the hits (both partial-aggregated before their shuffles). The
+    // coverage ratio is one IEEE division of exact counts.
+    "x30_vocab_coverage" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("lang").orderBy(desc("cnt"), col("term"))
+        val terms = Tables.documentsSpread(s, d)
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("term"))
+        val vocab = terms.groupBy(col("lang"), col("term"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 20)
+          .select("lang", "term")
+        val hits = terms.join(broadcast(vocab), Seq("lang", "term"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_in"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"))
+          .join(hits, Seq("doc_id"), "left")
+          .withColumn("n_in", coalesce(col("n_in"), lit(0L)))
+          .withColumn("coverage",
+            col("n_in").cast("double") / col("n_tokens").cast("double"))
+          .withColumn("keep", col("coverage") >= 0.8)
+          .orderBy("doc_id")
+      },
+      Some("""
+WITH terms AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+vocab AS (
+  SELECT lang, term FROM (
+    SELECT lang, term,
+      row_number() OVER (PARTITION BY lang
+        ORDER BY count(*) DESC, term) AS rank
+    FROM terms GROUP BY lang, term)
+  WHERE rank <= 20
+),
+hits AS (
+  SELECT t.doc_id, count(*) AS n_in
+  FROM terms t JOIN vocab v ON t.lang = v.lang AND t.term = v.term
+  GROUP BY 1
+)
+SELECT d.doc_id AS doc_id, d.lang AS lang,
+  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+  coalesce(h.n_in, 0) AS n_in,
+  CAST(coalesce(h.n_in, 0) AS DOUBLE)
+    / CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS coverage,
+  CAST(coalesce(h.n_in, 0) AS DOUBLE)
+    / CAST(len(string_split(d.text, ' ')) AS DOUBLE) >= 0.8 AS keep
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+ORDER BY doc_id"""),
+      "OOV-rate quality filter: in-vocab token fraction vs top-20 vocab"),
+
+    // ── Dataset card: the one-row corpus summary a pipeline stamps on
+    // every shipped snapshot — sizes, language/source spread, exact-dup
+    // rate (x05's content fingerprint), token totals. One aggregation
+    // pass; every figure is an exact count or an IEEE division of exact
+    // counts, so the card is engine-identical.
+    "x31_corpus_summary" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .withColumn("w", expr("split(text, ' ')"))
+        .withColumn("fp", md5(expr("array_join(slice(w, 1, 5), ' ')")
+          .cast("binary")))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(expr("CAST(size(w) AS BIGINT)")).as("total_tokens"),
+          countDistinct(col("fp")).as("n_distinct_fp"))
+        .withColumn("dup_rate",
+          (col("n_docs") - col("n_distinct_fp")).cast("double") /
+            col("n_docs").cast("double"))
+        .withColumn("avg_tokens",
+          col("total_tokens").cast("double") / col("n_docs").cast("double")),
+      Some("""
+SELECT count(*) AS n_docs,
+  count(DISTINCT lang) AS n_langs,
+  count(DISTINCT source) AS n_sources,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+  count(DISTINCT md5(array_to_string((string_split(text, ' '))[:5], ' ')))
+    AS n_distinct_fp,
+  CAST(count(*) - count(DISTINCT
+      md5(array_to_string((string_split(text, ' '))[:5], ' ')))
+    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_rate,
+  CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) AS avg_tokens
+FROM documents"""),
+      "one-row dataset card: sizes, spread, dup rate, token totals"),
+
     // ── CUBE: all grouping-set combinations of (year, status) with a
     // grouping_id level marker — the full-lattice sibling of a10's
     // ROLLUP. One pass; Spark expands the sets map-side before the

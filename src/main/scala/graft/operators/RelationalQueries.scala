@@ -848,6 +848,36 @@ object RelationalQueries {
                 NOT IN ('1995_01','1995_02','1996_06')
               ORDER BY o_orderkey""")),
 
+    // ── J16: bloom-prefiltered join — the fact side (lineitem) is
+    // pruned by a bloom filter built over the small filtered dimension
+    // BEFORE the join shuffle ([[Joins.bloomPrefilter]]). The declared
+    // result is the plain inner join's (bloom false positives die in
+    // the join), so the oracle is the plain SQL join — what the bloom
+    // changes is WHERE rows die: map-side at the scan, not after
+    // shuffling 100 TB of non-matching fact rows. PlanSpec pins that
+    // the prefilter runs below the join's exchange.
+    "j16_bloom_semi_join" -> QueryDef(
+      (s, d) => {
+        val small = ord(s, d).filter(col("o_totalprice") > 400000d)
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val big = li(s, d)
+          .select(col("l_orderkey"), col("l_extendedprice"))
+        Joins.bloomPrefilter(big, "l_orderkey", small, "o_orderkey",
+            expectedItems = 100000L, numBits = 800000L)
+          .join(small, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"))
+          .agg(count(lit(1)).as("n_items"),
+            moneySum(col("l_extendedprice")).as("revenue"))
+          .orderBy("o_orderkey")
+      },
+      Some(s"""
+SELECT o_orderkey, o_orderdate, count(*) AS n_items,
+  ${sqlSum("l_extendedprice")} AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_totalprice > 400000
+GROUP BY 1, 2 ORDER BY o_orderkey"""),
+      "bloom semi-join reduction: prune the fact side before the shuffle"),
+
     // ── O15: Z-order (Morton) layout key over (o_custkey, o_orderkey)
     // — the multi-dimensional layout key: data written sorted by zkey
     // clusters BOTH dimensions, so parquet min/max pruning serves

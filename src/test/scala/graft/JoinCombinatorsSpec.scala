@@ -66,4 +66,24 @@ class JoinCombinatorsSpec extends SparkSpec {
       Seq("k"), Seq("ik"), "t_us", "lo_us", "hi_us", binWidthUs = 100L)
     assert(out.count() == 1)
   }
+
+  test("bloomPrefilter: no false negatives, and it actually prunes") {
+    val left = Tables.lineitem(spark, sf).select("l_orderkey")
+    val right = Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 400000d).select("o_orderkey")
+    val pre = operators.Joins.bloomPrefilter(left, "l_orderkey",
+      right, "o_orderkey", expectedItems = 10000L, numBits = 80000L)
+    val preKeys = pre.select("l_orderkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val exactKeys = left.join(right,
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .distinct().collect().map(_.getLong(0)).toSet
+    val leftKeys = left.distinct().collect().map(_.getLong(0)).toSet
+    // superset of the true matches (no false negatives), subset of the
+    // input, and a real reduction (false positives stay rare)
+    assert(exactKeys.subsetOf(preKeys))
+    assert(preKeys.subsetOf(leftKeys))
+    assert(preKeys.size < leftKeys.size / 2,
+      s"bloom pruned ${leftKeys.size - preKeys.size} of ${leftKeys.size}")
+  }
 }

@@ -138,6 +138,26 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("*("), plan.take(1000))
   }
 
+  test("j16: the bloom prefilter sits below every exchange (scan stage)") {
+    // the whole point of the prefilter is to kill non-matching fact rows
+    // BEFORE any shuffle; if might_contain ever migrated above an
+    // exchange the operator would still be correct but pointless. The
+    // plan prints parents first, so scan-stage nodes appear after every
+    // ancestor Exchange.
+    // the bloom BUILD side (printed under "Subqueries") and the
+    // dimension's BroadcastExchange own their exchanges legitimately —
+    // only SHUFFLES of the probe tree must all sit above the filter
+    // (ancestors print first, so deeper = later in the text)
+    val plan = executedPlan("j16_bloom_semi_join").split("Subqueries")(0)
+    val mc = plan.indexOf("might_contain")
+    assert(mc >= 0, plan.take(1200))
+    val lastShuffle = math.max(
+      plan.lastIndexOf("Exchange hashpartitioning"),
+      plan.lastIndexOf("Exchange rangepartitioning"))
+    assert(lastShuffle < mc,
+      s"might_contain at $mc, shuffle at $lastShuffle:\n${plan.take(1500)}")
+  }
+
   test("registry sweep: no unintended cartesian product in any plan") {
     // similarity scans intentionally crossJoin a BROADCAST probe/centroid
     // side (bounded, small); streaming queries execute on construction so
