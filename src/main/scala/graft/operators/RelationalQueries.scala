@@ -848,6 +848,56 @@ object RelationalQueries {
                 NOT IN ('1995_01','1995_02','1996_06')
               ORDER BY o_orderkey""")),
 
+    // ── W8: gaps-and-islands — each user's longest run of CONSECUTIVE
+    // active days (the classic streak/tenure ask). The island key is
+    // day-ordinal minus row_number (constant within a consecutive run,
+    // jumps at each gap) — one user-keyed window plus two user-keyed
+    // aggregations, all sharing the same partitioning, so the chain is
+    // one shuffle end-to-end at any scale. Dedup to (user, day) first,
+    // as e07: the firehose collapses before any window sees it.
+    "w08_streaks" -> QueryDef(
+      (s, d) => {
+        val ud = Tables.events(s, d)
+          .select(col("user_id"),
+            date_trunc("day", col("ts")).cast("timestamp_ntz").as("day"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        val islands = ud
+          .withColumn("dayn",
+            datediff(col("day"), lit("1970-01-01").cast("date"))
+              .cast("bigint"))
+          .withColumn("grp", col("dayn") - row_number().over(w))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(min(col("day")).as("streak_start"),
+            count(lit(1)).as("streak_len"))
+        val top = Window.partitionBy("user_id")
+          .orderBy(desc("streak_len"), col("streak_start"))
+        islands.withColumn("rn", row_number().over(top))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("streak_start"), col("streak_len"))
+          .orderBy("user_id")
+      },
+      Some("""
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events
+),
+i AS (
+  SELECT user_id, day,
+    date_diff('day', DATE '1970-01-01', day)
+      - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM ud
+),
+st AS (
+  SELECT user_id, min(day) AS streak_start, count(*) AS streak_len
+  FROM i GROUP BY user_id, grp
+)
+SELECT user_id, streak_start, streak_len FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+    ORDER BY streak_len DESC, streak_start) AS rn FROM st)
+WHERE rn = 1 ORDER BY user_id"""),
+      "gaps-and-islands: longest consecutive-day streak, one shuffle"),
+
     // ── J16: bloom-prefiltered join — the fact side (lineitem) is
     // pruned by a bloom filter built over the small filtered dimension
     // BEFORE the join shuffle ([[Joins.bloomPrefilter]]). The declared

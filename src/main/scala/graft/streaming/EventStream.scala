@@ -119,6 +119,56 @@ object EventStream {
       }
   }
 
+  /** Per-user behavior profile on the transformWithState API (the
+    * arbitrary-state successor to flatMapGroupsWithState): typed MAP
+    * state (event_type → count) plus a ValueState total, each
+    * independently evolvable/TTL-able — composite state the old API
+    * could only fake inside one opaque case-class blob. Requires the
+    * RocksDB state-store provider ([[runToMemory]] arranges it).
+    */
+  final case class TypeProfile(user_id: Long, n_types: Long,
+      n_events: Long)
+
+  private class TypeProfileProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), TypeProfile] {
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var types: MapState[String, Long] = _
+    @transient private var total: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      types = getHandle.getMapState[String, Long]("types",
+        E.STRING, E.scalaLong, TTLConfig.NONE)
+      total = getHandle.getValueState[Long]("total",
+        E.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TypeProfile] = {
+      var n = if (total.exists()) total.get() else 0L
+      rows.foreach { case (_, et) =>
+        n += 1
+        val prev = if (types.containsKey(et)) types.getValue(et) else 0L
+        types.updateValue(et, prev + 1L)
+      }
+      total.update(n)
+      Iterator.single(TypeProfile(key, types.keys().size.toLong, n))
+    }
+  }
+
+  def typeProfiles(events: DataFrame): Dataset[TypeProfile] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id").cast("long"), col("event_type"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new TypeProfileProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Sessions assembled by custom state with an EVENT-TIME TIMEOUT: a
     * session emits only when the watermark passes its last event + gap —
     * the state store's own late-data guarantee doing the session closing,
@@ -200,7 +250,16 @@ object EventStream {
     */
   def runToMemory(spark: SparkSession, agg: DataFrame,
       name: String, outputMode: String = "complete",
-      keepNoDataBatches: Boolean = false): DataFrame = {
+      keepNoDataBatches: Boolean = false,
+      rocksdb: Boolean = false): DataFrame = {
+    // transformWithState requires the RocksDB state-store provider;
+    // scoped to the drain (set before start, restored after) so the
+    // HDFS-backed default keeps serving the other streaming queries
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val provPrev = spark.conf.getOption(provKey)
+    if (rocksdb) spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
     // drain-and-stop queries never need the trailing no-data micro-batch
     // (it exists to advance watermarks for long-running queries); restored
     // after the drain so long-running queries on this session keep it
@@ -238,6 +297,10 @@ object EventStream {
         spPrev match {
           case Some(v) => spark.conf.set(spKey, v)
           case None    => spark.conf.unset(spKey)
+        }
+        if (rocksdb) provPrev match {
+          case Some(v) => spark.conf.set(provKey, v)
+          case None    => spark.conf.unset(provKey)
         }
       }
     }

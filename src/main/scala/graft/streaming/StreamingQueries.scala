@@ -156,6 +156,29 @@ ORDER BY user_id, session_start"""),
       Some(graft.operators.EventQueries.HoppingOracle),
       "streaming sliding windows == batch hopping agg (e06's oracle)"),
 
+    // ── transformWithState (the arbitrary-state API that supersedes
+    // flatMapGroupsWithState): per-user profile kept as TYPED COMPOSITE
+    // state — a MapState (event_type → count) beside a ValueState total,
+    // on the RocksDB state store. Update-mode emissions are cumulative
+    // and both figures are monotone, so the final per-user row is the
+    // max-n_events one (st03's pattern) and equals the batch aggregate.
+    "st09_transform_with_state" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val agg = EventStream
+          .typeProfiles(EventStream.readEvents(s, d)).toDF()
+        val w = Window.partitionBy("user_id").orderBy(desc("n_events"))
+        EventStream.runToMemory(s, agg, s"st09_sink_${System.nanoTime}",
+            outputMode = "update", rocksdb = true)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(DISTINCT event_type) AS n_types,
+              count(*) AS n_events
+              FROM events GROUP BY 1 ORDER BY user_id"""),
+      "transformWithState composite MapState+ValueState == batch groupBy"),
+
     // ── Stream-stream inner join with an event-time interval: purchases
     // attribute to any click by the same user in the preceding hour. Both
     // sides carry a watermark so each side's buffered state frees once
