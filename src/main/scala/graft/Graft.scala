@@ -173,6 +173,18 @@ object Graft {
     operators.Joins.rangeJoinBinned(left, right, leftKeys, rightKeys,
       leftTimeUs, rightLoUs, rightHiUs, binWidthUs)
 
+  /** Bloom-filter semi-join reduction: prune `left` rows that cannot
+    * match `right` BEFORE any shuffle; false positives (never
+    * negatives) pass through and die in the join that follows. See
+    * [[operators.Joins.bloomPrefilter]]; the declared
+    * `j16_bloom_semi_join` is its oracle-checked instantiation.
+    */
+  def bloomPrefilter(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      expectedItems: Long, numBits: Long): DataFrame =
+    operators.Joins.bloomPrefilter(left, leftKey, right, rightKey,
+      expectedItems, numBits)
+
   /** Ad-hoc JDBC query read (S1, the `fetch_data(query)` analog); see
     * [[sources.Jdbc]] for the partitioned-read guidance.
     */
