@@ -46,6 +46,37 @@ object DedupQueries {
 
   private val K = 6 // minhash signature length; 6 bands of 1 row for LSH
 
+  /** Containment pairs over any (doc_id, lang, text) frame: inverted
+    * 3-gram-shingle index, |A∩B| / min(|A|,|B|) ≥ tau, smaller-id
+    * first. Factored out so ContainmentSpec can drive it on
+    * constructed corpora (the small-inside-big case) while x29 stays
+    * its oracle-checked instantiation over `documents`.
+    */
+  def containmentPairs(docs0: org.apache.spark.sql.DataFrame,
+      tau: Double): org.apache.spark.sql.DataFrame = {
+    val docs = docs0
+      .withColumn("w", expr("split(text, ' ')"))
+      .withColumn("sh", expr(sparkShingles))
+      .select(col("doc_id"), col("lang"), col("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
+    val posting = docs.select(col("doc_id"), col("lang"),
+      explode(col("sh")).as("shingle"))
+    posting.as("a").join(posting.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("inter").cast("double") /
+          least(col("sa.sz"), col("sb.sz"))).as("containment"))
+      .filter(col("containment") >= tau)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** x27's benchmark-set source and the distinct md5'd word-8-gram
     * spelling (Spark side; the oracle's DuckDB twin is inline). Docs
     * under 8 words carry no 8-grams — they cannot leak an eval item.
@@ -528,29 +559,8 @@ GROUP BY 1 ORDER BY doc_id"""),
     // sizes by design) — lang is the only block; at corpus scale the
     // x08 df-cap applies unchanged to tame hot shingles.
     "x29_containment" -> QueryDef(
-      (s, d) => {
-        val docs = Tables.documentsSpread(s, d)
-          .withColumn("w", expr("split(text, ' ')"))
-          .withColumn("sh", expr(sparkShingles))
-          .select(col("doc_id"), col("lang"), col("sh"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
-        val posting = docs.select(col("doc_id"), col("lang"),
-          explode(col("sh")).as("shingle"))
-        posting.as("a").join(posting.as("b"),
-            col("a.shingle") === col("b.shingle") &&
-              col("a.lang") === col("b.lang") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("inter"))
-          .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-          .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-          .select(col("doc_a"), col("doc_b"), col("inter"),
-            (col("inter").cast("double") /
-              least(col("sa.sz"), col("sb.sz"))).as("containment"))
-          .filter(col("containment") >= 0.8d)
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, d) => containmentPairs(
+        Tables.documentsSpread(s, d), tau = 0.8),
       Some(s"""
 WITH t AS (
   SELECT doc_id, lang, $duckShingles AS sh

@@ -32,6 +32,12 @@ object PipelineQueries {
   /** Retained minimum hashes per group in the x21 KMV sketch. */
   private val KmvK = 256
 
+  /** x32's shuffle seed (any string; changing it reshuffles) and shard
+    * count (scaled to corpus size in production; fixed for the oracle).
+    */
+  private val ShuffleSeed = "epoch0"
+  private val NShards = 8
+
   /** x24 chunk window (tokens per chunk) and stride (S < W → overlap). */
   private val ChunkW = 32
   private val ChunkS = 24
@@ -641,6 +647,44 @@ SELECT count(*) AS n_docs,
     / CAST(count(*) AS DOUBLE) AS avg_tokens
 FROM documents"""),
       "one-row dataset card: sizes, spread, dup rate, token totals"),
+
+    // ── Deterministic corpus shuffle + shard assignment: the last step
+    // before training — docs get a pseudorandom but SEEDED order (md5 of
+    // seed||doc_id, no RNG: reproducible across runs, engines, and
+    // partitionings) and are dealt into fixed shards with a stable
+    // position inside each shard. One hash shuffle on the shard key +
+    // one per-shard window; shards are the write-side unit (each becomes
+    // a file/bucket), so the window partitioning IS the layout. The
+    // shard count scales with corpus size; position order never crosses
+    // shards, so no global sort exists anywhere.
+    "x32_shuffle_shards" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("shard").orderBy("shuffle_key")
+        Tables.documents(s, d)
+          .withColumn("shuffle_key",
+            md5(concat(lit(s"$ShuffleSeed|"), col("doc_id").cast("string"))
+              .cast("binary")))
+          .withColumn("shard", expr(
+            s"pmod(CAST(conv(substr(shuffle_key, 1, 15), 16, 10) AS BIGINT), $NShards)"))
+          .withColumn("pos", row_number().over(w).cast("bigint"))
+          .select(col("doc_id"), col("shard"), col("pos"),
+            col("shuffle_key"))
+          .orderBy("shard", "pos")
+      },
+      Some(s"""
+SELECT doc_id, shard, pos, shuffle_key FROM (
+  SELECT doc_id, shuffle_key,
+    CAST(('0x' || substr(shuffle_key, 1, 15)) AS BIGINT) % $NShards
+      AS shard,
+    CAST(row_number() OVER (
+      PARTITION BY CAST(('0x' || substr(shuffle_key, 1, 15)) AS BIGINT)
+        % $NShards
+      ORDER BY shuffle_key) AS BIGINT) AS pos
+  FROM (SELECT doc_id, md5('$ShuffleSeed|' || CAST(doc_id AS VARCHAR))
+          AS shuffle_key
+        FROM documents))
+ORDER BY shard, pos"""),
+      "seeded corpus shuffle into stable training shards, no global sort"),
 
     // ── CUBE: all grouping-set combinations of (year, status) with a
     // grouping_id level marker — the full-lattice sibling of a10's
