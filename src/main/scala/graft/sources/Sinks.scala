@@ -137,4 +137,36 @@ object Sinks {
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+
+  /** Small-file compaction: rewrite a parquet dataset whose incremental
+    * appends have fragmented it (every `appendParquet` batch adds files)
+    * into ~`targetFileBytes` files. The 100 TB maintenance op: scan cost
+    * is dominated by file-open overhead once files shrink below the
+    * row-group size, and the fix is a bounded rewrite, not a bigger
+    * cluster. Rewrites via a temp dir + rename swap so a crash leaves
+    * either the old or the new layout, never a half-written mix (on an
+    * object store a table format's manifest commit plays this role).
+    *
+    * @return file count after compaction (unchanged when already compact)
+    */
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val files = fs.listStatus(p)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val nFiles = math.max(1,
+      math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    if (nFiles >= files.length) return files.length
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    val bak = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.rename(p, bak)
+    fs.rename(tmp, p)
+    fs.delete(bak, true)
+    nFiles
+  }
 }

@@ -203,4 +203,20 @@ class SinksSpec extends SparkSpec {
     assert(json.select("id", "name").orderBy("id").as[(Long, String)]
       .collect().toSeq == Seq((1L, "a"), (2L, "b")))
   }
+
+  test("compaction collapses a fragmented dataset, data intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact")
+      .toString + "/t"
+    val df = spark.range(0, 1000).toDF("id")
+    df.repartition(20).write.parquet(dir)
+    def nFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles == 20)
+    val after = sources.Sinks.compact(spark, dir, targetFileBytes = 1L << 30)
+    assert(after == 1 && nFiles == 1, s"after=$after files=$nFiles")
+    assert(spark.read.parquet(dir).agg(sum(col("id"))).head().getLong(0)
+      == 499500L)
+    // idempotent: already compact → untouched
+    assert(sources.Sinks.compact(spark, dir, 1L << 30) == 1)
+  }
 }
