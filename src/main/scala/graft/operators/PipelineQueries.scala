@@ -38,6 +38,13 @@ object PipelineQueries {
   private val ShuffleSeed = "epoch0"
   private val NShards = 8
 
+  /** x33's domain blocklist (in production: a broadcast side table). */
+  private val BlockedDomains = Seq(
+    "www.src17.example.org", "www.src18.example.com",
+    "www.src19.example.org")
+  private val BlockedSqlList =
+    BlockedDomains.map(dm => s"'$dm'").mkString(", ")
+
   /** x24 chunk window (tokens per chunk) and stride (S < W → overlap). */
   private val ChunkW = 32
   private val ChunkS = 24
@@ -685,6 +692,48 @@ SELECT doc_id, shard, pos, shuffle_key FROM (
         FROM documents))
 ORDER BY shard, pos"""),
       "seeded corpus shuffle into stable training shards, no global sort"),
+
+    // ── URL/domain filtering: normalize a doc's source URL, extract
+    // the domain, and apply a domain blocklist — the crawl-side filter
+    // every pretraining pipeline runs before content ever reaches
+    // dedup. URLs are synthesized deterministically from the doc's own
+    // fields (the u04/x19 pattern: build the raw form in-query, then
+    // prove the transform); extraction is one anchored regex that
+    // means the same thing in Java and RE2, normalization strips the
+    // query string. Pure map stage.
+    "x33_url_filter" -> QueryDef(
+      (s, d) => Tables.documents(s, d)
+        .withColumn("url", concat(
+          lit("https://www."), col("source"), lit(".example."),
+          when(col("lang") === "en", "com").otherwise("org"),
+          lit("/doc/"), col("doc_id").cast("string"),
+          lit("?ref="), col("lang")))
+        .select(col("doc_id"), col("url"),
+          regexp_extract(col("url"), "^https?://([^/?]+)", 1)
+            .as("domain"),
+          regexp_extract(col("url"), "^https?://[^/?]+([^?]*)", 1)
+            .as("path"))
+        .withColumn("normalized", concat(col("domain"), col("path")))
+        .withColumn("blocked",
+          col("domain").isin(BlockedDomains: _*))
+        .orderBy("doc_id"),
+      Some(s"""
+WITH t AS (
+  SELECT doc_id,
+    'https://www.' || source || '.example.'
+      || (CASE WHEN lang = 'en' THEN 'com' ELSE 'org' END)
+      || '/doc/' || CAST(doc_id AS VARCHAR) || '?ref=' || lang AS url
+  FROM documents
+)
+SELECT doc_id, url,
+  regexp_extract(url, '^https?://([^/?]+)', 1) AS domain,
+  regexp_extract(url, '^https?://[^/?]+([^?]*)', 1) AS path,
+  regexp_extract(url, '^https?://([^/?]+)', 1)
+    || regexp_extract(url, '^https?://[^/?]+([^?]*)', 1) AS normalized,
+  regexp_extract(url, '^https?://([^/?]+)', 1) IN ($BlockedSqlList)
+    AS blocked
+FROM t ORDER BY doc_id"""),
+      "URL normalize + domain extract + blocklist: the crawl-side gate"),
 
     // ── CUBE: all grouping-set combinations of (year, status) with a
     // grouping_id level marker — the full-lattice sibling of a10's

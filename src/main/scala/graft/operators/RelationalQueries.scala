@@ -898,6 +898,107 @@ SELECT user_id, streak_start, streak_len FROM (
 WHERE rn = 1 ORDER BY user_id"""),
       "gaps-and-islands: longest consecutive-day streak, one shuffle"),
 
+    // ── A13: exact per-group order statistics — the p50/p90/p99 VALUE
+    // (not bucket) of quantity per return flag: row_number against the
+    // group count picks the ceil(p·n)-th value, a deterministic
+    // discrete percentile with a unique tie-break. The per-group
+    // total-order window is the honest cost of EXACT percentiles; at
+    // 100 TB the same report comes from a mergeable quantile sketch
+    // (the x21 KMV pattern) at bounded state — this query pins the
+    // exact semantics the sketch approximates.
+    "a13_group_percentiles" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+        val g = Window.partitionBy("l_returnflag")
+        def pick(p: Double) = max(when(
+          col("rn") === ceil(col("n") * p).cast("long"),
+          col("l_quantity")))
+        li(s, d)
+          .select(col("l_returnflag"), col("l_quantity"),
+            col("l_orderkey"), col("l_linenumber"))
+          .withColumn("rn", row_number().over(w).cast("bigint"))
+          .withColumn("n", count(lit(1)).over(g))
+          .groupBy(col("l_returnflag"))
+          .agg(max(col("n")).as("n_rows"), pick(0.5).as("p50"),
+            pick(0.9).as("p90"), pick(0.99).as("p99"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+WITH r AS (
+  SELECT l_returnflag, l_quantity,
+    row_number() OVER (PARTITION BY l_returnflag
+      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+    count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag, max(n) AS n_rows,
+  max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+    THEN l_quantity END) AS p50,
+  max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
+    THEN l_quantity END) AS p90,
+  max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT)
+    THEN l_quantity END) AS p99
+FROM r GROUP BY 1 ORDER BY l_returnflag"""),
+      "exact discrete percentiles per group (the sketch's ground truth)"),
+
+    // ── O17: snapshot diff — reconcile two versions of a table into
+    // added / removed / changed rows (the audit a daily-rebuild
+    // pipeline like the reference's runs to see what a rebuild DID).
+    // Both versions are derived deterministically from `orders` so the
+    // oracle replays them; the diff itself is one full-outer join on
+    // the key with null-safe change classification — at any scale one
+    // key-partitioned shuffle per side.
+    "o17_snapshot_diff" -> QueryDef(
+      (s, d) => {
+        val base = ord(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+        // old snapshot: rows with key % 10 == 3 don't exist yet
+        val prev = base.filter(col("o_orderkey") % 10 =!= 3)
+          .select(col("o_orderkey").as("k_old"),
+            col("o_orderstatus").as("status_old"))
+        // new snapshot: key % 11 == 0 deleted, key % 7 == 0 re-marked
+        val next = base.filter(col("o_orderkey") % 11 =!= 0)
+          .select(col("o_orderkey").as("k_new"),
+            when(col("o_orderkey") % 7 === 0, lit("X"))
+              .otherwise(col("o_orderstatus")).as("status_new"))
+        prev.join(next, col("k_old") === col("k_new"), "full_outer")
+          .withColumn("change_type",
+            when(col("k_old").isNull, "added")
+              .when(col("k_new").isNull, "removed")
+              .when(!(col("status_old") <=> col("status_new")), "changed")
+              .otherwise("same"))
+          .filter(col("change_type") =!= "same")
+          .select(coalesce(col("k_old"), col("k_new")).as("o_orderkey"),
+            col("change_type"), col("status_old"), col("status_new"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+WITH prev AS (
+  SELECT o_orderkey AS k_old, o_orderstatus AS status_old
+  FROM orders WHERE o_orderkey % 10 != 3
+),
+next AS (
+  SELECT o_orderkey AS k_new,
+    CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END
+      AS status_new
+  FROM orders WHERE o_orderkey % 11 != 0
+)
+SELECT coalesce(k_old, k_new) AS o_orderkey,
+  CASE WHEN k_old IS NULL THEN 'added'
+       WHEN k_new IS NULL THEN 'removed'
+       WHEN status_old IS DISTINCT FROM status_new THEN 'changed'
+       ELSE 'same' END AS change_type,
+  status_old, status_new
+FROM prev FULL OUTER JOIN next ON k_old = k_new
+WHERE (CASE WHEN k_old IS NULL THEN 'added'
+       WHEN k_new IS NULL THEN 'removed'
+       WHEN status_old IS DISTINCT FROM status_new THEN 'changed'
+       ELSE 'same' END) != 'same'
+ORDER BY o_orderkey"""),
+      "snapshot reconciliation: added/removed/changed via full-outer join"),
+
     // ── J16: bloom-prefiltered join — the fact side (lineitem) is
     // pruned by a bloom filter built over the small filtered dimension
     // BEFORE the join shuffle ([[Joins.bloomPrefilter]]). The declared
