@@ -43,4 +43,31 @@ object Quality {
       .withColumn("passed", col("violations") === 0L)
       .orderBy("rule")
   }
+
+  /** Schema-contract check: diff a frame's actual schema against the
+    * expected one. Pure metadata (no job runs) — the gate an ingest
+    * pipeline applies BEFORE paying a scan, catching upstream drift
+    * (renamed/retyped/dropped columns) at plan time. Returns
+    * human-readable violations; empty means the contract holds.
+    * Extra columns are reported but usually tolerated by the caller
+    * (widening is backward-compatible); missing or retyped ones are
+    * the hard failures.
+    */
+  def schemaDiff(df: DataFrame,
+      expected: org.apache.spark.sql.types.StructType): Seq[String] = {
+    val actual = df.schema.map(f => f.name -> f.dataType).toMap
+    val exp = expected.map(f => f.name -> f.dataType).toMap
+    val missing = expected.collect {
+      case f if !actual.contains(f.name) => s"missing column: ${f.name}"
+    }
+    val retyped = expected.collect {
+      case f if actual.get(f.name).exists(_ != f.dataType) =>
+        s"type mismatch: ${f.name} expected ${f.dataType.simpleString} " +
+          s"got ${actual(f.name).simpleString}"
+    }
+    val extra = df.schema.collect {
+      case f if !exp.contains(f.name) => s"unexpected column: ${f.name}"
+    }
+    missing ++ retyped ++ extra
+  }
 }

@@ -275,6 +275,58 @@ ORDER BY user_id"""),
               ORDER BY click_id, purchase_id"""),
       "binned range join: two big sides, (key, time-bin) equi + residual"),
 
+    // ── Linear multi-touch attribution: each purchase's value is split
+    // equally across the clicks in its preceding hour (the j15/st07
+    // attribution join, carried to the MONEY step), and each click
+    // accumulates its credited revenue. The per-purchase split is one
+    // window over the join output (purchase-keyed — bounded by touches
+    // per purchase); credits are cent-rounded BEFORE the decimal sum so
+    // the totals are exact and order-independent. This is the query a
+    // marketing pipeline actually ships on top of the attribution join.
+    "e08_attribution" -> QueryDef(
+      (s, d) => {
+        val HourUs = 3600000000L
+        val ev = Tables.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"),
+            col("user_id").as("c_user"),
+            unix_micros(col("ts").cast("timestamp")).as("lo_us"))
+          .withColumn("hi_us", col("lo_us") + HourUs)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("value"),
+            unix_micros(col("ts").cast("timestamp")).as("t_us"))
+        val byPurchase = Window.partitionBy("purchase_id")
+        Joins.rangeJoinBinned(purchases, clicks,
+            Seq("user_id"), Seq("c_user"),
+            "t_us", "lo_us", "hi_us", HourUs)
+          .withColumn("n_touches", count(lit(1)).over(byPurchase))
+          .withColumn("credit",
+            Money.moneyRound(col("value") / col("n_touches")))
+          .groupBy(col("click_id"))
+          .agg(countDistinct(col("purchase_id")).as("n_purchases"),
+            Money.moneySum(col("credit")).as("credited"))
+          .orderBy("click_id")
+      },
+      Some(s"""
+WITH pairs AS (
+  SELECT c.event_id AS click_id, p.event_id AS purchase_id, p.value
+  FROM events c JOIN events p
+    ON c.event_type = 'click' AND p.event_type = 'purchase'
+   AND p.user_id = c.user_id
+   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+),
+split AS (
+  SELECT click_id, purchase_id,
+    ${Money.sqlRound("value / (count(*) OVER (PARTITION BY purchase_id))")}
+      AS credit
+  FROM pairs
+)
+SELECT click_id, count(DISTINCT purchase_id) AS n_purchases,
+  ${Money.sqlSum("credit")} AS credited
+FROM split GROUP BY 1 ORDER BY click_id"""),
+      "linear multi-touch attribution: interval join + equal-split money"),
+
     // ── Retention cohorts: users grouped by first-seen week, distinct
     // actives per (cohort_week, week_offset) — the standard retention
     // triangle. Shapes: one per-user min (hash agg on user_id), one

@@ -25,4 +25,26 @@ class GraftSpec extends SparkSpec {
          FROM embeddings LIMIT 1""")
     assert(!dot.collect().head.isNullAt(0))
   }
+
+  test("schemaDiff flags missing, retyped, and extra columns at plan time") {
+    import org.apache.spark.sql.types._
+    val expected = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_missing", StringType)))
+    val df = Tables.orders(spark, sf)
+      .withColumn("o_totalprice",
+        org.apache.spark.sql.functions.col("o_totalprice").cast("string"))
+    val diff = functions.Quality.schemaDiff(
+      df.select("o_orderkey", "o_totalprice", "o_orderstatus"), expected)
+    assert(diff.exists(_.startsWith("missing column: o_missing")), diff)
+    assert(diff.exists(_.startsWith("type mismatch: o_totalprice")), diff)
+    assert(diff.exists(_.startsWith("unexpected column: o_orderstatus")),
+      diff)
+    // contract holds on the real table
+    val ok = functions.Quality.schemaDiff(
+      Tables.orders(spark, sf).select("o_orderkey"),
+      StructType(Seq(StructField("o_orderkey", LongType))))
+    assert(ok.isEmpty, ok)
+  }
 }
