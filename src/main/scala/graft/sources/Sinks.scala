@@ -154,8 +154,17 @@ object Sinks {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(path)
-    val files = fs.listStatus(p)
-      .filter(_.getPath.getName.endsWith(".parquet"))
+    val entries = fs.listStatus(p)
+    // a partitioned dataset (key=value subdirs) must be compacted
+    // per-partition — a whole-dataset rewrite would silently flatten
+    // the layout; fail loudly instead of restructuring data
+    val subdirs = entries.filter(_.isDirectory)
+      .map(_.getPath.getName).filterNot(_.startsWith("_"))
+    require(subdirs.isEmpty,
+      s"compact: $path is partitioned (${subdirs.take(3).mkString(", ")}" +
+        s"${if (subdirs.length > 3) ", …" else ""}); " +
+        "compact each partition directory instead")
+    val files = entries.filter(_.getPath.getName.endsWith(".parquet"))
     val totalBytes = files.map(_.getLen).sum
     val nFiles = math.max(1,
       math.ceil(totalBytes.toDouble / targetFileBytes).toInt)

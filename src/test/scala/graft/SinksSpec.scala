@@ -219,4 +219,18 @@ class SinksSpec extends SparkSpec {
     // idempotent: already compact → untouched
     assert(sources.Sinks.compact(spark, dir, 1L << 30) == 1)
   }
+
+  test("compaction refuses a partitioned dataset (layout preservation)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_p")
+      .toString + "/t"
+    spark.range(0, 100).toDF("id")
+      .withColumn("part", col("id") % 2)
+      .write.partitionBy("part").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      sources.Sinks.compact(spark, dir, 1L << 30)
+    }
+    assert(e.getMessage.contains("partitioned"), e.getMessage)
+    // per-partition compaction is the sanctioned path
+    assert(sources.Sinks.compact(spark, s"$dir/part=0", 1L << 30) == 1)
+  }
 }
