@@ -48,16 +48,29 @@ object GraftExtensions {
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate
           .BloomFilterAggregate].getName, "bloom_filter_agg"),
-      (args: Seq[Expression]) =>
-        new org.apache.spark.sql.catalyst.expressions.aggregate
-          .BloomFilterAggregate(args(0), args(1), args(2))),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate
+        args match {
+          case Seq(h)       => new BloomFilterAggregate(h)
+          case Seq(h, n)    => new BloomFilterAggregate(h, n)
+          case Seq(h, n, b) => new BloomFilterAggregate(h, n, b)
+          case other => throw new IllegalArgumentException(
+            "bloom_filter_agg(xxhash64(col)[, estimatedItems[, numBits]])" +
+              s": expected 1-3 arguments, got ${other.length}")
+        }
+      }),
     (FunctionIdentifier("might_contain"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions
           .BloomFilterMightContain].getName, "might_contain"),
-      (args: Seq[Expression]) =>
-        org.apache.spark.sql.catalyst.expressions
-          .BloomFilterMightContain(args(0), args(1))))
+      (args: Seq[Expression]) => args match {
+        case Seq(bf, v) => org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(bf, v)
+        case other => throw new IllegalArgumentException(
+          "might_contain(bloom, xxhash64(col)): expected 2 arguments, " +
+            s"got ${other.length}")
+      }))
 
   /** Idempotent runtime registration for sessions built without the
     * extensions config.

@@ -143,6 +143,16 @@ object Joins {
       expectedItems: Long, numBits: Long): DataFrame = {
     val s = left.sparkSession
     graft.GraftExtensions.install(s)
+    // xxhash64 hashes by PHYSICAL type: an INT 1 and a BIGINT 1 hash
+    // differently, so mismatched key types would drop genuinely
+    // matching rows — a silent false-negative that breaks the
+    // result-identity guarantee. Demand identical types up front.
+    val lt = left.schema(leftKey).dataType
+    val rt = right.schema(rightKey).dataType
+    require(lt == rt,
+      s"bloomPrefilter: key types must match exactly (xxhash64 is " +
+        s"type-sensitive): $leftKey is ${lt.simpleString}, " +
+        s"$rightKey is ${rt.simpleString} — cast one side first")
     // might_contain demands its filter as a constant or SCALAR SUBQUERY
     // (never a joined column), so the build side is attached as a
     // subquery: executed once, its one-row result reused across every
@@ -154,9 +164,9 @@ object Joins {
     right.createOrReplaceTempView(rv)
     try s.sql(
       s"""SELECT * FROM $lv WHERE might_contain(
-         |  (SELECT bloom_filter_agg(xxhash64($rightKey),
+         |  (SELECT bloom_filter_agg(xxhash64(`$rightKey`),
          |     ${expectedItems}L, ${numBits}L) FROM $rv),
-         |  xxhash64($leftKey))""".stripMargin)
+         |  xxhash64(`$leftKey`))""".stripMargin)
     finally {
       s.catalog.dropTempView(lv)
       s.catalog.dropTempView(rv)

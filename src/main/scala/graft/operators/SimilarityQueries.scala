@@ -479,7 +479,8 @@ q AS (
     ELSE list_transform(v, x -> 0) END AS q
   FROM m
 )
-SELECT vec_id, vmin, vmax, CAST(list_sum(q) AS BIGINT) AS q_sum,
+SELECT vec_id, vmin, vmax,
+  CAST(coalesce(list_sum(q), 0) AS BIGINT) AS q_sum,
   CAST(len(q) AS BIGINT) AS dim,
   md5(array_to_string(q, ',')) AS q_md5
 FROM q ORDER BY vec_id"""),

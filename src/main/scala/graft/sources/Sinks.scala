@@ -151,9 +151,11 @@ object Sinks {
     */
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20): Int = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(path)
+    // the filesystem OWNING the path, not the default one — a
+    // defaultFS=hdfs deployment compacting a file:/ or s3a:// dataset
+    // would otherwise list/rename the wrong filesystem entirely
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val entries = fs.listStatus(p)
     // a partitioned dataset (key=value subdirs) must be compacted
     // per-partition — a whole-dataset rewrite would silently flatten
@@ -169,12 +171,28 @@ object Sinks {
     val nFiles = math.max(1,
       math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     if (nFiles >= files.length) return files.length
-    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
-    val bak = new org.apache.hadoop.fs.Path(path + "__compact_old")
-    spark.read.parquet(path).repartition(nFiles)
+    // siblings of the NORMALIZED path ("/t/" would otherwise put tmp
+    // INSIDE the dataset and the swap would destroy it); `suffix`
+    // appends to the normalized form
+    val tmp = p.suffix("__compact_tmp")
+    val bak = p.suffix("__compact_old")
+    // a bak left by a crashed prior run means that run failed between
+    // its two renames — refuse to touch anything until a human resolves
+    // which copy is current
+    require(!fs.exists(bak),
+      s"compact: stale $bak exists (prior compaction crashed mid-swap); " +
+        "resolve it before compacting again")
+    spark.read.parquet(p.toString).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.rename(p, bak)
-    fs.rename(tmp, p)
+    // rename signals failure via its RETURN VALUE on HDFS-like
+    // filesystems — unchecked, a failed swap either reports success or
+    // deletes the only copy
+    if (!fs.rename(p, bak))
+      throw new java.io.IOException(s"compact: rename $p -> $bak failed")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(bak, p) // best-effort rollback; bak is the real data
+      throw new java.io.IOException(s"compact: rename $tmp -> $p failed")
+    }
     fs.delete(bak, true)
     nFiles
   }

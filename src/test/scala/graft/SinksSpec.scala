@@ -233,4 +233,19 @@ class SinksSpec extends SparkSpec {
     // per-partition compaction is the sanctioned path
     assert(sources.Sinks.compact(spark, s"$dir/part=0", 1L << 30) == 1)
   }
+
+  test("compaction refuses to run over a crashed prior swap") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_b")
+      .toString
+    val dir = base + "/t"
+    spark.range(0, 100).toDF("id").repartition(4).write.parquet(dir)
+    // simulate a prior run that died between its two renames
+    new java.io.File(dir + "__compact_old").mkdirs()
+    val e = intercept[IllegalArgumentException] {
+      sources.Sinks.compact(spark, dir, 1L << 30)
+    }
+    assert(e.getMessage.contains("crashed mid-swap"), e.getMessage)
+    // the dataset was not touched
+    assert(spark.read.parquet(dir).count() == 100)
+  }
 }
