@@ -16,6 +16,60 @@ object LoanQueries {
       Some(LoanDetail.oracle),
       "E1 flagship: scan→filter→pre-agg→5-way left join→waterfall→window→project"),
 
+    // ── Amortization schedule: explode each loan into its 12 monthly
+    // installments with level principal and simple interest on the
+    // declining balance — the schedule generator the reference's
+    // lending domain implies but never ships (its loans carry only the
+    // current state). Closed-form per period (no iterative balance:
+    // balance_k = P − (k−1)·round(P/12)), so everything is one map-side
+    // explode of cent-exact arithmetic; the last period absorbs the
+    // rounding residue so the principal column sums back to P exactly.
+    "u07_amortization" -> QueryDef(
+      (s, d) => {
+        val P = moneyRound(col("o_totalprice"))
+        val inst = moneyRound(P / 12d)
+        Tables.orders(s, d)
+          .select(col("o_orderkey").as("loan_id"), P.as("principal"),
+            inst.as("inst"))
+          .withColumn("period", explode(expr("sequence(1, 12)")))
+          .withColumn("balance",
+            moneyRound(col("principal") - (col("period") - 1) * col("inst")))
+          .withColumn("principal_due",
+            when(col("period") < 12, col("inst"))
+              .otherwise(moneyRound(col("principal") - lit(11d) * col("inst"))))
+          .withColumn("interest_due", moneyRound(col("balance") * 0.015d))
+          .withColumn("total_due",
+            moneyRound(col("principal_due") + col("interest_due")))
+          .select(col("loan_id"), col("period").cast("bigint").as("period"),
+            col("balance"), col("principal_due"), col("interest_due"),
+            col("total_due"))
+          .orderBy("loan_id", "period")
+      },
+      Some(s"""
+WITH base AS (
+  SELECT o_orderkey AS loan_id,
+    ${sqlRound("o_totalprice")} AS principal,
+    ${sqlRound(sqlRound("o_totalprice") + " / 12")} AS inst
+  FROM orders
+),
+e AS (
+  SELECT loan_id, principal, inst,
+    unnest(generate_series(1, 12)) AS period
+  FROM base
+)
+SELECT loan_id, CAST(period AS BIGINT) AS period,
+  ${sqlRound("principal - (period - 1) * inst")} AS balance,
+  CASE WHEN period < 12 THEN inst
+       ELSE ${sqlRound("principal - 11 * inst")} END AS principal_due,
+  ${sqlRound(sqlRound("principal - (period - 1) * inst") + " * 0.015")}
+    AS interest_due,
+  ${sqlRound(
+    s"(CASE WHEN period < 12 THEN inst ELSE ${sqlRound("principal - 11 * inst")} END)" +
+      s" + ${sqlRound(sqlRound("principal - (period - 1) * inst") + " * 0.015")}")}
+    AS total_due
+FROM e ORDER BY loan_id, period"""),
+      "closed-form 12-period amortization explode, cent-exact residue"),
+
     // ── U1 standalone: the payment waterfall over loan-shaped inputs whose
     // paid amount sweeps 0%..149% of due, hitting every allocation branch
     // (reference `extract_loan_detail.py:198-234`).

@@ -486,6 +486,57 @@ SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
 FROM c ORDER BY doc_id, chunk_id"""),
       "sliding token-window chunking with overlap, map-only fan-out"),
 
+    // ── Chunk-level dedup: the x24 chunk fingerprints grouped across
+    // the corpus — repeated chunks are the page-boilerplate / shared-
+    // template signal that document-level dedup (x05) can't see (two
+    // docs sharing one nav block are not near-dups; their SHARED CHUNK
+    // still shouldn't be trained on twice). One map-side chunk explode
+    // + one hash aggregation on the 32-byte fingerprint; downstream a
+    // pipeline anti-joins chunks against the duplicated set.
+    "x34_chunk_dedup" -> QueryDef(
+      (s, d) => {
+        val W = ChunkW; val S = ChunkS
+        Tables.documentsSpread(s, d)
+          .withColumn("w", expr("split(text, ' ')"))
+          .withColumn("n", expr("size(w)"))
+          .withColumn("k", explode(expr(
+            s"sequence(0, CASE WHEN n <= $W THEN 0 ELSE (n - $W + ${S - 1}) div $S END)")))
+          .withColumn("chunk_fp",
+            md5(expr(s"array_join(slice(w, k * $S + 1, $W), ' ')")
+              .cast("binary")))
+          .groupBy(col("chunk_fp"))
+          .agg(count(lit(1)).as("n_copies"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            min(col("doc_id")).as("canonical_doc"))
+          .filter(col("n_copies") > 1)
+          .orderBy("chunk_fp")
+      },
+      Some(s"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+    unnest(generate_series(0,
+      CASE WHEN n <= $ChunkW THEN 0
+           ELSE (n - $ChunkW + ${ChunkS - 1}) // $ChunkS END)) AS k,
+    w
+  FROM t
+),
+f AS (
+  SELECT doc_id,
+    md5(array_to_string(w[k * $ChunkS + 1 : k * $ChunkS + $ChunkW], ' '))
+      AS chunk_fp
+  FROM c
+)
+SELECT chunk_fp, count(*) AS n_copies,
+  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS canonical_doc
+FROM f GROUP BY 1 HAVING count(*) > 1
+ORDER BY chunk_fp"""),
+      "cross-corpus repeated chunks: boilerplate doc-level dedup misses"),
+
     // ── Vocabulary heavy hitters: top-10 tokens per language by exact
     // count. Two hash aggregations — the first is (lang, term)-keyed
     // (high cardinality, map-side partial combine eats the heavy
