@@ -898,6 +898,46 @@ SELECT user_id, streak_start, streak_len FROM (
 WHERE rn = 1 ORDER BY user_id"""),
       "gaps-and-islands: longest consecutive-day streak, one shuffle"),
 
+    // ── W9: share-of-total window — each customer's revenue as a share
+    // of their nation's total. The denominator is a windowed DECIMAL
+    // sum cast to double (a double window-sum would be fold-order-
+    // dependent and drift from the oracle; the decimal is exact and
+    // associative — same rule as Money.moneySum, applied to a window
+    // frame). The share itself is then one IEEE division of two exact
+    // cent values. Both the aggregation and the window shuffle on the
+    // same nation key.
+    "w09_revenue_share" -> QueryDef(
+      (s, d) => {
+        val byNation = Window.partitionBy("n_name")
+        Tables.orders(s, d)
+          .join(Tables.customer(s, d),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables.nation(s, d),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("c_custkey"))
+          .agg(moneySum(col("o_totalprice")).as("revenue"))
+          .withColumn("nation_total",
+            sum(col("revenue").cast(DecimalType(18, 2))).over(byNation)
+              .cast("double"))
+          .withColumn("share", col("revenue") / col("nation_total"))
+          .orderBy("n_name", "c_custkey")
+      },
+      Some(s"""
+WITH cust AS (
+  SELECT n_name, c_custkey, ${sqlSum("o_totalprice")} AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, c_custkey, revenue,
+  CAST(sum(CAST(revenue AS DECIMAL(18,2))) OVER (PARTITION BY n_name)
+    AS DOUBLE) AS nation_total,
+  revenue / CAST(sum(CAST(revenue AS DECIMAL(18,2)))
+    OVER (PARTITION BY n_name) AS DOUBLE) AS share
+FROM cust ORDER BY n_name, c_custkey"""),
+      "share-of-total: windowed decimal denominator, exact at any order"),
+
     // ── A13: exact per-group order statistics — the p50/p90/p99 VALUE
     // (not bucket) of quantity per return flag: row_number against the
     // group count picks the ceil(p·n)-th value, a deterministic

@@ -142,6 +142,64 @@ SELECT doc_id, lang,
 FROM t ORDER BY doc_id"""
       }),
 
+    // ── Label-noise estimation: the x03 detector's confusion matrix
+    // against the declared language labels — (declared, predicted)
+    // counts plus each cell's share of its declared-language row. The
+    // QC readout that tells a corpus owner whether the metadata or the
+    // detector is lying. One aggregation over the map-side detection;
+    // the share is a single IEEE division of exact counts (the window
+    // total rides the same tiny grouped frame).
+    "x35_lang_confusion" -> QueryDef(
+      (s, d) => {
+        val hits = stopwords.map { case (l, ws) =>
+          l -> s"size(filter(split(text, ' '), w -> w IN ${inList(ws)}))"
+        }
+        val Seq(en, es, de, fr) = hits.map(_._2)
+        val byLang = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang")
+        Tables.documents(s, d)
+          .withColumn("h_en", expr(en)).withColumn("h_es", expr(es))
+          .withColumn("h_de", expr(de)).withColumn("h_fr", expr(fr))
+          .withColumn("pred_lang",
+            when(col("h_en") === 0 && col("h_es") === 0 &&
+              col("h_de") === 0 && col("h_fr") === 0, "unknown")
+              .when(col("h_en") >= col("h_es") && col("h_en") >= col("h_de")
+                && col("h_en") >= col("h_fr"), "en")
+              .when(col("h_es") >= col("h_de") && col("h_es") >= col("h_fr"),
+                "es")
+              .when(col("h_de") >= col("h_fr"), "de")
+              .otherwise("fr"))
+          .groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("row_share",
+            col("n").cast("double") /
+              sum(col("n")).over(byLang).cast("double"))
+          .orderBy("lang", "pred_lang")
+      },
+      Some {
+        val hits = stopwords.map { case (l, ws) =>
+          s"len(list_filter(string_split(text, ' '), w -> w IN ${inList(ws)})) AS h_$l"
+        }.mkString(",\n    ")
+        s"""
+WITH t AS (SELECT doc_id, lang, text, $hits FROM documents),
+p AS (
+  SELECT lang,
+    CASE WHEN h_en = 0 AND h_es = 0 AND h_de = 0 AND h_fr = 0
+      THEN 'unknown'
+    WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr THEN 'en'
+    WHEN h_es >= h_de AND h_es >= h_fr THEN 'es'
+    WHEN h_de >= h_fr THEN 'de' ELSE 'fr' END AS pred_lang
+  FROM t
+),
+c AS (
+  SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2
+)
+SELECT lang, pred_lang, n,
+  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE)
+    AS row_share
+FROM c ORDER BY lang, pred_lang"""
+      }),
+
     // ── Document fingerprinting: full/normalized/prefix md5 fingerprints
     "x04_fingerprint" -> QueryDef(
       (s, d) => Tables.documents(s, d).select(
