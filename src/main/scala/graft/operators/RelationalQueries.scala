@@ -898,6 +898,37 @@ SELECT user_id, streak_start, streak_len FROM (
 WHERE rn = 1 ORDER BY user_id"""),
       "gaps-and-islands: longest consecutive-day streak, one shuffle"),
 
+    // ── O19: row-hash reconciliation audit — an order-independent
+    // content checksum per status group (count + modular sum of
+    // per-row md5s), the primitive two systems exchange to prove
+    // table equality WITHOUT moving rows (warehouse vs source, pre-
+    // vs post-migration). Money enters the hash as exact CENTS, never
+    // a rendered double (double→string formatting differs between
+    // engines); the modular sum keeps every partial in bigint range,
+    // so the map-side combine is exact at any row count. One scan,
+    // one tiny aggregation.
+    "o19_row_hash_audit" -> QueryDef(
+      (s, d) => ord(s, d)
+        .withColumn("row_h", expr(
+          """pmod(CAST(conv(substr(md5(CAST(concat_ws('|',
+             CAST(o_orderkey AS STRING), o_orderstatus,
+             CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+               AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT),
+             1000000007)"""))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("row_h")).as("checksum"))
+        .orderBy("o_orderstatus"),
+      Some("""
+SELECT o_orderstatus, count(*) AS n_rows,
+  CAST(sum(CAST(('0x' || substr(md5(
+    CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|'
+      || CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+           AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000007) AS BIGINT)
+    AS checksum
+FROM orders GROUP BY 1 ORDER BY o_orderstatus"""),
+      "order-independent table checksum: prove equality without moving rows"),
+
     // ── W9: share-of-total window — each customer's revenue as a share
     // of their nation's total. The denominator is a windowed DECIMAL
     // sum cast to double (a double window-sum would be fold-order-
