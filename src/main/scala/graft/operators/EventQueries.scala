@@ -471,6 +471,35 @@ SELECT day, n_events, trail_total, trail_days,
 FROM t ORDER BY day"""),
       "daily volume vs trailing-7-day average: ingest-gate anomaly flag"),
 
+    // ── Daily conversion rates: clicks, purchases, and their ratio per
+    // day — one conditional-count aggregation on the day key, ratio as
+    // a single IEEE division of exact counts (NULL when a day has no
+    // clicks, on both engines). The funnel's time-series twin.
+    "e09_conversion_rates" -> QueryDef(
+      (s, d) => Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz")
+          .as("day"))
+        .agg(
+          count(when(col("event_type") === "click", 1)).as("n_clicks"),
+          count(when(col("event_type") === "purchase", 1))
+            .as("n_purchases"))
+        .withColumn("conversion",
+          when(col("n_clicks") > 0,
+            col("n_purchases").cast("double") /
+              col("n_clicks").cast("double")))
+        .orderBy("day"),
+      Some("""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+  CASE WHEN count(CASE WHEN event_type = 'click' THEN 1 END) > 0
+    THEN CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+        AS DOUBLE)
+      / CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS DOUBLE)
+  END AS conversion
+FROM events GROUP BY 1 ORDER BY day"""),
+      "daily click->purchase conversion: conditional counts, exact ratio"),
+
     // ── JSON property extraction (extension of the schema-sniffing JSON
     // reads, `utils/gsheets_utils.py:183-184`).
     "e03_json_props" -> QueryDef(

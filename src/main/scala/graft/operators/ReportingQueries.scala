@@ -371,5 +371,68 @@ ORDER BY c_custkey"""),
                                  OR o_orderstatus IS NULL THEN 1 END)
                 FROM orders)
               ORDER BY rule"""),
-      "constraint rules evaluated in one distributed aggregation pass"))
+      "constraint rules evaluated in one distributed aggregation pass"),
+
+    // ── Referential-integrity audit — dq01's cross-TABLE sibling: per
+    // foreign-key relationship, child rows and orphans (children whose
+    // parent key is missing). Each relationship is one left-anti join
+    // on its own key — key-partitioned, no row wider than (key), so
+    // the audit costs one shuffle per edge of the schema graph at any
+    // scale. events.user_id → customer is the deliberately-dirty edge
+    // (the synthetic firehose has users outside the customer table),
+    // proving the audit actually fires.
+    "dq03_referential" -> QueryDef(
+      (s, d) => {
+        def edge(name: String, child: org.apache.spark.sql.DataFrame,
+            ck: String, parent: org.apache.spark.sql.DataFrame,
+            pk: String) = {
+          val orphans = child.select(col(ck))
+            .join(parent.select(col(pk)), col(ck) === col(pk),
+              "left_anti")
+          child.agg(count(lit(1)).as("n_child"))
+            .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+            .select(lit(name).as("relationship"), col("n_child"),
+              col("n_orphans"), (col("n_orphans") === 0L).as("ok"))
+        }
+        edge("lineitem.l_orderkey -> orders",
+            Tables.lineitem(s, d), "l_orderkey",
+            Tables.orders(s, d), "o_orderkey")
+          .unionByName(edge("orders.o_custkey -> customer",
+            Tables.orders(s, d), "o_custkey",
+            Tables.customer(s, d), "c_custkey"))
+          .unionByName(edge("customer.c_nationkey -> nation",
+            Tables.customer(s, d), "c_nationkey",
+            Tables.nation(s, d), "n_nationkey"))
+          .unionByName(edge("events.user_id -> customer",
+            Tables.events(s, d), "user_id",
+            Tables.customer(s, d), "c_custkey"))
+          .orderBy("relationship")
+      },
+      Some("""
+SELECT relationship, n_child, n_orphans, n_orphans = 0 AS ok FROM (
+  SELECT 'lineitem.l_orderkey -> orders' AS relationship,
+    (SELECT count(*) FROM lineitem) AS n_child,
+    (SELECT count(*) FROM lineitem l
+     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+  UNION ALL
+  SELECT 'orders.o_custkey -> customer',
+    (SELECT count(*) FROM orders),
+    (SELECT count(*) FROM orders r
+     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                       WHERE c.c_custkey = r.o_custkey))
+  UNION ALL
+  SELECT 'customer.c_nationkey -> nation',
+    (SELECT count(*) FROM customer),
+    (SELECT count(*) FROM customer c
+     WHERE NOT EXISTS (SELECT 1 FROM nation n
+                       WHERE n.n_nationkey = c.c_nationkey))
+  UNION ALL
+  SELECT 'events.user_id -> customer',
+    (SELECT count(*) FROM events),
+    (SELECT count(*) FROM events e
+     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                       WHERE c.c_custkey = e.user_id)))
+ORDER BY relationship"""),
+      "cross-table FK audit: one anti-join per schema edge"))
 }
