@@ -500,6 +500,79 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
 FROM events GROUP BY 1 ORDER BY day"""),
       "daily click->purchase conversion: conditional counts, exact ratio"),
 
+    // ── One-pass table profiling: row count, per-column null counts,
+    // exact NDVs and min/max in a single aggregation — the stats pass a
+    // warehouse runs before trusting a new drop (and what ANALYZE TABLE
+    // computes for the optimizer). Multiple exact COUNT(DISTINCT)s
+    // compile to ONE shuffle via Catalyst's Expand (k× map-side rows,
+    // each partially aggregated) — not k passes over the table; at
+    // 100 TB that is the difference between one scan and five. Output
+    // is one row, so the reduce side is trivial.
+    "dq04_table_profile" -> QueryDef(
+      (s, d) => Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_returnflag")).as("ndv_returnflag"),
+        countDistinct(col("l_suppkey")).as("ndv_suppkey"),
+        countDistinct(col("l_quantity")).as("ndv_quantity"),
+        sum(when(col("l_discount").isNull, 1L).otherwise(0L))
+          .as("nulls_discount"),
+        sum(when(col("l_returnflag").isNull, 1L).otherwise(0L))
+          .as("nulls_returnflag"),
+        min(col("l_quantity")).as("min_quantity"),
+        max(col("l_quantity")).as("max_quantity"),
+        min(col("l_shipdate")).as("min_shipdate"),
+        max(col("l_shipdate")).as("max_shipdate")),
+      Some("""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(DISTINCT l_returnflag) AS BIGINT) AS ndv_returnflag,
+  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS ndv_suppkey,
+  CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv_quantity,
+  CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS nulls_discount,
+  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS nulls_returnflag,
+  min(l_quantity) AS min_quantity, max(l_quantity) AS max_quantity,
+  min(l_shipdate) AS min_shipdate, max(l_shipdate) AS max_shipdate
+FROM lineitem"""),
+      "single-scan column profile: nulls, exact NDVs, ranges via Expand"),
+
+    // ── Event-type transition matrix: P(next event | event) per the
+    // user's ordered stream — the Markov-chain features a behavioral
+    // model trains on. One lead() window keyed by user (the state never
+    // leaves the user partition) and one tiny (|types|² rows) rollup;
+    // the probability is a single IEEE division of exact counts, so the
+    // matrix is engine-identical.
+    "e10_event_transitions" -> QueryDef(
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("to_event", lead(col("event_type"), 1).over(byUser))
+          .filter(col("to_event").isNotNull)
+          .groupBy(col("event_type").as("from_event"), col("to_event"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p", col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy("from_event"))
+              .cast("double"))
+          .orderBy("from_event", "to_event")
+      },
+      Some("""
+WITH seq AS (
+  SELECT event_type AS from_event,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS to_event
+  FROM events
+),
+c AS (
+  SELECT from_event, to_event, count(*) AS n
+  FROM seq WHERE to_event IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_event, to_event, CAST(n AS BIGINT) AS n,
+  CAST(n AS DOUBLE)
+    / CAST(sum(n) OVER (PARTITION BY from_event) AS DOUBLE) AS p
+FROM c ORDER BY from_event, to_event"""),
+      "per-user lead() chain -> exact event transition matrix"),
+
     // ── JSON property extraction (extension of the schema-sniffing JSON
     // reads, `utils/gsheets_utils.py:183-184`).
     "e03_json_props" -> QueryDef(

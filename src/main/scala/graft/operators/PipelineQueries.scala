@@ -56,6 +56,20 @@ object PipelineQueries {
   private val IncomingSqlList =
     IncomingSources.map(s => s"'$s'").mkString(", ")
 
+  /** x36's fixed-point scale for per-token log-probabilities: logs are
+    * rounded to integer MICRO-nats before summing, so the cross-engine
+    * aggregation is exact integer arithmetic (a raw double sum of logs
+    * would drift by ulps between JVM and C libm implementations of ln).
+    */
+  private val LpScale = 1000000L
+
+  /** x37's mixture seed and per-source token budget: each source
+    * contributes documents (in seeded-hash order) until the budget
+    * fills — the knob a data-mixture recipe turns per corpus slice.
+    */
+  private val MixSeed = "mix0"
+  private val MixTokenBudget = 4000L
+
   def defs: Map[String, QueryDef] = Map(
 
     // ── Sequence packing: assign docs (in stable doc_id order, per
@@ -785,6 +799,94 @@ SELECT doc_id, url,
     AS blocked
 FROM t ORDER BY doc_id"""),
       "URL normalize + domain extract + blocklist: the crawl-side gate"),
+
+    // ── Unigram-LM quality scoring (the CCNet/KenLM-style filter shape,
+    // reduced to its scalable core): train corpus token frequencies in
+    // one explode→count aggregation (result is vocab-sized, tiny next to
+    // the corpus), then score each doc by its mean token log-probability.
+    // Per-token logs are fixed-point-rounded to integer micro-nats BEFORE
+    // the per-doc sum (see LpScale), so both engines aggregate exact
+    // integers and only the final mean is a single IEEE division.
+    // Shuffle inventory: token count (partial-aggregated map-side),
+    // token-keyed score join, doc_id rollup — all key-partitioned, no
+    // broadcast of anything corpus-proportional (the 1-row total IS
+    // broadcast).
+    "x36_unigram_logprob" -> QueryDef(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(split(col("text"), " ")).as("token"))
+        val counts = toks.groupBy("token").agg(count(lit(1)).as("c"))
+        val total = counts.agg(sum(col("c")).as("n_total"))
+        toks.join(counts, "token")
+          .crossJoin(broadcast(total))
+          .withColumn("lp_micro", expr(
+            s"CAST(floor(ln(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE))" +
+              s" * $LpScale + 0.5d) AS BIGINT)"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("lp_micro")).as("lp_micro_sum"))
+          .withColumn("avg_logprob",
+            col("lp_micro_sum").cast("double") /
+              (col("n_tokens").cast("double") * LpScale.toDouble))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM cnt),
+scored AS (
+  SELECT t.doc_id,
+    CAST(floor(ln(CAST(c.c AS DOUBLE) / CAST(tot.n_total AS DOUBLE))
+      * $LpScale + 0.5) AS BIGINT) AS lp_micro
+  FROM toks t JOIN cnt c USING (token) CROSS JOIN tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(lp_micro) AS BIGINT) AS lp_micro_sum,
+  CAST(sum(lp_micro) AS DOUBLE)
+    / (CAST(count(*) AS DOUBLE) * $LpScale) AS avg_logprob
+FROM scored GROUP BY doc_id ORDER BY doc_id"""),
+      "corpus unigram LM + per-doc mean log-prob, exact via micro-nats"),
+
+    // ── Token-budget mixture sampling: each source contributes docs in
+    // seeded-hash order until its token budget fills — how a mixture
+    // recipe ("40% web, 30% code, ...") is cut from an over-supplied
+    // corpus deterministically. One window shuffle on the source key;
+    // the prefix sum never leaves its partition. Distinct from x20
+    // (doc-RATE sampling) — the budget here is in TOKENS, the unit
+    // training actually consumes.
+    "x37_token_budget_mix" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("source").orderBy("mix_key")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .withColumn("n_tokens",
+            expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+          .withColumn("mix_key",
+            md5(concat(lit(s"$MixSeed|"), col("doc_id").cast("string"))
+              .cast("binary")))
+          .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+          .filter(col("cum_tokens") - col("n_tokens") < MixTokenBudget)
+          .select(col("source"), col("doc_id"), col("n_tokens"),
+            col("cum_tokens"))
+          .orderBy("source", "doc_id")
+      },
+      Some(s"""
+SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM (
+  SELECT source, doc_id, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY source ORDER BY mix_key
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM (SELECT source, doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+          md5('$MixSeed|' || CAST(doc_id AS VARCHAR)) AS mix_key
+        FROM documents)
+)
+WHERE cum_tokens - n_tokens < $MixTokenBudget
+ORDER BY source, doc_id"""),
+      "per-source token-budget mixture cut in seeded-hash order"),
 
     // ── CUBE: all grouping-set combinations of (year, status) with a
     // grouping_id level marker — the full-lattice sibling of a10's

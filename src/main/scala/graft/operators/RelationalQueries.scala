@@ -1100,6 +1100,76 @@ WHERE o_totalprice > 400000
 GROUP BY 1, 2 ORDER BY o_orderkey"""),
       "bloom semi-join reduction: prune the fact side before the shuffle"),
 
+    // ── J17: interval-overlap via boundary sweep — "how many order
+    // lines does each supplier have ACTIVE (between its order and ship
+    // events) at once, and for how many days ≥ 2?" The naive spelling
+    // is an interval SELF-join (quadratic in overlaps); the scalable
+    // spelling never joins intervals at all: each interval emits a
+    // +1/-1 boundary, boundaries pre-aggregate per (supplier, day) —
+    // partial map-side — and a per-supplier running sum IS the
+    // concurrency curve; day-spans between consecutive boundaries
+    // weight it. One equi-join (orderkey) + one key-partitioned window:
+    // both scale on high-cardinality keys. Half-open [lo, hi+1) makes
+    // a same-day pair count as one active day. Endpoints normalize via
+    // least/greatest — the synthetic tables don't enforce order≤ship,
+    // and a sweep is only correct over well-formed intervals
+    // (OverlapSweepSpec pins equality with the naive day-grid count).
+    "j17_overlap_sweep" -> QueryDef(
+      (s, d) => {
+        val iv = li(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"),
+            col("l_shipdate").cast("date").as("ship"))
+          .join(ord(s, d).select(col("o_orderkey"),
+            col("o_orderdate").cast("date").as("odate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey"),
+            least(col("odate"), col("ship")).as("lo"),
+            greatest(col("odate"), col("ship")).as("hi"))
+        val b = iv.select(col("l_suppkey"), col("lo").as("day"),
+            lit(1).as("delta"))
+          .unionAll(iv.select(col("l_suppkey"),
+            date_add(col("hi"), 1).as("day"), lit(-1).as("delta")))
+        val w = Window.partitionBy("l_suppkey").orderBy("day")
+        b.groupBy(col("l_suppkey"), col("day"))
+          .agg(sum(col("delta")).as("delta"))
+          .withColumn("open_lines", sum(col("delta")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("span_days",
+            datediff(lead(col("day"), 1).over(w), col("day"))
+              .cast("bigint"))
+          .groupBy(col("l_suppkey"))
+          .agg(max(col("open_lines")).as("peak_open"),
+            sum(when(col("open_lines") >= 2, col("span_days")))
+              .as("days_ge2"))
+          .orderBy("l_suppkey")
+      },
+      Some("""
+WITH iv AS (
+  SELECT l_suppkey,
+    least(CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lo,
+    greatest(CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) + 1
+      AS hi
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+b AS (
+  SELECT l_suppkey, lo AS day, 1 AS delta FROM iv
+  UNION ALL
+  SELECT l_suppkey, hi AS day, -1 AS delta FROM iv
+),
+agg AS (SELECT l_suppkey, day, sum(delta) AS delta FROM b GROUP BY 1, 2),
+sw AS (
+  SELECT l_suppkey, day,
+    sum(delta) OVER (PARTITION BY l_suppkey ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open_lines,
+    lead(day) OVER (PARTITION BY l_suppkey ORDER BY day) AS next_day
+  FROM agg
+)
+SELECT l_suppkey, CAST(max(open_lines) AS BIGINT) AS peak_open,
+  CAST(sum(CASE WHEN open_lines >= 2
+    THEN date_diff('day', day, next_day) END) AS BIGINT) AS days_ge2
+FROM sw GROUP BY 1 ORDER BY l_suppkey"""),
+      "interval concurrency by boundary sweep: no interval self-join"),
+
     // ── O15: Z-order (Morton) layout key over (o_custkey, o_orderkey)
     // — the multi-dimensional layout key: data written sorted by zkey
     // clusters BOTH dimensions, so parquet min/max pruning serves
