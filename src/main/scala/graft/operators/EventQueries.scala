@@ -573,6 +573,95 @@ SELECT from_event, to_event, CAST(n AS BIGINT) AS n,
 FROM c ORDER BY from_event, to_event"""),
       "per-user lead() chain -> exact event transition matrix"),
 
+    // ── Variance-gated volume anomaly (dq02's statistical sibling): flag
+    // days whose event count deviates > 2σ from the corpus mean WITHOUT
+    // ever computing a float stddev — libm sqrt differs across engines,
+    // so the 2σ test is algebra instead: (x−μ)² > 4σ² rearranged over
+    // the exact integer sums (n, Σx, Σx²) into
+    //   (n·x − Σx)²·(n−1) > 4·n·(n·Σx² − (Σx)²),
+    // evaluated in DECIMAL(38,0)/HUGEINT so it cannot overflow at any
+    // realistic scale. Day-grain aggregation does the heavy lifting;
+    // the 1-row moment table broadcasts.
+    "e11_volume_zscore" -> QueryDef(
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz")
+            .as("day"))
+          .agg(count(lit(1)).as("n_events"))
+        val moments = daily.agg(count(lit(1)).as("n_days"),
+          sum(col("n_events")).as("sx"),
+          sum(col("n_events") * col("n_events")).as("sxx"))
+        daily.crossJoin(broadcast(moments))
+          .withColumn("mean_events",
+            col("sx").cast("double") / col("n_days").cast("double"))
+          .withColumn("is_outlier", expr(
+            """CAST(n_days * n_events - sx AS DECIMAL(38,0))
+              | * CAST(n_days * n_events - sx AS DECIMAL(38,0))
+              | * CAST(n_days - 1 AS DECIMAL(38,0))
+              | > CAST(4 AS DECIMAL(38,0)) * CAST(n_days AS DECIMAL(38,0))
+              |   * CAST(n_days * sxx - sx * sx AS DECIMAL(38,0))"""
+              .stripMargin.replace('\n', ' ')))
+          .select(col("day"), col("n_events"), col("mean_events"),
+            col("is_outlier"))
+          .orderBy("day")
+      },
+      Some("""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+    CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+    CAST(sum(n_events) AS BIGINT) AS sx,
+    CAST(sum(n_events * n_events) AS BIGINT) AS sxx
+  FROM daily
+)
+SELECT day, n_events,
+  CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_events,
+  CAST(n_days * n_events - sx AS HUGEINT)
+    * CAST(n_days * n_events - sx AS HUGEINT)
+    * CAST(n_days - 1 AS HUGEINT)
+  > CAST(4 AS HUGEINT) * CAST(n_days AS HUGEINT)
+    * CAST(n_days * sxx - sx * sx AS HUGEINT) AS is_outlier
+FROM daily CROSS JOIN m ORDER BY day"""),
+      "2-sigma day-volume outliers via exact integer moments, no sqrt"),
+
+    // ── Table-freshness audit: latest event time per monitored table vs
+    // a fixed as-of instant (a literal, per the no-wall-clock rule F10)
+    // — the staleness gate an orchestrator checks before kicking off
+    // downstream jobs. Each branch is a scan-local min/max aggregation
+    // (parquet footer statistics serve it without reading row groups);
+    // the union is 2 rows.
+    "dq05_freshness" -> QueryDef(
+      (s, d) => {
+        val asOf = "TIMESTAMP '1998-12-31 00:00:00'"
+        val ev = Tables.events(s, d).agg(
+          lit("events").as("table_name"),
+          max(col("ts")).as("max_ts"),
+          expr(s"CAST(datediff($asOf, max(ts)) AS BIGINT)")
+            .as("days_stale"))
+        val od = Tables.orders(s, d).agg(
+          lit("orders").as("table_name"),
+          max(col("o_orderdate")).cast("timestamp_ntz").as("max_ts"),
+          expr(s"CAST(datediff($asOf, max(o_orderdate)) AS BIGINT)")
+            .as("days_stale"))
+        ev.unionAll(od).orderBy("table_name")
+      },
+      Some("""
+SELECT 'events' AS table_name, max(ts) AS max_ts,
+  CAST(date_diff('day', CAST(max(ts) AS DATE), DATE '1998-12-31')
+    AS BIGINT) AS days_stale
+FROM events
+UNION ALL
+SELECT 'orders' AS table_name, CAST(max(o_orderdate) AS TIMESTAMP)
+    AS max_ts,
+  CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+    DATE '1998-12-31') AS BIGINT) AS days_stale
+FROM orders
+ORDER BY table_name"""),
+      "staleness gate: per-table max event time vs an as-of literal"),
+
     // ── JSON property extraction (extension of the schema-sniffing JSON
     // reads, `utils/gsheets_utils.py:183-184`).
     "e03_json_props" -> QueryDef(

@@ -888,6 +888,51 @@ WHERE cum_tokens - n_tokens < $MixTokenBudget
 ORDER BY source, doc_id"""),
       "per-source token-budget mixture cut in seeded-hash order"),
 
+    // ── Adjacent-token-pair statistics — the count a BPE/WordPiece
+    // trainer computes each merge round ("which two adjacent symbols
+    // co-occur most?"). Pairs fan out map-side from the token array
+    // (no self-join, no window: pure array arithmetic, guarded so
+    // single-token docs emit nothing), partially aggregate per
+    // (lang, pair), and a per-language top-5 window runs over the
+    // already-tiny pair table. At 100 TB this is exactly the scalable
+    // half of a BPE trainer: the iterative merge loop re-runs this
+    // query over re-tokenized text; each round is one explode + count.
+    "x38_bpe_pair_stats" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("lang")
+          .orderBy(col("n").desc, col("pair"))
+        Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("pair", explode(expr(
+            """CASE WHEN size(toks) >= 2
+              | THEN transform(sequence(1, size(toks) - 1),
+              |   i -> concat(element_at(toks, i), ' ',
+              |     element_at(toks, i + 1)))
+              | ELSE array() END""".stripMargin.replace('\n', ' '))))
+          .groupBy(col("lang"), col("pair"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rk", row_number().over(w).cast("bigint"))
+          .filter(col("rk") <= 5)
+          .select(col("lang"), col("rk"), col("pair"), col("n"))
+          .orderBy("lang", "rk")
+      },
+      Some("""
+WITH p AS (
+  SELECT lang,
+    unnest(list_transform(range(1, len(l)),
+      i -> l[i] || ' ' || l[i + 1])) AS pair
+  FROM (SELECT lang, string_split(text, ' ') AS l FROM documents)
+),
+c AS (SELECT lang, pair, count(*) AS n FROM p GROUP BY 1, 2)
+SELECT lang,
+  CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, pair)
+    AS BIGINT) AS rk,
+  pair, CAST(n AS BIGINT) AS n
+FROM c
+QUALIFY rk <= 5
+ORDER BY lang, rk"""),
+      "per-language top adjacent token pairs: one BPE-trainer round"),
+
     // ── CUBE: all grouping-set combinations of (year, status) with a
     // grouping_id level marker — the full-lattice sibling of a10's
     // ROLLUP. One pass; Spark expands the sets map-side before the

@@ -1170,6 +1170,48 @@ SELECT l_suppkey, CAST(max(open_lines) AS BIGINT) AS peak_open,
 FROM sw GROUP BY 1 ORDER BY l_suppkey"""),
       "interval concurrency by boundary sweep: no interval self-join"),
 
+    // ── W10: frame-boundary window values — first/last/nth over an
+    // explicit full-partition frame (last_value over the DEFAULT frame
+    // is the classic silent bug: it returns the CURRENT row because the
+    // frame ends there; pinning ROWS BETWEEN UNBOUNDED PRECEDING AND
+    // UNBOUNDED FOLLOWING on both engines is the point of this entry).
+    // One orderkey-keyed shuffle serves all four expressions; the
+    // (l_shipdate, l_linenumber, l_partkey) ordering is a total order
+    // within the partition (the synthetic data repeats line numbers,
+    // so the part key tiebreak is load-bearing), making every value
+    // deterministic.
+    "w10_frame_values" -> QueryDef(
+      (s, d) => {
+        val full = Window.partitionBy("l_orderkey")
+          .orderBy(col("l_shipdate"), col("l_linenumber"), col("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        li(s, d)
+          .withColumn("first_part", first(col("l_partkey")).over(full))
+          .withColumn("last_part", last(col("l_partkey")).over(full))
+          .withColumn("second_part",
+            nth_value(col("l_partkey"), 2).over(full))
+          .withColumn("n_lines", count(lit(1)).over(full))
+          .filter(col("l_linenumber") === 1)
+          .select(col("l_orderkey"), col("first_part"), col("last_part"),
+            col("second_part"), col("n_lines"))
+          .orderBy("l_orderkey")
+      },
+      Some("""
+SELECT l_orderkey, first_part, last_part, second_part, n_lines
+FROM (
+  SELECT l_orderkey, l_linenumber,
+    first_value(l_partkey) OVER w AS first_part,
+    last_value(l_partkey) OVER w AS last_part,
+    nth_value(l_partkey, 2) OVER w AS second_part,
+    count(*) OVER w AS n_lines
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_orderkey
+    ORDER BY l_shipdate, l_linenumber, l_partkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+WHERE l_linenumber = 1 ORDER BY l_orderkey"""),
+      "first/last/nth frame values with the full-frame pin"),
+
     // ── O15: Z-order (Morton) layout key over (o_custkey, o_orderkey)
     // — the multi-dimensional layout key: data written sorted by zkey
     // clusters BOTH dimensions, so parquet min/max pruning serves

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the audit/window batch (e11, dq05, w10, x38):
+  * independent recomputation in plain Scala at sf0.001, exact where the
+  * query is exact.
+  */
+class AuditQueriesSpec extends SparkSpec {
+
+  test("e11: outlier flag equals the exact BigInt 2-sigma test") {
+    val rows = SparkEntry.queries("e11_volume_zscore")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("day"),
+        r.getAs[Long]("n_events"), r.getAs[Boolean]("is_outlier")))
+    val xs = rows.map(_._2).map(BigInt(_))
+    val (n, sx, sxx) = (BigInt(xs.size), xs.sum, xs.map(x => x * x).sum)
+    rows.foreach { case (_, x, flag) =>
+      val dev = n * BigInt(x) - sx
+      val expect = dev * dev * (n - 1) > BigInt(4) * n * (n * sxx - sx * sx)
+      assert(flag == expect, s"day with $x events")
+    }
+    // data sanity: the test only means something if both classes occur
+    assert(rows.exists(_._3) && rows.exists(!_._3))
+  }
+
+  test("w10: frame values match a driver-side sort per order") {
+    val got = SparkEntry.queries("w10_frame_values")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3), r.getLong(4)))
+    val lines = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_shipdate", "l_linenumber", "l_partkey")
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1)
+          .toEpochSecond(java.time.ZoneOffset.UTC),
+        r.getInt(2), r.getLong(3)))
+      .groupBy(_._1)
+    got.foreach { case (ok, fp, lp, sp, n) =>
+      val sorted = lines(ok).sortBy(t => (t._2, t._3, t._4))
+      assert(n == sorted.size)
+      assert(fp == sorted.head._4 && lp == sorted.last._4)
+      val expSecond = if (sorted.size >= 2) sorted(1)._4 else null
+      assert(sp == expSecond, s"order $ok")
+    }
+  }
+
+  test("dq05: staleness rows match direct max() scans") {
+    val got = SparkEntry.queries("dq05_freshness")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got.keySet == Set("events", "orders"))
+    val evMax = Tables.events(spark, sf)
+      .agg(expr("CAST(datediff(TIMESTAMP '1998-12-31 00:00:00', max(ts)) AS BIGINT)"))
+      .collect().head.getLong(0)
+    assert(got("events") == evMax)
+  }
+
+  test("x38: per-language top pairs match a Scala recount") {
+    val got = SparkEntry.queries("x38_bpe_pair_stats")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val docs = Tables.documents(spark, sf).select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val counts = docs.flatMap { case (lang, text) =>
+        val t = text.split(" ", -1)
+        t.indices.dropRight(1).map(i => (lang, t(i) + " " + t(i + 1)))
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      val expTop = counts.collect { case ((l, p), n) if l == lang => (p, n) }
+        .toSeq.sortBy { case (p, n) => (-n, p) }.take(5)
+      val gotTop = rows.sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(gotTop == expTop, s"lang $lang")
+    }
+  }
+}
