@@ -117,6 +117,12 @@ object Graft {
     /** Duplicate-3-gram repetition ratio + keep flag (Gopher-style). */
     def repetition(spark: SparkSession, dir: String): DataFrame =
       run("x18_repetition_3gram", spark, dir)
+    /** Corpus unigram-LM per-doc mean log-prob (CCNet-style scoring). */
+    def unigramLogprob(spark: SparkSession, dir: String): DataFrame =
+      run("x36_unigram_logprob", spark, dir)
+    /** Per-language top adjacent token pairs (one BPE-trainer round). */
+    def bpePairStats(spark: SparkSession, dir: String): DataFrame =
+      run("x38_bpe_pair_stats", spark, dir)
   }
 
   /** Corpus assembly: packing, sampling, splits over `documents`. */
@@ -133,6 +139,9 @@ object Graft {
     /** Phone/email redaction demo over synthesized contact text. */
     def piiScrub(spark: SparkSession, dir: String): DataFrame =
       run("x19_pii_scrub", spark, dir)
+    /** Per-source token-budget mixture cut in seeded-hash order. */
+    def tokenBudgetMix(spark: SparkSession, dir: String): DataFrame =
+      run("x37_token_budget_mix", spark, dir)
   }
 
   /** Multimodal binary-column plumbing (stubbed codecs, real plumbing). */
@@ -211,6 +220,14 @@ object Graft {
     */
   def writeXlsx(df: DataFrame, path: String): Unit =
     sources.Xlsx.write(df, path)
+
+  /** Google-Sheet sink (S12, engine half): render a small report frame
+    * as the `spreadsheets.values.update` ValueRange payload; the
+    * authenticated PUT stays connector tier. See [[sources.Sheets]].
+    */
+  def writeSheetPayload(df: DataFrame, path: String,
+      tab: String = "Sheet1"): Unit =
+    sources.Sheets.write(df, path, tab)
 
   /** Sinks and incremental-ingestion patterns: see [[sources.Sinks]]. */
   def sinks: sources.Sinks.type = sources.Sinks

@@ -80,6 +80,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("NestedLoopJoin"), plan.take(1500))
   }
 
+  test("x36: token-keyed score join is a hash/SMJ; only the 1-row total " +
+      "broadcasts") {
+    // a nested-loop on the corpus-sized token join would be quadratic at
+    // scale; the sole BroadcastNestedLoopJoin allowed is the 1-row grand
+    // total attached by crossJoin(broadcast(...))
+    val plan = q("x36_unigram_logprob").queryExecution.sparkPlan.toString
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(1500))
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
+
   // exchange nodes are inserted by EnsureRequirements, so exchange
   // assertions must execute first and read the final adaptive plan —
   // only the "Final Plan" section (toString repeats the pre-AQE initial
