@@ -28,6 +28,43 @@ object Graft {
   def calendar(spark: SparkSession, dir: String): DataFrame =
     run("u06_calendar_dim", spark, dir)
 
+  /** The reference's nightly run, end-to-end
+    * (`cron_jobs/run_etl.sh:11-23`): extract/transform the flagship
+    * tables, stage them as parquet (the reference's staging layer), build
+    * the warehouse (managed tables + stale-table GC, `create_duckdb.py`),
+    * and render the human-facing accounting report (xlsx + Sheet payload,
+    * `load_accounting_data.py` → `gsheets_utils.py`). The catalog
+    * refresh the reference triggers in Metabase is [[registerTables]] —
+    * ad-hoc SQL works against the same names immediately.
+    *
+    * Each step is an ordinary lazy plan until its own sink; nothing is
+    * collected except the small report render. Returns a manifest (one
+    * row per staged table: name, path, rows) — what the reference logs
+    * to stdout, as data.
+    */
+  def runEtl(spark: SparkSession, dir: String, outDir: String): DataFrame = {
+    val staged = Seq(
+      "fact_loan"          -> loanDetail(spark, dir),
+      "dim_calendar"       -> calendar(spark, dir),
+      "analytics_accounting_report" -> reportingMonthly(spark, dir))
+    val counts = staged.map { case (name, df) =>
+      val path = s"$outDir/$name.parquet"
+      sources.Sinks.overwriteParquet(df, path)
+      val rows = spark.read.parquet(path).count()
+      (name, path, rows)
+    }
+    sources.Sinks.syncWarehouse(spark,
+      staged.map { case (n, _) =>
+        n -> spark.read.parquet(s"$outDir/$n.parquet")
+      }.toMap)
+    val report = spark.read.parquet(s"$outDir/analytics_accounting_report.parquet")
+    writeXlsx(report, s"$outDir/accounting_report.xlsx")
+    writeSheetPayload(report, s"$outDir/accounting_report_sheet.json",
+      tab = "Accounting")
+    import spark.implicits._
+    counts.toDF("table_name", "path", "n_rows").orderBy("table_name")
+  }
+
   /** Raw-ads ingestion transform (`extract_growth_data.py` analog),
     * applicable to any frame with the raw column shape.
     */

@@ -1,0 +1,37 @@
+package graft
+
+import java.nio.file.Files
+
+/** End-to-end pin for Graft.runEtl: the nightly-run analog must stage all
+  * three tables, build the warehouse (with stale-table GC), render both
+  * report artifacts, and be idempotent on rerun — the reference's daily
+  * full-rebuild contract.
+  */
+class RunEtlSpec extends SparkSpec {
+
+  test("runEtl stages, syncs, renders, and reruns cleanly") {
+    val out = Files.createTempDirectory("etl").toString
+    // a stale managed table that the warehouse sync must GC
+    spark.sql("DROP TABLE IF EXISTS graft_stale_tmp")
+    spark.range(3).write.saveAsTable("graft_stale_tmp")
+
+    val manifest = Graft.runEtl(spark, sf, out).collect()
+    assert(manifest.map(_.getString(0)).toSeq ==
+      Seq("analytics_accounting_report", "dim_calendar", "fact_loan"))
+    manifest.foreach(r => assert(r.getLong(2) > 0, r.toString))
+
+    // warehouse: staged tables queryable, stale table gone
+    assert(spark.table("fact_loan").count() ==
+      manifest.find(_.getString(0) == "fact_loan").get.getLong(2))
+    assert(!spark.catalog.tableExists("graft_stale_tmp"))
+
+    // report artifacts render
+    assert(new java.io.File(s"$out/accounting_report.xlsx").length() > 0)
+    assert(new java.io.File(s"$out/accounting_report_sheet.json").length() > 0)
+
+    // idempotent daily rerun: same manifest
+    val again = Graft.runEtl(spark, sf, out).collect()
+    assert(again.map(r => (r.getString(0), r.getLong(2))).toSeq ==
+      manifest.map(r => (r.getString(0), r.getLong(2))).toSeq)
+  }
+}
