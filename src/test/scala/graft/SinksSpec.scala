@@ -204,6 +204,21 @@ class SinksSpec extends SparkSpec {
       .collect().toSeq == Seq((1L, "a"), (2L, "b")))
   }
 
+  test("ORC scan/sink roundtrip (columnar alternative to parquet)") {
+    // the ORC reader is vectorized + predicate-pushing like parquet, so
+    // a warehouse standardized on ORC gets the same scan behavior
+    val dir = tmp("orc")
+    Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .write.orc(s"$dir/li")
+    val back = spark.read.orc(s"$dir/li")
+    assert(back.count() == Tables.lineitem(spark, sf).count())
+    val scan = back.filter(col("l_returnflag") === "R")
+      .queryExecution.sparkPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_returnflag), " +
+      "EqualTo(l_returnflag,R)]"), scan.take(600))
+  }
+
   test("compaction collapses a fragmented dataset, data intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact")
       .toString + "/t"
