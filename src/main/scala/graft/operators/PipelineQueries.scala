@@ -933,6 +933,79 @@ QUALIFY rk <= 5
 ORDER BY lang, rk"""),
       "per-language top adjacent token pairs: one BPE-trainer round"),
 
+    // ── Bigram-LM scoring with add-one smoothing — x36's
+    // conditional-probability upgrade: score each doc by its mean
+    // log P(w | prev) where P = (C(prev,w)+1) / (C(prev)+V). Both count
+    // tables derive from ONE pair fan-out (C(prev) = Σ_w C(prev,w), so
+    // it aggregates the same pairs by their first element); V is the
+    // full unigram vocabulary size (1-row broadcast). Same micro-nat
+    // fixed-point trick as x36, so cross-engine aggregation stays exact
+    // integer arithmetic. Single-token docs have no bigrams and drop
+    // out of the result on both engines. Shuffle inventory: pair count,
+    // prev count, pair-keyed and prev-keyed score joins, doc rollup —
+    // all key-partitioned.
+    "x39_bigram_logprob" -> QueryDef(
+      (s, d) => {
+        val pairs = Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("pair", explode(expr(
+            """CASE WHEN size(toks) >= 2
+              | THEN transform(sequence(1, size(toks) - 1),
+              |   i -> concat(element_at(toks, i), ' ',
+              |     element_at(toks, i + 1)))
+              | ELSE array() END""".stripMargin.replace('\n', ' '))))
+          .select(col("doc_id"), col("pair"))
+        val cb = pairs.groupBy("pair").agg(count(lit(1)).as("cb"))
+        val cp = pairs
+          .withColumn("prev", expr("split(pair, ' ')[0]"))
+          .groupBy("prev").agg(count(lit(1)).as("cp"))
+        val v = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("token"))
+          .agg(countDistinct(col("token")).as("v"))
+        pairs.join(cb, "pair")
+          .withColumn("prev", expr("split(pair, ' ')[0]"))
+          .join(cp, "prev")
+          .crossJoin(broadcast(v))
+          .withColumn("lp_micro", expr(
+            s"CAST(floor(ln(CAST(cb + 1 AS DOUBLE) / CAST(cp + v AS DOUBLE))" +
+              s" * $LpScale + 0.5d) AS BIGINT)"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("lp_micro")).as("lp_micro_sum"))
+          .withColumn("avg_logprob",
+            col("lp_micro_sum").cast("double") /
+              (col("n_bigrams").cast("double") * LpScale.toDouble))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+p AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(l)),
+      i -> l[i] || ' ' || l[i + 1])) AS pair
+  FROM t
+),
+cb AS (SELECT pair, count(*) AS cb FROM p GROUP BY 1),
+cp AS (SELECT split_part(pair, ' ', 1) AS prev, count(*) AS cp
+       FROM p GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents)),
+scored AS (
+  SELECT p.doc_id,
+    CAST(floor(ln(CAST(cb.cb + 1 AS DOUBLE) / CAST(cp.cp + v.v AS DOUBLE))
+      * $LpScale + 0.5) AS BIGINT) AS lp_micro
+  FROM p JOIN cb USING (pair)
+  JOIN cp ON split_part(p.pair, ' ', 1) = cp.prev
+  CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+  CAST(sum(lp_micro) AS BIGINT) AS lp_micro_sum,
+  CAST(sum(lp_micro) AS DOUBLE)
+    / (CAST(count(*) AS DOUBLE) * $LpScale) AS avg_logprob
+FROM scored GROUP BY doc_id ORDER BY doc_id"""),
+      "add-one-smoothed bigram LM per-doc mean log-prob, exact integers"),
+
     // ── CUBE: all grouping-set combinations of (year, status) with a
     // grouping_id level marker — the full-lattice sibling of a10's
     // ROLLUP. One pass; Spark expands the sets map-side before the

@@ -1212,6 +1212,45 @@ FROM (
 WHERE l_linenumber = 1 ORDER BY l_orderkey"""),
       "first/last/nth frame values with the full-frame pin"),
 
+    // ── W11: exact running distinct count — how many DISTINCT event
+    // types has each user touched as of each day? COUNT(DISTINCT) is
+    // not a windowable aggregate, and the usual workaround (collect_set
+    // over a frame) carries the whole set per row; the scalable
+    // spelling marks each (user, type)'s FIRST day (one min-agg) and
+    // runs a plain SUM window over daily first-occurrence counts —
+    // state per row is one integer. Two shuffles, both user-keyed.
+    "w11_running_distinct" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(date_trunc("day", min(col("ts"))).cast("timestamp_ntz")
+            .as("day"))
+          .groupBy(col("user_id"), col("day"))
+          .agg(count(lit(1)).as("n_new"))
+          .withColumn("distinct_types_to_date", sum(col("n_new")).over(w))
+          .select(col("user_id"), col("day"), col("n_new").cast("bigint")
+            .as("n_new"), col("distinct_types_to_date"))
+          .orderBy("user_id", "day")
+      },
+      Some("""
+WITH firsts AS (
+  SELECT user_id, event_type,
+    CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS day
+  FROM events GROUP BY 1, 2
+),
+daily AS (
+  SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_new
+  FROM firsts GROUP BY 1, 2
+)
+SELECT user_id, day, n_new,
+  CAST(sum(n_new) OVER (PARTITION BY user_id ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS distinct_types_to_date
+FROM daily ORDER BY user_id, day"""),
+      "exact rolling distinct via first-occurrence flags + plain sum"),
+
     // ── O15: Z-order (Morton) layout key over (o_custkey, o_orderkey)
     // — the multi-dimensional layout key: data written sorted by zkey
     // clusters BOTH dimensions, so parquet min/max pruning serves

@@ -55,6 +55,32 @@ class AuditQueriesSpec extends SparkSpec {
     assert(got("events") == evMax)
   }
 
+  test("w11: running distinct equals a per-user set replay") {
+    val got = SparkEntry.queries("w11_running_distinct")(spark, sf)
+      .collect()
+      .map(r => ((r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1).toLocalDate.toString),
+        (r.getLong(2), r.getLong(3)))).toMap
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getAs[java.time.LocalDateTime](2)))
+    ev.groupBy(_._1).foreach { case (user, rows) =>
+      val firstDay = rows.groupBy(_._2).view
+        .mapValues(_.map(_._3).min(Ordering.fromLessThan[
+          java.time.LocalDateTime](_ isBefore _)).toLocalDate).toMap
+      val days = firstDay.values.toSeq.distinct.sorted(
+        Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+      var cum = 0L
+      days.foreach { day =>
+        val nNew = firstDay.values.count(_ == day).toLong
+        cum += nNew
+        assert(got((user, day.toString)) == ((nNew, cum)),
+          s"user $user day $day")
+      }
+    }
+  }
+
   test("x38: per-language top pairs match a Scala recount") {
     val got = SparkEntry.queries("x38_bpe_pair_stats")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))

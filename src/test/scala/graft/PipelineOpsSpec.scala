@@ -57,6 +57,32 @@ class PipelineOpsSpec extends SparkSpec {
       s"got ${got.size} rows, expected ${expected.size}")
   }
 
+  test("x39: bigram scores match an exact JVM recomputation") {
+    val got = SparkEntry.queries("x39_bigram_logprob")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("lp_micro_sum")))
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val pairsByDoc = docs.map { case (id, text) =>
+      val t = text.split(" ", -1)
+      id -> t.indices.dropRight(1).map(i => (t(i), t(i + 1)))
+    }
+    val allPairs = pairsByDoc.flatMap(_._2)
+    val cb = allPairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cp = allPairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val vocab = docs.flatMap(_._2.split(" ", -1)).distinct.size.toLong
+    // same arithmetic as the query: JVM Math.log IS Spark's ln codegen
+    def lpMicro(p: (String, String)): Long =
+      math.floor(math.log((cb(p) + 1).toDouble / (cp(p._1) + vocab))
+        * 1000000d + 0.5d).toLong
+    val expected = pairsByDoc.collect {
+      case (id, ps) if ps.nonEmpty =>
+        (id, ps.size.toLong, ps.map(lpMicro).sum)
+    }.toSet
+    assert(got.toSet == expected,
+      s"got ${got.size} rows, expected ${expected.size}")
+  }
+
   test("dq04: profile matches per-column recomputation, in ONE table scan") {
     val df = SparkEntry.queries("dq04_table_profile")(spark, sf)
     val nScans = df.queryExecution.sparkPlan.collectLeaves()
