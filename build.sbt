@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suites share ONE SparkSession (getOrCreate) and two of them exercise
+// catalog-wide warehouse GC (SinksSpec S10, RunEtlSpec) — run suites
+// sequentially so one suite's sync cannot drop another's managed
+// tables mid-test.
+Test / parallelExecution := false
 // graft.Bench's final stdout line is machine-parsed from a bounded log
 // tail: sbt's "[success] Total time" trailer must not displace it, and
 // the forked process's stdout must pass through unprefixed (the default

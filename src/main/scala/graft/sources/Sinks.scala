@@ -57,10 +57,26 @@ object Sinks {
     * tables that fell out of the mapping (`create_duckdb.py:81-99`). The
     * stale-table GC is a catalog diff, same as the reference's
     * `set(existing) - set(desired)`.
+    *
+    * Orphaned locations: `mode("overwrite")` only replaces a table the
+    * CATALOG knows about. A crash between file write and catalog commit —
+    * or a fresh session pointed at an existing warehouse dir (in-memory
+    * catalog, on-disk files) — leaves a location with no entry, and
+    * `saveAsTable` then hard-fails with LOCATION_ALREADY_EXISTS. A
+    * daily-full-rebuild warehouse must shrug that off: when the entry is
+    * absent but the default-database location exists, the files are
+    * unreachable leftovers (the catalog is the source of truth) and are
+    * removed before the write.
     */
   def syncWarehouse(spark: SparkSession,
       tables: Map[String, DataFrame]): Unit = {
     tables.foreach { case (name, df) =>
+      if (!spark.catalog.tableExists(name)) {
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
       df.write.mode("overwrite").saveAsTable(name)
     }
     val desired = tables.keySet.map(_.toLowerCase)

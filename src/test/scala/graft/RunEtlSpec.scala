@@ -11,8 +11,14 @@ class RunEtlSpec extends SparkSpec {
 
   test("runEtl stages, syncs, renders, and reruns cleanly") {
     val out = Files.createTempDirectory("etl").toString
-    // a stale managed table that the warehouse sync must GC
+    // a stale managed table that the warehouse sync must GC; a crashed
+    // prior run can leave the location behind with no catalog entry
+    // (in-memory catalog, on-disk warehouse), so clear both
     spark.sql("DROP TABLE IF EXISTS graft_stale_tmp")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      "graft_stale_tmp")
+    if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
     spark.range(3).write.saveAsTable("graft_stale_tmp")
 
     val manifest = Graft.runEtl(spark, sf, out).collect()
