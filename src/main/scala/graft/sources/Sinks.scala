@@ -148,11 +148,22 @@ object Sinks {
     * zero-Exchange sort-merge join (asserted in SinksSpec).
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-      nBuckets: Int): Unit =
+      nBuckets: Int): Unit = {
+    // same orphaned-location hazard as syncWarehouse: overwrite only
+    // replaces catalog-known tables, so clear a location that lost its
+    // entry (crashed write / fresh session over an existing warehouse)
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write.mode("overwrite")
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+  }
 
   /** Small-file compaction: rewrite a parquet dataset whose incremental
     * appends have fragmented it (every `appendParquet` batch adds files)

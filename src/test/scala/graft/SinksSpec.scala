@@ -101,13 +101,9 @@ class SinksSpec extends SparkSpec {
   }
 
   test("bucketed tables join without a shuffle") {
-    Seq("bk_orders", "bk_lineitem").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new java.io.File(
-        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
-      if (loc.exists())
-        org.apache.commons.io.FileUtils.deleteDirectory(loc)
-    }
+    // no cleanup prelude: writeBucketed itself must handle both a
+    // catalog-known table (overwrite) and an orphaned location left by
+    // a previous JVM (fresh in-memory catalog, on-disk warehouse)
     Sinks.writeBucketed(
       Tables.orders(spark, sf), "bk_orders", "o_orderkey", 4)
     Sinks.writeBucketed(
@@ -135,13 +131,6 @@ class SinksSpec extends SparkSpec {
     // the join key: every groupBy and every join reuses the bucket
     // partitioning, so the whole pipeline plans WITHOUT a single shuffle
     // — the standing shape for a fact table every job joins on one key
-    Seq("bf_orders", "bf_lineitem").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new java.io.File(
-        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
-      if (loc.exists())
-        org.apache.commons.io.FileUtils.deleteDirectory(loc)
-    }
     Sinks.writeBucketed(Tables.orders(spark, sf)
       .select(col("o_orderkey"), col("o_totalprice")),
       "bf_orders", "o_orderkey", 4)
