@@ -594,12 +594,18 @@ FROM c ORDER BY from_event, to_event"""),
         daily.crossJoin(broadcast(moments))
           .withColumn("mean_events",
             col("sx").cast("double") / col("n_days").cast("double"))
+          // every OPERAND casts to wide decimal BEFORE any multiply:
+          // sx*sx in BIGINT would overflow at ~3e9 total events (64-bit
+          // wraps silently in Spark, errors in DuckDB) — the wide types
+          // must wrap the arithmetic, not the already-overflowed result
+          .withColumn("dev", expr(
+            "CAST(n_days AS DECIMAL(38,0)) * CAST(n_events AS " +
+              "DECIMAL(38,0)) - CAST(sx AS DECIMAL(38,0))"))
           .withColumn("is_outlier", expr(
-            """CAST(n_days * n_events - sx AS DECIMAL(38,0))
-              | * CAST(n_days * n_events - sx AS DECIMAL(38,0))
-              | * CAST(n_days - 1 AS DECIMAL(38,0))
+            """dev * dev * CAST(n_days - 1 AS DECIMAL(38,0))
               | > CAST(4 AS DECIMAL(38,0)) * CAST(n_days AS DECIMAL(38,0))
-              |   * CAST(n_days * sxx - sx * sx AS DECIMAL(38,0))"""
+              |   * (CAST(n_days AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0))
+              |      - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)))"""
               .stripMargin.replace('\n', ' ')))
           .select(col("day"), col("n_events"), col("mean_events"),
             col("is_outlier"))
@@ -619,11 +625,14 @@ m AS (
 )
 SELECT day, n_events,
   CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_events,
-  CAST(n_days * n_events - sx AS HUGEINT)
-    * CAST(n_days * n_events - sx AS HUGEINT)
+  (CAST(n_days AS HUGEINT) * CAST(n_events AS HUGEINT)
+     - CAST(sx AS HUGEINT))
+    * (CAST(n_days AS HUGEINT) * CAST(n_events AS HUGEINT)
+     - CAST(sx AS HUGEINT))
     * CAST(n_days - 1 AS HUGEINT)
   > CAST(4 AS HUGEINT) * CAST(n_days AS HUGEINT)
-    * CAST(n_days * sxx - sx * sx AS HUGEINT) AS is_outlier
+    * (CAST(n_days AS HUGEINT) * CAST(sxx AS HUGEINT)
+       - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)) AS is_outlier
 FROM daily CROSS JOIN m ORDER BY day"""),
       "2-sigma day-volume outliers via exact integer moments, no sqrt"),
 

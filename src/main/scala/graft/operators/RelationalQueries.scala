@@ -1125,10 +1125,15 @@ GROUP BY 1, 2 ORDER BY o_orderkey"""),
           .select(col("l_suppkey"),
             least(col("odate"), col("ship")).as("lo"),
             greatest(col("odate"), col("ship")).as("hi"))
-        val b = iv.select(col("l_suppkey"), col("lo").as("day"),
-            lit(1).as("delta"))
-          .unionAll(iv.select(col("l_suppkey"),
-            date_add(col("hi"), 1).as("day"), lit(-1).as("delta")))
+        // both boundaries fan out map-side from ONE pass over the join
+        // (a unionAll of two projections would plan and execute the
+        // join subtree twice)
+        val b = iv.select(col("l_suppkey"), explode(array(
+            struct(col("lo").as("day"), lit(1).as("delta")),
+            struct(date_add(col("hi"), 1).as("day"),
+              lit(-1).as("delta")))).as("e"))
+          .select(col("l_suppkey"), col("e.day").as("day"),
+            col("e.delta").as("delta"))
         val w = Window.partitionBy("l_suppkey").orderBy("day")
         b.groupBy(col("l_suppkey"), col("day"))
           .agg(sum(col("delta")).as("delta"))

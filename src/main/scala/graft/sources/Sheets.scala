@@ -36,16 +36,21 @@ object Sheets {
     */
   def payload(df: DataFrame, tab: String): String = {
     val nCols = df.columns.length.toLong
-    // cap check BEFORE collect — an over-cap frame must fail fast, not
-    // after materializing 10M+ rows on the driver
-    val cells = (df.count() + 1L) * nCols
-    require(cells <= MaxCells,
-      s"sheet payload would hold $cells cells (cap $MaxCells) — " +
-        "aggregate first or use a parquet sink")
-    val rows = df.collect()
+    require(nCols > 0, "sheet payload needs at least one column")
+    // single-pass cap enforcement: take(maxRows + 1) bounds the driver
+    // fetch AND detects overflow in the same job — a count()-then-
+    // collect() pair would execute the plan twice, and the two runs
+    // could even disagree for a frame that isn't deterministic
+    val maxRows = (MaxCells / nCols - 1L).min(Int.MaxValue.toLong).toInt
+    val rows = df.take(maxRows + 1)
+    require(rows.length <= maxRows,
+      s"sheet payload exceeds the $MaxCells-cell cap at $nCols columns " +
+        s"(> $maxRows data rows) — aggregate first or use a parquet sink")
     val m = new ObjectMapper()
     val root = m.createObjectNode()
-    root.put("range", s"'$tab'!A1")
+    // A1 notation quotes a sheet name with single quotes; embedded
+    // apostrophes escape by doubling
+    root.put("range", s"'${tab.replace("'", "''")}'!A1")
     root.put("majorDimension", "ROWS")
     val values = root.putArray("values")
     val header = values.addArray()

@@ -68,15 +68,27 @@ object Sinks {
     * unreachable leftovers (the catalog is the source of truth) and are
     * removed before the write.
     */
+  /** Remove a managed-table location that lost its catalog entry, so a
+    * following `saveAsTable` cannot hit LOCATION_ALREADY_EXISTS. The
+    * location is resolved by the session catalog itself
+    * (`defaultTablePath`), which honors the current database and
+    * db-qualified names — string-building `<warehouse>/<name>` would
+    * miss the `<db>.db/` segment for any non-default database.
+    */
+  private def clearOrphanedLocation(spark: SparkSession,
+      table: String): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(id))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+
   def syncWarehouse(spark: SparkSession,
       tables: Map[String, DataFrame]): Unit = {
     tables.foreach { case (name, df) =>
-      if (!spark.catalog.tableExists(name)) {
-        val loc = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
-        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
-      }
+      clearOrphanedLocation(spark, name)
       df.write.mode("overwrite").saveAsTable(name)
     }
     val desired = tables.keySet.map(_.toLowerCase)
@@ -150,15 +162,8 @@ object Sinks {
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
       nBuckets: Int): Unit = {
     // same orphaned-location hazard as syncWarehouse: overwrite only
-    // replaces catalog-known tables, so clear a location that lost its
-    // entry (crashed write / fresh session over an existing warehouse)
-    val spark = df.sparkSession
-    if (!spark.catalog.tableExists(table)) {
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
+    // replaces catalog-known tables
+    clearOrphanedLocation(df.sparkSession, table)
     df.write.mode("overwrite")
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)

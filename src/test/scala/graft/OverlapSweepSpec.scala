@@ -38,4 +38,17 @@ class OverlapSweepSpec extends SparkSpec {
       assert(dge2 == naive(k)._2, s"days_ge2 mismatch for supplier $k")
     }
   }
+
+  test("j17 executes its join once: each input scanned a single time") {
+    // the +1/-1 boundaries fan out via explode from one pass — a
+    // unionAll spelling would scan (and join) lineitem+orders twice
+    val scans = SparkEntry.queries("j17_overlap_sweep")(spark, sf)
+      .queryExecution.sparkPlan.collectLeaves()
+      .collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.mkString
+      }
+    assert(scans.size == 2, s"expected 2 scans, got: $scans")
+    assert(scans.distinct.size == 2)
+  }
 }

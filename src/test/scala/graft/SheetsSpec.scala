@@ -49,6 +49,12 @@ class SheetsSpec extends SparkSpec {
     assert(r2.get(3).asText() == "")
   }
 
+  test("apostrophes in the tab name escape by doubling (A1 notation)") {
+    val tree = new ObjectMapper()
+      .readTree(Sheets.payload(frame, "Bob's Report"))
+    assert(tree.get("range").asText() == "'Bob''s Report'!A1")
+  }
+
   test("write: file lands and reparses; over-cap frames are refused") {
     val p = java.nio.file.Files.createTempFile("sheet", ".json")
     Sheets.write(frame, p.toString, "T")
@@ -58,6 +64,6 @@ class SheetsSpec extends SparkSpec {
 
     val big = spark.range(Sheets.MaxCells + 1).toDF("id")
     val e = intercept[IllegalArgumentException](Sheets.payload(big, "T"))
-    assert(e.getMessage.contains("cells"))
+    assert(e.getMessage.contains("cell cap"))
   }
 }
