@@ -266,6 +266,16 @@ object Graft {
       tab: String = "Sheet1"): Unit =
     sources.Sheets.write(df, path, tab)
 
+  /** Versioned snapshot publish with keep-N retention (S14, the
+    * backup-before-rebuild contract); see [[sources.Sinks.writeSnapshot]].
+    */
+  def writeSnapshot(df: DataFrame, root: String, keep: Int = 3): Long =
+    sources.Sinks.writeSnapshot(df, root, keep)
+
+  /** Read the latest published snapshot at `root`. */
+  def readLatestSnapshot(spark: SparkSession, root: String): DataFrame =
+    sources.Sinks.readLatestSnapshot(spark, root)
+
   /** Sinks and incremental-ingestion patterns: see [[sources.Sinks]]. */
   def sinks: sources.Sinks.type = sources.Sinks
 

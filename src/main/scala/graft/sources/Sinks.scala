@@ -228,4 +228,71 @@ object Sinks {
     fs.delete(bak, true)
     nFiles
   }
+
+  /** S14 — backup/retention, engine half: the reference copies the
+    * warehouse file aside before every rebuild and prunes old copies
+    * (`create_duckdb.py:28-38`). The parquet-native spelling is
+    * versioned snapshots: each publish writes a NEW `v=<n>` directory,
+    * flips a one-line `_LATEST` pointer via temp-file + atomic rename,
+    * and prunes versions beyond `keep` — readers that resolved the
+    * pointer before a publish keep reading their (immutable, retained)
+    * snapshot, so a rebuild can never corrupt an in-flight report. A
+    * crash before the pointer flip leaves the previous snapshot live
+    * and the half-written directory unreferenced (overwritten by the
+    * next publish of that version number).
+    *
+    * @return the published version number (1-based, monotonic)
+    */
+  def writeSnapshot(df: DataFrame, root: String, keep: Int = 3): Long = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val spark = df.sparkSession
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = currentVersion(spark, root).getOrElse(0L) + 1L
+    df.write.mode("overwrite").parquet(s"$root/v=$next")
+    val ptr = new org.apache.hadoop.fs.Path(rootP, "_LATEST")
+    val tmp = new org.apache.hadoop.fs.Path(rootP, "_LATEST.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(ptr, false)
+    if (!fs.rename(tmp, ptr))
+      throw new java.io.IOException(s"snapshot: pointer flip failed at $root")
+    // retention: prune fully-published versions older than the newest
+    // `keep` (the pointer target is always within the retained set)
+    versionList(fs, rootP).sorted.dropRight(keep).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(rootP, s"v=$v"), true)
+    }
+    next
+  }
+
+  /** Latest published version at `root`, if any (reads `_LATEST`). */
+  def currentVersion(spark: SparkSession, root: String): Option[Long] = {
+    val ptr = new org.apache.hadoop.fs.Path(root, "_LATEST")
+    val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def versionList(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+
+  /** Read the snapshot `_LATEST` points at. */
+  def readLatestSnapshot(spark: SparkSession, root: String): DataFrame = {
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(s"no published snapshot at $root"))
+    readSnapshot(spark, root, v)
+  }
+
+  /** Read a specific retained snapshot version. */
+  def readSnapshot(spark: SparkSession, root: String,
+      version: Long): DataFrame =
+    spark.read.parquet(s"$root/v=$version")
 }

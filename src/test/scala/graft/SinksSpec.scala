@@ -208,6 +208,29 @@ class SinksSpec extends SparkSpec {
       "EqualTo(l_returnflag,R)]"), scan.take(600))
   }
 
+  test("S14 snapshots: versioned publish, retention prune, stable reads") {
+    import spark.implicits._
+    val root = tmp("snap") + "/t"
+    // four publishes at keep=3: v1 must be pruned, v2-v4 retained
+    (1 to 4).foreach { i =>
+      val v = Sinks.writeSnapshot(
+        Seq.fill(i)(i.toLong).toDF("x"), root, keep = 3)
+      assert(v == i.toLong)
+    }
+    assert(Sinks.currentVersion(spark, root).contains(4L))
+    assert(Sinks.readLatestSnapshot(spark, root).count() == 4)
+    assert(Sinks.readSnapshot(spark, root, 2).count() == 2)
+    val kept = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("v=")).sorted.toSeq
+    assert(kept == Seq("v=2", "v=3", "v=4"))
+    // a reader that resolved the pointer before a publish still reads
+    // its immutable snapshot afterwards
+    val pinned = Sinks.readSnapshot(spark, root, 3)
+    Sinks.writeSnapshot(Seq(9L).toDF("x"), root, keep = 3)
+    assert(pinned.count() == 3)
+    assert(Sinks.readLatestSnapshot(spark, root).count() == 1)
+  }
+
   test("compaction collapses a fragmented dataset, data intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact")
       .toString + "/t"
