@@ -969,6 +969,52 @@ SELECT n_name, c_custkey, revenue,
 FROM cust ORDER BY n_name, c_custkey"""),
       "share-of-total: windowed decimal denominator, exact at any order"),
 
+    // ── A14: exact covariance — corr()/covar_samp() aggregate floats
+    // incrementally, so their result depends on partition merge order
+    // and differs run-to-run AND engine-to-engine. The parity spelling
+    // scales both variables to integer cents (the e11 trick, pairwise):
+    // cov = (n·Σxy − Σx·Σy) / (n(n−1)), with every operand cast to
+    // DECIMAL(38,0)/HUGEINT BEFORE multiplying, the sums exact
+    // integers, and ONE double division (plus the 10⁴ cents² descale)
+    // at the end. One partial-aggregated pass per group.
+    "a14_exact_covariance" -> QueryDef(
+      (s, d) => li(s, d)
+        .withColumn("xc", expr(
+          "CAST(floor(l_quantity * 100 + 0.5d) AS BIGINT)"))
+        .withColumn("yc", expr(
+          "CAST(floor(l_extendedprice * 100 + 0.5d) AS BIGINT)"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("xc")).as("sx"),
+          sum(col("yc")).as("sy"),
+          sum(expr("CAST(xc AS DECIMAL(38,0)) * CAST(yc AS DECIMAL(38,0))"))
+            .as("sxy"))
+        .withColumn("cov_qty_price", expr(
+          """CAST(CAST(n AS DECIMAL(38,0)) * sxy
+            |  - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+            |  AS DOUBLE)
+            | / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) * 10000.0d)"""
+            .stripMargin.replace('\n', ' ')))
+        .select(col("l_returnflag"), col("n"), col("sx"), col("sy"),
+          col("sxy").cast("string").as("sxy"), col("cov_qty_price"))
+        .orderBy("l_returnflag"),
+      Some("""
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(xc) AS BIGINT) AS sx, CAST(sum(yc) AS BIGINT) AS sy,
+  CAST(sum(CAST(xc AS HUGEINT) * CAST(yc AS HUGEINT)) AS VARCHAR)
+    AS sxy,
+  CAST(CAST(count(*) AS HUGEINT)
+         * sum(CAST(xc AS HUGEINT) * CAST(yc AS HUGEINT))
+       - CAST(sum(xc) AS HUGEINT) * CAST(sum(yc) AS HUGEINT) AS DOUBLE)
+    / (CAST(count(*) AS DOUBLE) * CAST(count(*) - 1 AS DOUBLE)
+       * 10000.0) AS cov_qty_price
+FROM (SELECT l_returnflag,
+        CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS xc,
+        CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS yc
+      FROM lineitem)
+GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      "order-independent exact covariance via integer moments"),
+
     // ── A13: exact per-group order statistics — the p50/p90/p99 VALUE
     // (not bucket) of quantity per return flag: row_number against the
     // group count picks the ceil(p·n)-th value, a deterministic

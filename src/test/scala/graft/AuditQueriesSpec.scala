@@ -81,6 +81,33 @@ class AuditQueriesSpec extends SparkSpec {
     }
   }
 
+  test("a14: exact covariance matches BigInt replay and covar_samp") {
+    val got = SparkEntry.queries("a14_exact_covariance")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("cov_qty_price")).toMap
+    val rows = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0),
+        BigInt(math.floor(r.getDouble(1) * 100 + 0.5).toLong),
+        BigInt(math.floor(r.getDouble(2) * 100 + 0.5).toLong)))
+    rows.groupBy(_._1).foreach { case (flag, grp) =>
+      val n = BigInt(grp.length)
+      val (sx, sy) = (grp.map(_._2).sum, grp.map(_._3).sum)
+      val sxy = grp.map(t => t._2 * t._3).sum
+      val expect = (n * sxy - sx * sy).toDouble /
+        (n.toDouble * (n - 1).toDouble * 10000.0)
+      assert(got(flag) == expect, s"flag $flag")
+      // and the integer-moment formula agrees with Spark's own
+      // (order-dependent) covar_samp to float precision
+      val ref = Tables.lineitem(spark, sf)
+        .filter(col("l_returnflag") === flag)
+        .agg(covar_samp(col("l_quantity"), col("l_extendedprice")))
+        .collect().head.getDouble(0)
+      assert(math.abs(got(flag) - ref) / math.abs(ref) < 1e-6,
+        s"flag $flag: ${got(flag)} vs covar_samp $ref")
+    }
+  }
+
   test("x38: per-language top pairs match a Scala recount") {
     val got = SparkEntry.queries("x38_bpe_pair_stats")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
