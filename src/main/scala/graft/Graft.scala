@@ -61,6 +61,10 @@ object Graft {
     writeXlsx(report, s"$outDir/accounting_report.xlsx")
     writeSheetPayload(report, s"$outDir/accounting_report_sheet.json",
       tab = "Accounting")
+    // the reference backs up the warehouse around every rebuild and
+    // prunes old copies (S14) — each nightly run publishes the report
+    // as a retained, immutable snapshot version
+    writeSnapshot(report, s"$outDir/report_snapshots", keep = 3)
     import spark.implicits._
     counts.toDF("table_name", "path", "n_rows").orderBy("table_name")
   }

@@ -39,5 +39,13 @@ class RunEtlSpec extends SparkSpec {
     val again = Graft.runEtl(spark, sf, out).collect()
     assert(again.map(r => (r.getString(0), r.getLong(2))).toSeq ==
       manifest.map(r => (r.getString(0), r.getLong(2))).toSeq)
+
+    // each nightly run published a retained report snapshot (S14)
+    val snapRoot = s"$out/report_snapshots"
+    assert(graft.sources.Sinks.currentVersion(spark, snapRoot)
+      .contains(2L))
+    assert(Graft.readLatestSnapshot(spark, snapRoot).count() ==
+      manifest.find(_.getString(0) == "analytics_accounting_report")
+        .get.getLong(2))
   }
 }
