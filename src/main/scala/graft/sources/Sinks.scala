@@ -254,9 +254,11 @@ object Sinks {
     val tmp = new org.apache.hadoop.fs.Path(rootP, "_LATEST.tmp")
     val out = fs.create(tmp, true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(ptr, false)
-    if (!fs.rename(tmp, ptr))
-      throw new java.io.IOException(s"snapshot: pointer flip failed at $root")
+    // OVERWRITE rename, not delete-then-rename: the latter opens a
+    // window where _LATEST doesn't exist and a NEW reader errors out
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(rootP.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     // retention: prune fully-published versions older than the newest
     // `keep` (the pointer target is always within the retained set)
     versionList(fs, rootP).sorted.dropRight(keep).foreach { v =>
