@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.Money
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -670,6 +671,72 @@ SELECT 'orders' AS table_name, CAST(max(o_orderdate) AS TIMESTAMP)
 FROM orders
 ORDER BY table_name"""),
       "staleness gate: per-table max event time vs an as-of literal"),
+
+    // ── Primary-key uniqueness audit: per table, row count vs distinct
+    // key count — the first DQ rule any warehouse load runs (the
+    // reference trusts its extracts implicitly; a dupe-producing join
+    // upstream corrupts every downstream rollup silently). One
+    // count+count-distinct aggregation per table, unioned into a
+    // 5-row report. The (l_orderkey, l_linenumber) composite is
+    // DELIBERATELY violated by this synthetic data — the red row
+    // proves the audit fires.
+    "dq06_key_uniqueness" -> QueryDef(
+      (s, d) => {
+        def check(table: String, keyDesc: String,
+            df: DataFrame, keys: Seq[String]): DataFrame =
+          df.agg(
+            lit(table).as("table_name"), lit(keyDesc).as("key_cols"),
+            count(lit(1)).as("n_rows"),
+            countDistinct(keys.head, keys.tail: _*).as("n_keys"))
+            .withColumn("n_dupes", col("n_rows") - col("n_keys"))
+            .withColumn("is_unique", col("n_dupes") === 0L)
+        Seq(
+          check("orders", "o_orderkey", Tables.orders(s, d),
+            Seq("o_orderkey")),
+          check("customer", "c_custkey", Tables.customer(s, d),
+            Seq("c_custkey")),
+          check("supplier", "s_suppkey", Tables.supplier(s, d),
+            Seq("s_suppkey")),
+          check("documents", "doc_id", Tables.documents(s, d),
+            Seq("doc_id")),
+          check("lineitem", "l_orderkey+l_linenumber",
+            Tables.lineitem(s, d), Seq("l_orderkey", "l_linenumber")))
+          .reduce(_ unionAll _)
+          .orderBy("table_name")
+      },
+      Some("""
+SELECT 'orders' AS table_name, 'o_orderkey' AS key_cols,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_dupes,
+  count(*) = count(DISTINCT o_orderkey) AS is_unique
+FROM orders
+UNION ALL
+SELECT 'customer', 'c_custkey', CAST(count(*) AS BIGINT),
+  CAST(count(DISTINCT c_custkey) AS BIGINT),
+  CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT),
+  count(*) = count(DISTINCT c_custkey)
+FROM customer
+UNION ALL
+SELECT 'supplier', 's_suppkey', CAST(count(*) AS BIGINT),
+  CAST(count(DISTINCT s_suppkey) AS BIGINT),
+  CAST(count(*) - count(DISTINCT s_suppkey) AS BIGINT),
+  count(*) = count(DISTINCT s_suppkey)
+FROM supplier
+UNION ALL
+SELECT 'documents', 'doc_id', CAST(count(*) AS BIGINT),
+  CAST(count(DISTINCT doc_id) AS BIGINT),
+  CAST(count(*) - count(DISTINCT doc_id) AS BIGINT),
+  count(*) = count(DISTINCT doc_id)
+FROM documents
+UNION ALL
+SELECT 'lineitem', 'l_orderkey+l_linenumber', CAST(count(*) AS BIGINT),
+  CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+  CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+  count(*) = count(DISTINCT (l_orderkey, l_linenumber))
+FROM lineitem
+ORDER BY table_name"""),
+      "per-table PK uniqueness audit; the composite-key row fires red"),
 
     // ── JSON property extraction (extension of the schema-sniffing JSON
     // reads, `utils/gsheets_utils.py:183-184`).

@@ -81,6 +81,26 @@ class AuditQueriesSpec extends SparkSpec {
     }
   }
 
+  test("dq06: uniqueness audit fires on the composite key, only there") {
+    val rows = SparkEntry.queries("dq06_key_uniqueness")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    assert(rows.keySet == Set("orders", "customer", "supplier",
+      "documents", "lineitem"))
+    rows.filter(_._1 != "lineitem").values.foreach {
+      case (n, k, d, u) => assert(n == k && d == 0L && u)
+    }
+    val (n, k, d, u) = rows("lineitem")
+    assert(!u && d > 0L && n - k == d)
+    val dupes = Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey", "l_linenumber")
+      .count().filter(col("count") > 1)
+      .agg(sum(col("count") - 1)).collect().head.getLong(0)
+    assert(d == dupes)
+  }
+
   test("a14: exact covariance matches BigInt replay and covar_samp") {
     val got = SparkEntry.queries("a14_exact_covariance")(spark, sf)
       .collect()
