@@ -57,7 +57,12 @@ object Graft {
       staged.map { case (n, _) =>
         n -> spark.read.parquet(s"$outDir/$n.parquet")
       }.toMap)
-    val report = spark.read.parquet(s"$outDir/analytics_accounting_report.parquet")
+    // re-sort after the parquet roundtrip: the scan orders splits by
+    // size, not by the writer's sort, and a human-facing report must
+    // come out in (section, month) order
+    val report = spark.read
+      .parquet(s"$outDir/analytics_accounting_report.parquet")
+      .orderBy("section", "month")
     writeXlsx(report, s"$outDir/accounting_report.xlsx")
     writeSheetPayload(report, s"$outDir/accounting_report_sheet.json",
       tab = "Accounting")

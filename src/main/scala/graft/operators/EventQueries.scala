@@ -589,9 +589,13 @@ FROM c ORDER BY from_event, to_event"""),
           .groupBy(date_trunc("day", col("ts")).cast("timestamp_ntz")
             .as("day"))
           .agg(count(lit(1)).as("n_events"))
+        // sxx widens BEFORE the per-row multiply: n_events² in 64-bit
+        // overflows at ~3e9 events/day (and the sum at ~1.6e8/day over
+        // a year) — same operand-level rule as `dev` below
         val moments = daily.agg(count(lit(1)).as("n_days"),
           sum(col("n_events")).as("sx"),
-          sum(col("n_events") * col("n_events")).as("sxx"))
+          sum(expr("CAST(n_events AS DECIMAL(38,0)) " +
+            "* CAST(n_events AS DECIMAL(38,0))")).as("sxx"))
         daily.crossJoin(broadcast(moments))
           .withColumn("mean_events",
             col("sx").cast("double") / col("n_days").cast("double"))
@@ -621,7 +625,7 @@ WITH daily AS (
 m AS (
   SELECT CAST(count(*) AS BIGINT) AS n_days,
     CAST(sum(n_events) AS BIGINT) AS sx,
-    CAST(sum(n_events * n_events) AS BIGINT) AS sxx
+    sum(CAST(n_events AS HUGEINT) * CAST(n_events AS HUGEINT)) AS sxx
   FROM daily
 )
 SELECT day, n_events,
@@ -687,7 +691,13 @@ ORDER BY table_name"""),
           df.agg(
             lit(table).as("table_name"), lit(keyDesc).as("key_cols"),
             count(lit(1)).as("n_rows"),
-            countDistinct(keys.head, keys.tail: _*).as("n_keys"))
+            // composite keys count as a STRUCT (non-null even when a
+            // field is null) to match DuckDB's row-value DISTINCT;
+            // multi-arg countDistinct would drop any-null rows and the
+            // engines would disagree on a null-keyed table
+            (if (keys.sizeIs == 1) countDistinct(col(keys.head))
+             else countDistinct(struct(keys.map(col): _*)))
+              .as("n_keys"))
             .withColumn("n_dupes", col("n_rows") - col("n_keys"))
             .withColumn("is_unique", col("n_dupes") === 0L)
         Seq(

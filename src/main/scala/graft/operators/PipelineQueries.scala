@@ -70,6 +70,20 @@ object PipelineQueries {
   private val MixSeed = "mix0"
   private val MixTokenBudget = 4000L
 
+  /** Adjacent-token-pair fan-out shared by x38 and x39 (over a `toks`
+    * array column / a `l` list alias): guarded so single-token docs
+    * emit nothing — Spark's `sequence(1, 0)` would DESCEND, not empty.
+    * One definition per engine so the two queries cannot drift.
+    */
+  private val PairExprSpark =
+    """CASE WHEN size(toks) >= 2
+      | THEN transform(sequence(1, size(toks) - 1),
+      |   i -> concat(element_at(toks, i), ' ',
+      |     element_at(toks, i + 1)))
+      | ELSE array() END""".stripMargin.replace('\n', ' ')
+  private val PairListDuck =
+    "list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])"
+
   def defs: Map[String, QueryDef] = Map(
 
     // ── Sequence packing: assign docs (in stable doc_id order, per
@@ -903,12 +917,7 @@ ORDER BY source, doc_id"""),
           .orderBy(col("n").desc, col("pair"))
         Tables.documents(s, d)
           .withColumn("toks", split(col("text"), " "))
-          .withColumn("pair", explode(expr(
-            """CASE WHEN size(toks) >= 2
-              | THEN transform(sequence(1, size(toks) - 1),
-              |   i -> concat(element_at(toks, i), ' ',
-              |     element_at(toks, i + 1)))
-              | ELSE array() END""".stripMargin.replace('\n', ' '))))
+          .withColumn("pair", explode(expr(PairExprSpark)))
           .groupBy(col("lang"), col("pair"))
           .agg(count(lit(1)).as("n"))
           .withColumn("rk", row_number().over(w).cast("bigint"))
@@ -916,11 +925,9 @@ ORDER BY source, doc_id"""),
           .select(col("lang"), col("rk"), col("pair"), col("n"))
           .orderBy("lang", "rk")
       },
-      Some("""
+      Some(s"""
 WITH p AS (
-  SELECT lang,
-    unnest(list_transform(range(1, len(l)),
-      i -> l[i] || ' ' || l[i + 1])) AS pair
+  SELECT lang, unnest($PairListDuck) AS pair
   FROM (SELECT lang, string_split(text, ' ') AS l FROM documents)
 ),
 c AS (SELECT lang, pair, count(*) AS n FROM p GROUP BY 1, 2)
@@ -948,12 +955,7 @@ ORDER BY lang, rk"""),
       (s, d) => {
         val pairs = Tables.documents(s, d)
           .withColumn("toks", split(col("text"), " "))
-          .withColumn("pair", explode(expr(
-            """CASE WHEN size(toks) >= 2
-              | THEN transform(sequence(1, size(toks) - 1),
-              |   i -> concat(element_at(toks, i), ' ',
-              |     element_at(toks, i + 1)))
-              | ELSE array() END""".stripMargin.replace('\n', ' '))))
+          .withColumn("pair", explode(expr(PairExprSpark)))
           .select(col("doc_id"), col("pair"))
         val cb = pairs.groupBy("pair").agg(count(lit(1)).as("cb"))
         val cp = pairs
@@ -980,9 +982,7 @@ ORDER BY lang, rk"""),
       Some(s"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
 p AS (
-  SELECT doc_id,
-    unnest(list_transform(range(1, len(l)),
-      i -> l[i] || ' ' || l[i + 1])) AS pair
+  SELECT doc_id, unnest($PairListDuck) AS pair
   FROM t
 ),
 cb AS (SELECT pair, count(*) AS cb FROM p GROUP BY 1),

@@ -53,38 +53,38 @@ object Sinks {
     }
   }
 
-  /** S10 — warehouse build: (re)create one managed table per entry and drop
-    * tables that fell out of the mapping (`create_duckdb.py:81-99`). The
-    * stale-table GC is a catalog diff, same as the reference's
-    * `set(existing) - set(desired)`.
-    *
-    * Orphaned locations: `mode("overwrite")` only replaces a table the
-    * CATALOG knows about. A crash between file write and catalog commit —
-    * or a fresh session pointed at an existing warehouse dir (in-memory
-    * catalog, on-disk files) — leaves a location with no entry, and
-    * `saveAsTable` then hard-fails with LOCATION_ALREADY_EXISTS. A
-    * daily-full-rebuild warehouse must shrug that off: when the entry is
-    * absent but the default-database location exists, the files are
-    * unreachable leftovers (the catalog is the source of truth) and are
-    * removed before the write.
-    */
   /** Remove a managed-table location that lost its catalog entry, so a
-    * following `saveAsTable` cannot hit LOCATION_ALREADY_EXISTS. The
-    * location is resolved by the session catalog itself
-    * (`defaultTablePath`), which honors the current database and
-    * db-qualified names — string-building `<warehouse>/<name>` would
-    * miss the `<db>.db/` segment for any non-default database.
+    * following `saveAsTable` cannot hit LOCATION_ALREADY_EXISTS
+    * (`mode("overwrite")` only replaces a table the CATALOG knows
+    * about; a crash between file write and catalog commit — or a fresh
+    * session pointed at an existing warehouse dir — leaves files with
+    * no entry, and the catalog is the source of truth). The location
+    * is resolved by the session catalog itself (`defaultTablePath`),
+    * which honors the current database and db-qualified names —
+    * string-building `<warehouse>/<name>` would miss the `<db>.db/`
+    * segment for any non-default database. The existence probe goes
+    * through the SESSION catalog too: `spark.catalog.tableExists` also
+    * matches temp VIEWS, and a same-named view would silently disable
+    * the guard.
     */
   private def clearOrphanedLocation(spark: SparkSession,
-      table: String): Unit =
-    if (!spark.catalog.tableExists(table)) {
-      val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+      table: String): Unit = {
+    val id = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    if (!spark.sessionState.catalog.tableExists(id)) {
       val loc = new org.apache.hadoop.fs.Path(
         spark.sessionState.catalog.defaultTablePath(id))
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
+  }
 
+  /** S10 — warehouse build: (re)create one managed table per entry and drop
+    * tables that fell out of the mapping (`create_duckdb.py:81-99`). The
+    * stale-table GC is a catalog diff, same as the reference's
+    * `set(existing) - set(desired)`; orphaned locations are cleared
+    * first (see [[clearOrphanedLocation]]) so a crashed prior rebuild
+    * cannot wedge the next one.
+    */
   def syncWarehouse(spark: SparkSession,
       tables: Map[String, DataFrame]): Unit = {
     tables.foreach { case (name, df) =>
