@@ -267,6 +267,46 @@ object Sinks {
     next
   }
 
+  /** Streaming materialized view with versioned publish: drain a
+    * file-source backlog and keep a per-key COUNT aggregate as a
+    * retained snapshot series. The aggregation runs in UPDATE output
+    * mode, so each micro-batch carries only the keys whose totals
+    * changed (state store holds the running totals); the publish step
+    * merges those rows into the previous snapshot — work per batch is
+    * O(changed keys + aggregate size), never a rescan of history.
+    * Versions advance per batch; a foreachBatch retry can publish an
+    * extra version, which the retained series absorbs (the LATEST
+    * content is idempotent because batch rows carry TOTALS, not
+    * deltas).
+    */
+  def streamingCountSnapshots(spark: SparkSession, srcDir: String,
+      schema: org.apache.spark.sql.types.StructType, checkpoint: String,
+      snapRoot: String, keyCol: String, keep: Int = 3): Unit = {
+    import org.apache.spark.sql.functions.col
+    val q = spark.readStream.schema(schema).parquet(srcDir)
+      .groupBy(col(keyCol)).count()
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val prev = currentVersion(spark, snapRoot)
+            .map(v => readSnapshot(spark, snapRoot, v))
+            .getOrElse(spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              batch.schema))
+          val merged = prev.join(batch.select(col(keyCol)),
+              Seq(keyCol), "left_anti")
+            .unionByName(batch)
+          writeSnapshot(merged, snapRoot, keep)
+          ()
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Latest published version at `root`, if any (reads `_LATEST`). */
   def currentVersion(spark: SparkSession, root: String): Option[Long] = {
     val ptr = new org.apache.hadoop.fs.Path(root, "_LATEST")

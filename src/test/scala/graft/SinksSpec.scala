@@ -231,6 +231,34 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.readLatestSnapshot(spark, root).count() == 1)
   }
 
+  test("streaming count snapshots: incremental merge, versioned publish") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = tmp("snapstream")
+    val (src, ckpt, root) = (s"$base/src", s"$base/ckpt", s"$base/snap")
+    val schema = StructType(Seq(StructField("k", StringType),
+      StructField("v", LongType)))
+    def drain(): Unit = Sinks.streamingCountSnapshots(
+      spark, src, schema, ckpt, root, "k")
+
+    Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("k", "v")
+      .write.mode("append").parquet(src)
+    drain()
+    val s1 = Sinks.readLatestSnapshot(spark, root)
+      .as[(String, Long)].collect().toMap
+    assert(s1 == Map("a" -> 2L, "b" -> 1L))
+
+    // second wave touches only `a` and adds `c`; `b`'s total must
+    // survive the merge untouched
+    Seq(("a", 4L), ("c", 5L)).toDF("k", "v")
+      .write.mode("append").parquet(src)
+    drain()
+    val s2 = Sinks.readLatestSnapshot(spark, root)
+      .as[(String, Long)].collect().toMap
+    assert(s2 == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+    assert(Sinks.currentVersion(spark, root).exists(_ >= 2L))
+  }
+
   test("compaction collapses a fragmented dataset, data intact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact")
       .toString + "/t"
