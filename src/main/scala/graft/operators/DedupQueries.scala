@@ -575,5 +575,40 @@ SELECT doc_a, doc_b, inter, containment FROM (
   FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
 WHERE containment >= 0.8
 ORDER BY doc_a, doc_b"""),
-      "asymmetric containment dedup: small-inside-big pairs Jaccard misses"))
+      "asymmetric containment dedup: small-inside-big pairs Jaccard misses"),
+
+    // ── Cross-source overlap matrix: how much duplicated content do
+    // each pair of corpus slices SHARE (the x05 prefix fingerprint,
+    // deduplicated to (fp, source) first)? The answer drives mixture
+    // decisions — two sources sharing half their content shouldn't
+    // both be sampled at full rate. Quadratic only in the number of
+    // sources sharing one fingerprint (bounded by |sources|, tiny);
+    // the heavy step is the fingerprint equi-join, key-partitioned as
+    // always. Same-source pairs are excluded; `source_a < source_b`
+    // keeps one triangle.
+    "x40_source_overlap" -> QueryDef(
+      (s, d) => {
+        val fs = Tables.documents(s, d)
+          .withColumn("w", expr("split(text, ' ')"))
+          .withColumn("fp", md5(expr("array_join(slice(w, 1, 5), ' ')")
+            .cast("binary")))
+          .select(col("fp"), col("source")).distinct()
+        fs.as("a").join(fs.as("b"),
+            col("a.fp") === col("b.fp") &&
+              col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"),
+            col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("shared_fps"))
+          .orderBy("source_a", "source_b")
+      },
+      Some("""
+WITH fs AS (
+  SELECT DISTINCT md5(array_to_string(w[:5], ' ')) AS fp, source
+  FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
+)
+SELECT a.source AS source_a, b.source AS source_b,
+  count(*) AS shared_fps
+FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2 ORDER BY source_a, source_b"""),
+      "which corpus slices share duplicated content, pairwise"))
 }

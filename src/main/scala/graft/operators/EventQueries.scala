@@ -748,6 +748,56 @@ FROM lineitem
 ORDER BY table_name"""),
       "per-table PK uniqueness audit; the composite-key row fires red"),
 
+    // ── RFM segmentation: recency / frequency / monetary quartiles per
+    // user against a fixed as-of instant (no wall-clock, rule F10) —
+    // the classic lifecycle-marketing cut. One user-keyed aggregation,
+    // then three ntile(4) windows over the small per-user table;
+    // every ntile ordering carries user_id as the total-order
+    // tiebreak, so quartile boundaries are deterministic on both
+    // engines. Monetary sums go through the DECIMAL money path.
+    "e12_rfm_segments" -> QueryDef(
+      (s, d) => {
+        val asOf = "TIMESTAMP '1998-12-31 00:00:00'"
+        def q(order: org.apache.spark.sql.Column*) =
+          ntile(4).over(Window.orderBy(order: _*)).cast("bigint")
+        Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(
+            expr(s"CAST(datediff($asOf, max(ts)) AS BIGINT)")
+              .as("recency_days"),
+            count(lit(1)).as("frequency"),
+            Money.moneySum(col("value")).as("monetary"))
+          .withColumn("r_q", q(col("recency_days"), col("user_id")))
+          .withColumn("f_q", q(col("frequency").desc, col("user_id")))
+          .withColumn("m_q", q(col("monetary").desc, col("user_id")))
+          .withColumn("segment",
+            concat(col("r_q"), col("f_q"), col("m_q")))
+          .orderBy("user_id")
+      },
+      Some("""
+WITH u AS (
+  SELECT user_id,
+    CAST(date_diff('day', CAST(max(ts) AS DATE), DATE '1998-12-31')
+      AS BIGINT) AS recency_days,
+    count(*) AS frequency,
+    CAST(sum(CAST(floor(value * 100 + 0.5) / 100 AS DECIMAL(18,2)))
+      AS DOUBLE) AS monetary
+  FROM events GROUP BY 1
+)
+SELECT user_id, recency_days, CAST(frequency AS BIGINT) AS frequency,
+  monetary,
+  CAST(ntile(4) OVER (ORDER BY recency_days, user_id) AS BIGINT) AS r_q,
+  CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS BIGINT)
+    AS f_q,
+  CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS BIGINT)
+    AS m_q,
+  CAST(ntile(4) OVER (ORDER BY recency_days, user_id) AS VARCHAR)
+    || CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS VARCHAR)
+    || CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS VARCHAR)
+    AS segment
+FROM u ORDER BY user_id"""),
+      "recency/frequency/monetary quartile segments, deterministic ntile"),
+
     // ── JSON property extraction (extension of the schema-sniffing JSON
     // reads, `utils/gsheets_utils.py:183-184`).
     "e03_json_props" -> QueryDef(

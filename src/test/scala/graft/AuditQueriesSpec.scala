@@ -128,6 +128,37 @@ class AuditQueriesSpec extends SparkSpec {
     }
   }
 
+  test("e12: quartiles are balanced and the segment encodes them") {
+    val rows = SparkEntry.queries("e12_rfm_segments")(spark, sf).collect()
+      .map(r => (r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getString(7)))
+    Seq[((Long, Long, Long, String)) => Long](_._1, _._2, _._3)
+      .foreach { dim =>
+        val sizes = rows.groupBy(dim).values.map(_.size).toSeq
+        assert(sizes.max - sizes.min <= 1, s"unbalanced: $sizes")
+      }
+    rows.foreach { case (r, f, m, seg) => assert(seg == s"$r$f$m") }
+  }
+
+  test("x40: pairwise shared fingerprints match a Scala set intersect") {
+    val got = SparkEntry.queries("x40_source_overlap")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val bySource = Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0),
+        md5hex(r.getString(1).split(" ", -1).take(5).mkString(" "))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = (for {
+      a <- bySource.keys; b <- bySource.keys if a < b
+      n = (bySource(a) & bySource(b)).size if n > 0
+    } yield (a, b) -> n.toLong).toMap
+    assert(got == expected)
+  }
+
   test("x38: per-language top pairs match a Scala recount") {
     val got = SparkEntry.queries("x38_bpe_pair_stats")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
