@@ -798,6 +798,68 @@ SELECT user_id, recency_days, CAST(frequency AS BIGINT) AS frequency,
 FROM u ORDER BY user_id"""),
       "recency/frequency/monetary quartile segments, deterministic ntile"),
 
+    // ── Event-type co-occurrence lift (market-basket over the event
+    // stream): for each pair of types, how many users touch BOTH, and
+    // the lift n_both·n_users / (n_a·n_b) that says whether they
+    // co-occur more than independence predicts. The (user, type) dedup
+    // bounds the join input to distinct pairs; the per-user fan-out is
+    // |types|² at worst (tiny); the type totals and user count are
+    // 1-row/|types|-row broadcasts. Lift operands widen to
+    // DECIMAL(38,0)/HUGEINT before multiplying (the a14 rule) and the
+    // final value is ONE IEEE division of exact integers.
+    "e13_type_cooccurrence" -> QueryDef(
+      (s, d) => {
+        val fs = Tables.events(s, d)
+          .select(col("user_id"), col("event_type")).distinct()
+        val totals = fs.groupBy("event_type")
+          .agg(count(lit(1)).as("n_type"))
+        val users = fs.agg(countDistinct(col("user_id")).as("n_users"))
+        fs.as("a").join(fs.as("b"),
+            col("a.user_id") === col("b.user_id") &&
+              col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("type_a"),
+            col("b.event_type").as("type_b"))
+          .agg(count(lit(1)).as("n_both"))
+          .join(broadcast(totals.withColumnRenamed("event_type", "type_a")
+            .withColumnRenamed("n_type", "n_a")), "type_a")
+          .join(broadcast(totals.withColumnRenamed("event_type", "type_b")
+            .withColumnRenamed("n_type", "n_b")), "type_b")
+          .crossJoin(broadcast(users))
+          .withColumn("lift", expr(
+            """CAST(CAST(n_both AS DECIMAL(38,0))
+              |  * CAST(n_users AS DECIMAL(38,0)) AS DOUBLE)
+              | / CAST(CAST(n_a AS DECIMAL(38,0))
+              |  * CAST(n_b AS DECIMAL(38,0)) AS DOUBLE)"""
+              .stripMargin.replace('\n', ' ')))
+          .select(col("type_a"), col("type_b"), col("n_both"),
+            col("n_a"), col("n_b"), col("n_users"), col("lift"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""
+WITH fs AS (SELECT DISTINCT user_id, event_type FROM events),
+t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_type
+      FROM fs GROUP BY 1),
+u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM fs),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+    CAST(count(*) AS BIGINT) AS n_both
+  FROM fs a JOIN fs b ON a.user_id = b.user_id
+    AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_both,
+  ta.n_type AS n_a, tb.n_type AS n_b, u.n_users,
+  CAST(CAST(n_both AS HUGEINT) * CAST(u.n_users AS HUGEINT) AS DOUBLE)
+    / CAST(CAST(ta.n_type AS HUGEINT) * CAST(tb.n_type AS HUGEINT)
+        AS DOUBLE) AS lift
+FROM p
+JOIN t ta ON p.type_a = ta.event_type
+JOIN t tb ON p.type_b = tb.event_type
+CROSS JOIN u
+ORDER BY type_a, type_b"""),
+      "pairwise event-type lift: dedup first, bounded pair fan-out"),
+
     // ── JSON property extraction (extension of the schema-sniffing JSON
     // reads, `utils/gsheets_utils.py:183-184`).
     "e03_json_props" -> QueryDef(

@@ -1302,6 +1302,40 @@ SELECT user_id, day, n_new,
 FROM daily ORDER BY user_id, day"""),
       "exact rolling distinct via first-occurrence flags + plain sum"),
 
+    // ── W12: month-over-month growth — the delta/percent-change report
+    // every revenue dashboard opens with. One month-keyed aggregation
+    // (partial map-side), then lag() over the months table, which is
+    // bounded (12 rows/year) regardless of corpus size. The revenues
+    // are exact DECIMAL-summed doubles, and growth is the same
+    // two-step IEEE chain ((rev − prev) / prev) on both engines, so
+    // the percentages are bit-identical; the first month's growth is
+    // NULL on both.
+    "w12_mom_growth" -> QueryDef(
+      (s, d) => {
+        val w = Window.orderBy("month")
+        ord(s, d)
+          .groupBy(date_trunc("month", col("o_orderdate"))
+            .cast("timestamp_ntz").as("month"))
+          .agg(moneySum(col("o_totalprice")).as("revenue"))
+          .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+          .withColumn("growth_pct",
+            (col("revenue") - col("prev_revenue")) /
+              col("prev_revenue") * 100d)
+          .orderBy("month")
+      },
+      Some(s"""
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+    ${sqlSum("o_totalprice")} AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+  lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+  (revenue - lag(revenue) OVER (ORDER BY month))
+    / lag(revenue) OVER (ORDER BY month) * 100 AS growth_pct
+FROM m ORDER BY month"""),
+      "month-over-month revenue growth: bounded window, exact deltas"),
+
     // ── O15: Z-order (Morton) layout key over (o_custkey, o_orderkey)
     // — the multi-dimensional layout key: data written sorted by zkey
     // clusters BOTH dimensions, so parquet min/max pruning serves

@@ -159,6 +159,37 @@ class AuditQueriesSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("w12: growth percentages replay from the revenue series") {
+    val rows = SparkEntry.queries("w12_mom_growth")(spark, sf).collect()
+      .map(r => (r.getDouble(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(rows.head._2.isEmpty && rows.head._3.isEmpty)
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      assert(cur._2.contains(prev._1))
+      assert(cur._3.contains((cur._1 - prev._1) / prev._1 * 100d))
+    }
+  }
+
+  test("e13: co-occurrence counts and lift replay from user sets") {
+    val got = SparkEntry.queries("e13_type_cooccurrence")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getAs[Double]("lift"))).toMap
+    val fs = Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byType = fs.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val nUsers = fs.map(_._1).distinct.length.toLong
+    val expected = (for {
+      a <- byType.keys; b <- byType.keys if a < b
+      both = (byType(a) & byType(b)).size.toLong if both > 0
+    } yield (a, b) -> (both,
+      (both * nUsers).toDouble /
+        (byType(a).size.toLong * byType(b).size.toLong).toDouble)).toMap
+    assert(got == expected)
+  }
+
   test("x38: per-language top pairs match a Scala recount") {
     val got = SparkEntry.queries("x38_bpe_pair_stats")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
