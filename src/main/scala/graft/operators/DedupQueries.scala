@@ -249,6 +249,15 @@ cand AS (
     */
   private val CcRounds = 12
 
+  /** x05's content fingerprint — md5 of the first-5-token prefix over a
+    * `w` token-array column — ONE definition per engine, shared with
+    * x40 (whose premise is measuring overlap of exactly these
+    * duplicates; a drifted copy would silently measure something else).
+    */
+  private def prefixFpSpark: org.apache.spark.sql.Column =
+    md5(expr("array_join(slice(w, 1, 5), ' ')").cast("binary"))
+  private val PrefixFpDuck = "md5(array_to_string(w[:5], ' '))"
+
   def defs: Map[String, QueryDef] = Map(
 
     // ── Exact dedup: hash-groupBy on a normalized prefix fingerprint,
@@ -256,13 +265,12 @@ cand AS (
     "x05_dedup_exact" -> QueryDef(
       (s, d) => Tables.documents(s, d)
         .withColumn("w", expr("split(text, ' ')"))
-        .withColumn("fp", md5(expr("array_join(slice(w, 1, 5), ' ')")
-          .cast("binary")))
+        .withColumn("fp", prefixFpSpark)
         .groupBy(col("fp"))
         .agg(min(col("doc_id")).as("canonical_id"),
           count(lit(1)).as("n_copies"))
         .orderBy("canonical_id"),
-      Some("""SELECT md5(array_to_string(w[:5], ' ')) AS fp,
+      Some(s"""SELECT $PrefixFpDuck AS fp,
               min(doc_id) AS canonical_id, count(*) AS n_copies
               FROM (SELECT doc_id, string_split(text, ' ') AS w
                     FROM documents)
@@ -590,8 +598,7 @@ ORDER BY doc_a, doc_b"""),
       (s, d) => {
         val fs = Tables.documents(s, d)
           .withColumn("w", expr("split(text, ' ')"))
-          .withColumn("fp", md5(expr("array_join(slice(w, 1, 5), ' ')")
-            .cast("binary")))
+          .withColumn("fp", prefixFpSpark)
           .select(col("fp"), col("source")).distinct()
         fs.as("a").join(fs.as("b"),
             col("a.fp") === col("b.fp") &&
@@ -601,9 +608,9 @@ ORDER BY doc_a, doc_b"""),
           .agg(count(lit(1)).as("shared_fps"))
           .orderBy("source_a", "source_b")
       },
-      Some("""
+      Some(s"""
 WITH fs AS (
-  SELECT DISTINCT md5(array_to_string(w[:5], ' ')) AS fp, source
+  SELECT DISTINCT $PrefixFpDuck AS fp, source
   FROM (SELECT source, string_split(text, ' ') AS w FROM documents)
 )
 SELECT a.source AS source_a, b.source AS source_b,

@@ -290,18 +290,25 @@ object Sinks {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
+        // the batch plan is referenced three times (emptiness probe,
+        // anti-join side, union) — persist so the state-store-backed
+        // aggregation output is computed once per publish
+        batch.persist()
+        try if (!batch.isEmpty) {
           val prev = currentVersion(spark, snapRoot)
             .map(v => readSnapshot(spark, snapRoot, v))
             .getOrElse(spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               batch.schema))
-          val merged = prev.join(batch.select(col(keyCol)),
-              Seq(keyCol), "left_anti")
+          // NULL-SAFE anti-join: with plain equality a null-key row in
+          // prev never matches its replacement (null = null is not
+          // true), so a stale duplicate would accumulate every drain
+          val merged = prev.as("p").join(batch.as("b"),
+              col(s"p.$keyCol") <=> col(s"b.$keyCol"), "left_anti")
             .unionByName(batch)
           writeSnapshot(merged, snapRoot, keep)
           ()
-        }
+        } finally batch.unpersist()
       }
       .start()
     q.awaitTermination()

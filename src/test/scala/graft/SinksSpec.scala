@@ -257,6 +257,19 @@ class SinksSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(s2 == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
     assert(Sinks.currentVersion(spark, root).exists(_ >= 2L))
+
+    // null keys in consecutive drains: the merge must REPLACE the null
+    // row (null-safe anti-join), not accumulate a stale copy per drain
+    Seq((null.asInstanceOf[String], 6L)).toDF("k", "v")
+      .write.mode("append").parquet(src)
+    drain()
+    Seq((null.asInstanceOf[String], 7L)).toDF("k", "v")
+      .write.mode("append").parquet(src)
+    drain()
+    val s3 = Sinks.readLatestSnapshot(spark, root).collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(s3 == Map(Some("a") -> 3L, Some("b") -> 1L, Some("c") -> 1L,
+      None -> 2L), s3.toString)
   }
 
   test("compaction collapses a fragmented dataset, data intact") {
