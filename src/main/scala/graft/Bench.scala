@@ -42,7 +42,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Dev-only focus filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the
+    // run to the named queries (the driver never sets it — full sweep).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // warm-up: every query once at the smallest SF (plans, codegen, JIT,
     // streaming machinery), then a clean slate for the timed pass
     ordered.foreach { case (_, fn) =>

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an undirected edge list — the
+  * cluster-assembly step behind near-dup dedup (the declared
+  * `x14_dedup_clusters`; cf. the reference's dedup intent at
+  * `extract_loan_detail.py:342-353`, window dedup, generalized to graph
+  * components for corpus near-dup sets). Min-label propagation with
+  * pointer jumping: each round every vertex takes the minimum label in
+  * its neighborhood, then labels shortcut through one level of
+  * indirection (`label := label(label)`), giving log-depth convergence
+  * on path graphs (the BSP "hash-to-min" scheme of Rastogi et al. '13).
+  *
+  * Scale shape:
+  *
+  *   - Rounds run on the CONTRACTED graph: only vertices with at least
+  *     one edge participate; isolated vertices rejoin at the end with
+  *     their own id as the component. On a near-dup candidate graph the
+  *     paired subset is orders of magnitude smaller than the corpus
+  *     (most documents collide with nothing), so every per-round shuffle
+  *     moves only the pair endpoints, never the full corpus.
+  *   - Each round is one edge join + min-aggregation (propagate) and one
+  *     label self-join (shortcut) — plain key-partitioned shuffles with
+  *     no driver-side state beyond one convergence scalar per round.
+  *   - Labels only decrease and `label(x) <= x` is invariant, so a round
+  *     changed something iff `sum(label)` dropped; the first unchanged
+  *     round is the fixpoint and iteration stops — identical output to
+  *     the fixed `maxRounds` unroll (post-fixpoint rounds are
+  *     identities), for the cost of one single-stage aggregation over
+  *     the just-materialized labels per round.
+  *   - Every round MATERIALIZES and truncates lineage: the shortcut
+  *     references the propagated frame twice, so a lazy chain would grow
+  *     the plan ~3× per round. With `checkpointDir = None` that is an
+  *     eager `localCheckpoint` — executor-memory/disk resident, the
+  *     fastest option, correct for local mode and short-lived jobs, but
+  *     an executor loss mid-iteration loses blocks and kills the job on
+  *     a real cluster. Passing a directory (HDFS/object store) switches
+  *     to RELIABLE `checkpoint` into that path, which survives executor
+  *     loss at the cost of a distributed write+read per round — the
+  *     right default for a 1000-executor run.
+  */
+object Components {
+
+  /** @param edges     undirected edge list (each pair listed once is fine)
+    * @param srcCol    edge source-vertex column in `edges`
+    * @param dstCol    edge destination-vertex column in `edges`
+    * @param vertices  full vertex universe (isolated vertices come back
+    *                  as singleton components)
+    * @param idCol     vertex-id column in `vertices` (also the output key)
+    * @param maxRounds propagation-round cap; with pointer jumping the
+    *                  fixpoint needs O(log(longest path)) rounds and the
+    *                  early stop makes the cap a safety bound, not a cost
+    * @param checkpointDir None = eager localCheckpoint (local mode);
+    *                  Some(dir) = reliable checkpoint for cluster runs
+    * @return (idCol, component) — component = min vertex id reachable
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      vertices: DataFrame, idCol: String,
+      maxRounds: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    def materialize(df: DataFrame): DataFrame = checkpointDir match {
+      case Some(dir) =>
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(true)
+      case None => df.localCheckpoint(true)
+    }
+    val sym = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionByName(
+        edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    // contracted vertex set: edge endpoints only (src covers both sides
+    // of the symmetrized list)
+    val paired = sym.select(col("src").as("id")).distinct()
+    var labels = materialize(paired.select(col("id"), col("id").as("label")))
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      round += 1
+      val nbrMin = sym.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nl"))
+      val propagated = labels.as("v")
+        .join(nbrMin.as("m"), col("v.id") === col("m.src"), "left")
+        .select(col("v.id").as("id"),
+          least(col("v.label"), coalesce(col("m.nl"), col("v.label")))
+            .as("label"))
+      // shortcut: label := label(label). Labels are always ids of
+      // contracted vertices (min over component members, all of which
+      // have edges), so the inner self-join loses nothing.
+      val next = materialize(propagated.as("p")
+        .join(propagated.as("q"), col("p.label") === col("q.id"))
+        .select(col("p.id").as("id"), col("q.label").as("label")))
+      val nextSum = labelSum(next)
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      labels = next
+    }
+    // singletons (no edges) never changed: component = own id
+    vertices.select(col(idCol))
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("label"), col(idCol)).as("component"))
+  }
+}

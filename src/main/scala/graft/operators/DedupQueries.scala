@@ -196,12 +196,37 @@ sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t)"""
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
-  private def lshCandidates(
-      sigs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** LSH band-collision candidate pairs from a minhash-signature frame.
+    *
+    * `bandCap` is the hot-band skew lever (the x08 `dfCap` twin for the
+    * MinHash path): a (band, sigval) bucket holding more than `bandCap`
+    * documents fans out quadratically inside the band join — one
+    * boilerplate signature shared by 1M docs is a 10¹²-pair key. Capped,
+    * the bucket is dropped from BOTH sides before the join, bounding any
+    * key's fan-out to bandCap². This is a documented semantics change,
+    * not an optimization: pairs whose ONLY collision is a dropped band
+    * stop being candidates (recall loss concentrated on boilerplate
+    * signatures — exactly what a corpus pipeline wants from the cap);
+    * pairs colliding in any surviving band are unaffected. The default
+    * `None` is the exact LSH join the oracle replays.
+    */
+  private[graft] def lshCandidates(
+      sigs: org.apache.spark.sql.DataFrame,
+      bandCap: Option[Int] = None): org.apache.spark.sql.DataFrame = {
     val stackExpr = (0 until K)
       .map(i => s"$i, sig$i").mkString(s"stack($K, ", ", ", ")")
-    val bands = sigs.select(col("doc_id"),
+    val allBands = sigs.select(col("doc_id"),
       expr(s"$stackExpr AS (band, sigval)"))
+    // hot-bucket set is small by construction (only keys over the cap),
+    // so AQE broadcasts the anti-join — one extra agg on the key space
+    // the pair join shuffles on anyway
+    val bands = bandCap.fold(allBands) { cap =>
+      val hot = allBands.groupBy(col("band"), col("sigval"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap)
+        .select("band", "sigval")
+      allBands.join(hot, Seq("band", "sigval"), "left_anti")
+    }
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") &&
           col("a.sigval") === col("b.sigval") &&
@@ -209,6 +234,13 @@ sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t)"""
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
+
+  /** Public MinHash+LSH candidate-pair surface with the skew cap —
+    * `x06`/`x14` are its `bandCap = None` oracle-checked instantiations.
+    */
+  def minhashCandidates(s: org.apache.spark.sql.SparkSession, d: String,
+      bandCap: Option[Int] = None): org.apache.spark.sql.DataFrame =
+    lshCandidates(lshSigs(s, d), bandCap)
 
   /** DuckDB CTE chain `docs → shingled → sigs → bands → cand` in lockstep
     * with [[lshSigs]]/[[lshCandidates]].
@@ -311,73 +343,25 @@ ORDER BY doc_a, doc_b"""
 
     // ── Near-dup CLUSTERS: the LSH candidate pairs assembled into
     // connected components, which is what a dedup pipeline actually keeps
-    // (one canonical doc per component). Min-label propagation with
-    // pointer jumping, unrolled a FIXED CcRounds on both engines — labels
-    // only decrease and every step is a deterministic min, so the
-    // unrolled program hash-matches the oracle whether or not it has
-    // converged (convergence on this corpus is separately asserted by
-    // DedupClustersSpec). Scale shape: each propagate round is one
-    // edge-partitioned join + min-aggregation and each shortcut is one
-    // self-join on the label — the standard BSP connected-components,
-    // log-depth thanks to the pointer jumping.
+    // (one canonical doc per component). The iterative core lives in
+    // [[Components.connectedComponents]] (min-label propagation + pointer
+    // jumping, early-stopped at the fixpoint, rounds CONTRACTED to pair
+    // endpoints — singleton docs never enter a shuffle). The oracle
+    // unrolls a FIXED CcRounds over the FULL vertex set: labels only
+    // decrease and every step is a deterministic min, so the early-stop
+    // + contraction still hash-match it exactly — post-fixpoint rounds
+    // are identities and isolated vertices never change label
+    // (convergence on this corpus is separately asserted by
+    // DedupClustersSpec). Cluster runs: thread a checkpointDir through
+    // connectedComponents for reliable per-round checkpoints.
     "x14_dedup_clusters" -> QueryDef(
       (s, d) => {
         val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         val cand = lshCandidates(lshSigs(s, d)).persist(disk)
-        val sym = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .unionByName(
-            cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        val init = Tables.documents(s, d)
-          .select(col("doc_id"), col("doc_id").as("label"))
-        // each round MATERIALIZES and truncates lineage (eager
-        // localCheckpoint — the standard move for iterative graph
-        // algorithms): labels and the shortcut's self-join each reference
-        // the previous round twice, so a lazy chain would grow the plan
-        // ~3x per round; the checkpointed frame is one tiny
-        // (doc_id, label) table per round. Labels only decrease, so once
-        // a round changes nothing the fixpoint is reached and the
-        // remaining rounds are identities — stopping early returns
-        // EXACTLY the fixed-unroll (and oracle) result, for the cost of
-        // one tiny count on already-checkpointed data per round.
-        var labels = init.localCheckpoint(true)
-        // Convergence probe: `label(x) <= x` is invariant (init sets
-        // label = id; min-propagation and the `label(label(x))` shortcut
-        // both preserve it), so any per-row change strictly DECREASES
-        // that row's label — a round changed something iff sum(label)
-        // dropped. One single-stage agg over the checkpointed table per
-        // round, instead of a two-join anti-diff.
-        def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-          df.agg(sum(col("label"))).head().getLong(0)
-        var prevSum = labelSum(labels)
-        var round = 0
-        var converged = false
-        while (round < CcRounds && !converged) {
-          round += 1
-          val nbrMin = sym.join(labels, col("dst") === col("doc_id"))
-            .groupBy(col("src")).agg(min(col("label")).as("nl"))
-          val propagated = labels.as("v")
-            .join(nbrMin.as("m"), col("v.doc_id") === col("m.src"), "left")
-            .select(col("v.doc_id").as("doc_id"),
-              least(col("v.label"), coalesce(col("m.nl"), col("v.label")))
-                .as("label"))
-          // EAGER checkpoint: measured against localCheckpoint(false)
-          // (materialize via the convergence sum, "one job per round") —
-          // the lazy variant re-runs the chain during checkpoint
-          // materialization and came out 40% SLOWER at sf0.01; eager +
-          // a cheap agg over the checkpointed partitions wins.
-          val next = propagated.as("p")
-            .join(propagated.as("q"),
-              col("p.label") === col("q.doc_id"))
-            .select(col("p.doc_id").as("doc_id"),
-              col("q.label").as("label"))
-            .localCheckpoint(true)
-          val nextSum = labelSum(next)
-          converged = nextSum == prevSum
-          prevSum = nextSum
-          labels = next
-        }
-        val fin = labels
-        fin.select(col("doc_id"), col("label").as("cluster_id"))
+        Components.connectedComponents(cand, "doc_a", "doc_b",
+            Tables.documents(s, d).select(col("doc_id")), "doc_id",
+            CcRounds)
+          .select(col("doc_id"), col("component").as("cluster_id"))
           .withColumn("cluster_size", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
           .orderBy("doc_id")

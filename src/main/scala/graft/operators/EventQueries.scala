@@ -147,25 +147,30 @@ GROUP BY 1 ORDER BY tier"""),
     // ── As-of join (pandas merge_asof shape): each event picks the most
     // recent order at-or-before its timestamp for the same user. Composed
     // from existing operators — equi-join on the user key (hash join; the
-    // fan-out is bounded by orders-per-user) + per-event top-1 window —
-    // because that composition IS the scalable spelling: both stages
-    // partition by high-cardinality keys.
+    // fan-out is bounded by orders-per-user) + per-event max(struct)
+    // AGGREGATION for the top-1 pick. The aggregation (not a window) is
+    // the scale move: partial aggregation collapses each event's fan-out
+    // MAP-SIDE, so the post-join shuffle carries one row per event
+    // instead of the full event×order fan-out a row_number window would
+    // sort and shuffle. struct max is lexicographic (orderdate, then
+    // orderkey) = the same deterministic tie-broken pick; an unmatched
+    // left row's singleton struct(null, null) survives the agg and
+    // unpacks back to nulls — left-join semantics preserved.
     "j14_asof_join" -> QueryDef(
       (s, d) => {
         val ev = Tables.events(s, d)
           .select(col("event_id"), col("user_id"), col("ts"))
         val ord = Tables.orders(s, d)
           .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
-        val w = Window.partitionBy("event_id")
-          .orderBy(desc("o_orderdate"), desc("o_orderkey"))
         ev.join(ord,
             col("user_id") === col("o_custkey") &&
               col("o_orderdate").cast("timestamp_ntz") <= col("ts"), "left")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
+          .groupBy(col("event_id"), col("user_id"), col("ts"))
+          .agg(max(struct(col("o_orderdate"), col("o_orderkey")))
+            .as("pick"))
           .select(col("event_id"), col("user_id"), col("ts"),
-            col("o_orderkey").as("asof_order"),
-            col("o_orderdate").as("asof_orderdate"))
+            col("pick.o_orderkey").as("asof_order"),
+            col("pick.o_orderdate").as("asof_orderdate"))
           .orderBy("event_id")
       },
       Some("""

@@ -16,15 +16,21 @@ object Joins {
     * left rows survive with nulls (left-join semantics).
     *
     * Shape: equi-join on the key (hash join — the fan-out is bounded by
-    * right rows per key) followed by a per-left-row top-1 window; both
-    * stages partition on high-cardinality keys, so the composition is
-    * the scalable spelling of the operator (Spark ships no native as-of
-    * join). `tieBreak` columns (right side, descending) make the pick
-    * deterministic when several right rows share the winning time.
+    * right rows per key) followed by a per-left-row `max_by` AGGREGATION
+    * for the top-1 pick (Spark ships no native as-of join). The
+    * aggregation — not a window — is the scale-critical choice: partial
+    * aggregation collapses each left row's fan-out map-side, so the
+    * post-join shuffle carries one row per left row where a row_number
+    * window would shuffle and sort the full left×right-per-key fan-out.
+    * The pick maximizes a (rightTime, tieBreak...) struct —
+    * lexicographic, so `tieBreak` columns (right side, descending) make
+    * it deterministic when several right rows share the winning time.
     *
-    * The window partitions on an internal per-row id
+    * The aggregation groups on an internal per-row id
     * (`monotonically_increasing_id` — unique within the job), so the
-    * left frame needs no key of its own; the id never escapes.
+    * left frame needs no key of its own; the id never escapes. Left
+    * columns ride through as `first(...)` (exact: every row in a group
+    * is the same left row).
     *
     * Column-name collisions (the common pandas `merge_asof(on=...)`
     * usage, where both sides carry e.g. `user_id`): the right key is
@@ -52,18 +58,27 @@ object Joins {
       else df
     }
     val rtime = if (rightTime == rightKey) rkey else publicName(rightTime)
-    val ordering: Seq[Column] = desc(rtime) +: tieBreak.map { c =>
-      desc(if (c == rightKey) rkey else publicName(c))
-    }
-    val w = Window.partitionBy(rowId).orderBy(ordering: _*)
+    val publicRight = renamed.columns.filterNot(_ == rkey)
     val tagged = left.withColumn(rowId, monotonically_increasing_id())
-    tagged
-      .join(renamed,
-        tagged(leftKey) === renamed(rkey) &&
-          renamed(rtime) <= tagged(leftTime), "left")
-      .withColumn("__asof_rn", row_number().over(w))
-      .filter(col("__asof_rn") === 1)
-      .drop("__asof_rn", rowId, rkey)
+    if (publicRight.isEmpty) return tagged.drop(rowId)
+    val joined = tagged.join(renamed,
+      tagged(leftKey) === renamed(rkey) &&
+        renamed(rtime) <= tagged(leftTime), "left")
+    // the pick key: (rightTime, tieBreak...) struct — struct max is
+    // lexicographic, and an unmatched left row's singleton all-null
+    // struct survives the agg and unpacks back to nulls (left-join
+    // semantics preserved; matched groups never contain the null row
+    // because the range predicate is null-rejecting)
+    val ordKeys: Seq[Column] = (rtime +: tieBreak.map { c =>
+      if (c == rightKey) rkey else publicName(c)
+    }).map(col)
+    val pick = max_by(struct(publicRight.map(col): _*),
+      struct(ordKeys: _*)).as("__asof_pick")
+    val leftThrough = left.columns.map(c => first(col(c)).as(c))
+    joined.groupBy(col(rowId))
+      .agg(leftThrough.head, (leftThrough.tail :+ pick): _*)
+      .select(left.columns.map(col) ++
+        publicRight.map(c => col("__asof_pick")(c).as(c)): _*)
   }
 
   /** Salted equi-join for skewed keys: when one join key holds a large

@@ -118,12 +118,13 @@ WITH t AS (
 ),
 packed AS (
   SELECT lang, doc_id, n_tokens,
-    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-      // $PackTarget AS bin_id
+      // $PackTarget AS BIGINT) AS bin_id
   FROM t
 )
-SELECT lang, bin_id, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+SELECT lang, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
   min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM packed GROUP BY 1, 2 ORDER BY lang, bin_id"""),
       "greedy sequence packing: per-shard prefix sum div token budget"),

@@ -37,11 +37,18 @@ object Sheets {
   def payload(df: DataFrame, tab: String): String = {
     val nCols = df.columns.length.toLong
     require(nCols > 0, "sheet payload needs at least one column")
-    // single-pass cap enforcement: take(maxRows + 1) bounds the driver
-    // fetch AND detects overflow in the same job — a count()-then-
-    // collect() pair would execute the plan twice, and the two runs
-    // could even disagree for a frame that isn't deterministic
+    // cheap overflow probe FIRST: LocalLimit+count touches at most
+    // maxRows+1 rows distributed-side and ships one scalar, where a
+    // take(maxRows + 1) would haul up to the full 10M-cell cap of Row
+    // objects onto the driver just to refuse them. Only an under-cap
+    // frame is ever collected. (The probe and the collect are separate
+    // jobs; a non-deterministic frame could in principle disagree
+    // between them — the require after take keeps the guard airtight.)
     val maxRows = (MaxCells / nCols - 1L).min(Int.MaxValue.toLong).toInt
+    val probed = df.limit(maxRows + 1).count()
+    require(probed <= maxRows,
+      s"sheet payload exceeds the $MaxCells-cell cap at $nCols columns " +
+        s"(> $maxRows data rows) — aggregate first or use a parquet sink")
     val rows = df.take(maxRows + 1)
     require(rows.length <= maxRows,
       s"sheet payload exceeds the $MaxCells-cell cap at $nCols columns " +

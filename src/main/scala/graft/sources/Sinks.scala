@@ -238,8 +238,18 @@ object Sinks {
     * pointer before a publish keep reading their (immutable, retained)
     * snapshot, so a rebuild can never corrupt an in-flight report. A
     * crash before the pointer flip leaves the previous snapshot live
-    * and the half-written directory unreferenced (overwritten by the
-    * next publish of that version number).
+    * and the half-written directory unreferenced (skipped by later
+    * publishers, reclaimed by retention).
+    *
+    * Concurrent publishers: version numbers are allocated via a
+    * create-EXCLUSIVE claim marker (`_CLAIM.v=<n>`), so two simultaneous
+    * publishers that compute the same next version cannot silently
+    * overwrite each other — the loser's exclusive create fails and it
+    * advances to the next free number; both publishes land, pointer
+    * order decides LATEST. Atomic create-no-overwrite holds on local FS
+    * and HDFS; on object stores without it (S3), treat
+    * single-writer-per-root as the contract (the reference's analog is
+    * a single nightly cron, `cron_jobs/run_etl.sh`).
     *
     * @return the published version number (1-based, monotonic)
     */
@@ -248,7 +258,19 @@ object Sinks {
     val spark = df.sparkSession
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val next = currentVersion(spark, root).getOrElse(0L) + 1L
+    fs.mkdirs(rootP)
+    var next = currentVersion(spark, root).getOrElse(0L) + 1L
+    var claimed = false
+    while (!claimed) {
+      val claim = new org.apache.hadoop.fs.Path(rootP, s"_CLAIM.v=$next")
+      try { fs.create(claim, false).close(); claimed = true }
+      catch {
+        case e: java.io.IOException =>
+          // claim taken (by a concurrent publisher or a crashed attempt)
+          // → advance; anything else is a real FS error
+          if (fs.exists(claim)) next += 1 else throw e
+      }
+    }
     df.write.mode("overwrite").parquet(s"$root/v=$next")
     val ptr = new org.apache.hadoop.fs.Path(rootP, "_LATEST")
     val tmp = new org.apache.hadoop.fs.Path(rootP, "_LATEST.tmp")
@@ -260,9 +282,12 @@ object Sinks {
       .getFileContext(rootP.toUri, spark.sparkContext.hadoopConfiguration)
       .rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     // retention: prune fully-published versions older than the newest
-    // `keep` (the pointer target is always within the retained set)
+    // `keep` (the pointer target is always within the retained set);
+    // a pruned version's claim marker goes with it so the root doesn't
+    // accumulate empty claim files
     versionList(fs, rootP).sorted.dropRight(keep).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(rootP, s"v=$v"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(rootP, s"_CLAIM.v=$v"), false)
     }
     next
   }
@@ -329,9 +354,12 @@ object Sinks {
   private def versionList(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Seq[Long] =
     if (!fs.exists(root)) Seq.empty
+    // strictly-numeric suffixes only: a stray `v=tmp` (editor artifact,
+    // aborted copy) must be IGNORED by retention, not crash every
+    // subsequent publish with a NumberFormatException
     else fs.listStatus(root).toSeq
       .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v=") => n.drop(2).toLong }
+      .collect { case n if n.matches("v=\\d+") => n.drop(2).toLong }
 
   /** Read the snapshot `_LATEST` points at. */
   def readLatestSnapshot(spark: SparkSession, root: String): DataFrame = {

@@ -263,10 +263,15 @@ object Xlsx {
     * cells (which [[read]] surfaces back as null — lossless roundtrip).
     */
   def write(df: DataFrame, path: String): Unit = {
-    val rows = df.collect()
-    require(rows.length < 1048576,
-      s"xlsx sheets cap at 1,048,576 rows incl. header (got ${rows.length}" +
+    // cap probe BEFORE the collect: a LocalLimit+count touches at most
+    // cap rows distributed-side, so an oversized frame is refused
+    // without ever materializing on the driver (the guard would be
+    // useless after an OOM-ing collect)
+    val capped = df.limit(1048576).count()
+    require(capped < 1048576,
+      s"xlsx sheets cap at 1,048,576 rows incl. header (got >= $capped" +
         ") — aggregate first or use a parquet sink")
+    val rows = df.collect()
     val isNum = df.schema.fields.map(_.dataType.isInstanceOf[NumericType])
     val names = df.columns
     def cell(ref: String, v: Any, num: Boolean): String = v match {

@@ -167,4 +167,18 @@ class XlsxSpec extends SparkSpec {
     assert(back(1)._2.isPosInfinity)
     assert(back(2)._2 == 2.5)
   }
+
+  test("over-cap frame is refused BEFORE any driver materialization") {
+    // 1,048,576 data rows + header exceeds the sheet cap; the limit+count
+    // probe must refuse it without collecting — collecting a frame this
+    // size of Rows onto the driver is exactly the failure mode the guard
+    // exists to prevent, so the refusal itself is the evidence the probe
+    // ran pre-collect (an OOM/timeout here would be the old behavior)
+    val big = spark.range(1048576L).toDF("x")
+    val e = intercept[IllegalArgumentException] {
+      sources.Xlsx.write(big, s"$dir/overcap.xlsx")
+    }
+    assert(e.getMessage.contains("cap"))
+    assert(!new java.io.File(s"$dir/overcap.xlsx").exists())
+  }
 }
