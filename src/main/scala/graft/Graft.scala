@@ -102,6 +102,12 @@ object Graft {
     def clusters(spark: SparkSession, dir: String): DataFrame =
       run("x14_dedup_clusters", spark, dir)
 
+    /** Keep-best dedup: each [[clusters]] component reduced to its
+      * highest-quality member (x02's score, lowest-id tie-break).
+      */
+    def clusterCanonicals(spark: SparkSession, dir: String): DataFrame =
+      run("x42_cluster_canonical", spark, dir)
+
     /** `dfCap`: opt-in hot-shingle document-frequency cap (skew lever for
       * boilerplate-heavy corpora) — see
       * [[operators.DedupQueries.ngramJaccard]] for the semantics change.
@@ -109,7 +115,27 @@ object Graft {
     def ngramJaccard(spark: SparkSession, dir: String,
         dfCap: Option[Int] = None): DataFrame =
       operators.DedupQueries.ngramJaccard(spark, dir, dfCap)
+
+    /** MinHash+LSH candidate pairs with the opt-in `bandCap` skew lever
+      * (the dfCap twin for the band join — drops (band, signature)
+      * buckets larger than the cap before the quadratic collision join);
+      * see [[operators.DedupQueries.lshCandidates]] for the semantics.
+      */
+    def minhashCandidates(spark: SparkSession, dir: String,
+        bandCap: Option[Int] = None): DataFrame =
+      operators.DedupQueries.minhashCandidates(spark, dir, bandCap)
   }
+
+  /** Connected components over any undirected edge list — contracted
+    * BSP min-label propagation with pointer jumping and early stop; pass
+    * `checkpointDir` on a real cluster for reliable per-round
+    * checkpoints (see [[operators.Components.connectedComponents]]).
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      vertices: DataFrame, idCol: String, maxRounds: Int = 12,
+      checkpointDir: Option[String] = None): DataFrame =
+    operators.Components.connectedComponents(edges, srcCol, dstCol,
+      vertices, idCol, maxRounds, checkpointDir)
 
   /** Similarity search over an `embeddings`-shaped table. Same cache
     * lifecycle note as [[dedup]] (the IVF operators persist the bucket
@@ -124,6 +150,12 @@ object Graft {
       run("x12_ann_ivf_search", spark, dir)
     def nearDup(spark: SparkSession, dir: String): DataFrame =
       run("x11_embed_neardup", spark, dir)
+
+    /** Semantic dedup: [[nearDup]]'s pairs assembled into connected
+      * components — one canonical vector per embedding cluster.
+      */
+    def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
+      run("x41_embed_dedup_clusters", spark, dir)
 
     /** Train + persist the IVF index (centroids + bucket-partitioned
       * assignment) — amortize training across every later search.

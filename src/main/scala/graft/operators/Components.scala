@@ -98,6 +98,9 @@ object Components {
       converged = nextSum == prevSum
       prevSum = nextSum
       labels = next
+      if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+        Console.err.println(s"[cc] round=$round labelSum=$nextSum " +
+          s"converged=$converged")
     }
     // singletons (no edges) never changed: component = own id
     vertices.select(col(idCol))

@@ -281,6 +281,34 @@ cand AS (
     */
   private val CcRounds = 12
 
+  /** x14's full oracle CTE chain — LSH candidates, symmetrized edges,
+    * and the fixed CcRounds unroll of propagate+shortcut (each round CTE
+    * MATERIALIZED: every one is referenced twice, and an inlining engine
+    * would otherwise double the plan per round, 2^CcRounds LSH copies).
+    * Shared with x42 so the cluster spelling cannot drift.
+    */
+  private def duckClusterChain: String = {
+    val rounds = (1 to CcRounds).map { i =>
+      s"""p$i AS MATERIALIZED (
+  SELECT v.doc_id, least(v.label, coalesce(m.nl, v.label)) AS label
+  FROM s${i - 1} v LEFT JOIN (
+    SELECT s.src, min(l.label) AS nl
+    FROM sym s JOIN s${i - 1} l ON s.dst = l.doc_id GROUP BY s.src) m
+  ON v.doc_id = m.src
+),
+s$i AS MATERIALIZED (
+  SELECT p.doc_id, q.label FROM p$i p JOIN p$i q ON p.label = q.doc_id
+)"""
+    }.mkString(",\n")
+    s"""$duckLshCandCtes,
+sym AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL SELECT doc_b, doc_a FROM cand
+),
+s0 AS (SELECT doc_id, doc_id AS label FROM documents),
+$rounds"""
+  }
+
   /** x05's content fingerprint — md5 of the first-5-token prefix over a
     * `w` token-array column — ONE definition per engine, shared with
     * x40 (whose premise is measuring overlap of exactly these
@@ -366,35 +394,56 @@ ORDER BY doc_a, doc_b"""
             org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
           .orderBy("doc_id")
       },
-      Some {
-        // MATERIALIZED mirrors the Spark side's per-round persist: every
-        // round CTE is referenced twice, and an inlining engine would
-        // otherwise double the plan per round (2^CcRounds LSH copies)
-        val rounds = (1 to CcRounds).map { i =>
-          s"""p$i AS MATERIALIZED (
-  SELECT v.doc_id, least(v.label, coalesce(m.nl, v.label)) AS label
-  FROM s${i - 1} v LEFT JOIN (
-    SELECT s.src, min(l.label) AS nl
-    FROM sym s JOIN s${i - 1} l ON s.dst = l.doc_id GROUP BY s.src) m
-  ON v.doc_id = m.src
-),
-s$i AS MATERIALIZED (
-  SELECT p.doc_id, q.label FROM p$i p JOIN p$i q ON p.label = q.doc_id
-)"""
-        }.mkString(",\n")
-        s"""
-WITH $duckLshCandCtes,
-sym AS MATERIALIZED (
-  SELECT doc_a AS src, doc_b AS dst FROM cand
-  UNION ALL SELECT doc_b, doc_a FROM cand
-),
-s0 AS (SELECT doc_id, doc_id AS label FROM documents),
-$rounds
+      Some(s"""
+WITH $duckClusterChain
 SELECT doc_id, label AS cluster_id,
   count(*) OVER (PARTITION BY label) AS cluster_size
-FROM s$CcRounds ORDER BY doc_id"""
-      },
+FROM s$CcRounds ORDER BY doc_id"""),
       "LSH pairs → connected components via min-label + pointer jumping"),
+
+    // ── Keep-best canonical per cluster: the step a dedup pipeline runs
+    // AFTER clustering — for every near-dup component, keep the highest-
+    // quality member (x02's score, identical spelling via
+    // [[TextQueries.qualityScored]]), not the arbitrary min-id. One join
+    // of the cluster labels to per-doc scores + one max(struct)
+    // aggregation per cluster: the struct maximizes (quality_score,
+    // -doc_id), i.e. highest score with lowest-id tie-break — partial
+    // aggregation collapses members map-side, so the exchange carries
+    // one row per cluster.
+    "x42_cluster_canonical" -> QueryDef(
+      (s, d) => {
+        val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val cand = lshCandidates(lshSigs(s, d)).persist(disk)
+        val clusters = Components.connectedComponents(cand, "doc_a",
+            "doc_b", Tables.documents(s, d).select(col("doc_id")),
+            "doc_id", CcRounds)
+          .select(col("doc_id"), col("component").as("cluster_id"))
+        val quality = TextQueries.qualityScored(s, d)
+          .select(col("doc_id"), col("quality_score"))
+        clusters.join(quality, "doc_id")
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_members"),
+            max(struct(col("quality_score"),
+              (-col("doc_id")).as("neg_id"))).as("pick"))
+          .select(col("cluster_id"), col("n_members"),
+            (-col("pick.neg_id")).as("canonical_id"),
+            col("pick.quality_score").as("canonical_quality"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""
+WITH $duckClusterChain,
+${TextQueries.duckQualityCtes},
+ranked AS (
+  SELECT s.label AS cluster_id, s.doc_id, q.quality_score,
+    row_number() OVER (PARTITION BY s.label
+      ORDER BY q.quality_score DESC, s.doc_id) AS rn,
+    count(*) OVER (PARTITION BY s.label) AS n_members
+  FROM s$CcRounds s JOIN q ON s.doc_id = q.doc_id
+)
+SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+  doc_id AS canonical_id, quality_score AS canonical_quality
+FROM ranked WHERE rn = 1 ORDER BY cluster_id"""),
+      "per-cluster argmax-quality canonical (keep-best dedup)"),
 
     // ── SimHash: 32-bit bit-majority fingerprint over md5 token hashes
     "x07_dedup_simhash" -> QueryDef(

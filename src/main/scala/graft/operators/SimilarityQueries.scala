@@ -191,6 +191,30 @@ c$i AS (
       s",\nc AS (SELECT * FROM c$KmeansIters)"
   }
 
+  /** DuckDB `scored`/`assigned` CTEs in lockstep with [[assignedBuckets]]
+    * (shared by x11 and x41 so the bucket-assignment spelling cannot
+    * drift between them).
+    */
+  private def duckAssignedCtes: String = s"""scored AS (
+  SELECT e.vec_id, e.qe, e.qn, c.c_id,
+    CAST(${duckDot("c.c_qe", "e.qe")} AS DOUBLE)
+      / (sqrt(CAST(c.c_qn AS DOUBLE)) * sqrt(CAST(e.qn AS DOUBLE))) AS ccos
+  FROM e CROSS JOIN c
+),
+assigned AS (
+  SELECT vec_id, qe, qn, c_id AS bucket
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY ccos DESC, c_id) AS rn FROM scored)
+  WHERE rn = 1
+)"""
+
+  /** Rounds of the x41 cluster unroll — same bound as x14's CcRounds:
+    * components live inside one IVF bucket, so pointer jumping covers any
+    * in-bucket chain well within 12 rounds; the Spark side early-stops at
+    * the fixpoint and the cap only bounds the oracle's unroll length.
+    */
+  private val EmbCcRounds = 12
+
   /** Corpus → nearest-centroid bucket assignment (the IVF partitioning
     * step): broadcast centroids, map-only scoring, window top-1. Persisted
     * because every consumer (x10 stats, x11 self-join, x12 search) reads
@@ -366,18 +390,7 @@ FROM assigned ORDER BY vec_id"""),
       Some(s"""
 WITH $duckQuantizedCte,
 $duckKmeansCtes,
-scored AS (
-  SELECT e.vec_id, e.qe, e.qn, c.c_id,
-    CAST(${duckDot("c.c_qe", "e.qe")} AS DOUBLE)
-      / (sqrt(CAST(c.c_qn AS DOUBLE)) * sqrt(CAST(e.qn AS DOUBLE))) AS ccos
-  FROM e CROSS JOIN c
-),
-assigned AS (
-  SELECT vec_id, qe, qn, c_id AS bucket
-  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-          ORDER BY ccos DESC, c_id) AS rn FROM scored)
-  WHERE rn = 1
-)
+$duckAssignedCtes
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
   CAST(${duckDot("a.qe", "b.qe")} AS DOUBLE)
     / (sqrt(CAST(a.qn AS DOUBLE)) * sqrt(CAST(b.qn AS DOUBLE))) AS cos
@@ -388,6 +401,78 @@ WHERE CAST(${duckDot("a.qe", "b.qe")} AS DOUBLE)
   >= $NearDupTau
 ORDER BY vec_a, vec_b"""),
       "bucket-local near-dup scan over IVF assignment"),
+
+    // ── SEMANTIC dedup clusters: the x11 embedding near-dup pairs
+    // assembled into connected components — the "keep one canonical doc
+    // per embedding cluster" step of an LLM corpus pipeline. Same
+    // contract as x14: Spark runs the contracted, early-stopped BSP
+    // ([[Components.connectedComponents]]); the oracle unrolls a FIXED
+    // EmbCcRounds over the full vertex set — the two are identical
+    // round-by-round (isolated vectors are inert, post-fixpoint rounds
+    // are identities), so the hash matches at any cap. Components can
+    // never span buckets (a vector has exactly one IVF bucket and pairs
+    // are intra-bucket), which also bounds cluster size by bucket size.
+    "x41_embed_dedup_clusters" -> QueryDef(
+      (s, d) => {
+        val e = quantizedCached(s, d)
+        val assigned = assignedBuckets(e, trainedCentroids(e))
+          .select(col("vec_id"), col("qe"), col("qn"), col("bucket"))
+        val pairs = assigned.as("a").join(assigned.as("b"),
+            col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .filter((expr(s"CAST(${sparkDot("a.qe", "b.qe")} AS DOUBLE)") /
+            (sqrt(col("a.qn").cast("double")) *
+              sqrt(col("b.qn").cast("double")))) >= NearDupTau)
+          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Components.connectedComponents(pairs, "vec_a", "vec_b",
+            Tables.embeddings(s, d).select(col("vec_id")), "vec_id",
+            EmbCcRounds)
+          .select(col("vec_id"), col("component").as("cluster_id"))
+          .withColumn("cluster_size", count(lit(1)).over(
+            Window.partitionBy("cluster_id")))
+          .withColumn("is_canonical", col("vec_id") === col("cluster_id"))
+          .orderBy("vec_id")
+      },
+      Some {
+        // round CTEs are lv-/pr-prefixed: the kmeans CTE chain already
+        // owns s1..sN for its per-iteration sums
+        val rounds = (1 to EmbCcRounds).map { i =>
+          s"""pr$i AS MATERIALIZED (
+  SELECT v.vec_id, least(v.label, coalesce(m.nl, v.label)) AS label
+  FROM lv${i - 1} v LEFT JOIN (
+    SELECT s.src, min(l.label) AS nl
+    FROM sym s JOIN lv${i - 1} l ON s.dst = l.vec_id GROUP BY s.src) m
+  ON v.vec_id = m.src
+),
+lv$i AS MATERIALIZED (
+  SELECT p.vec_id, q.label FROM pr$i p JOIN pr$i q ON p.label = q.vec_id
+)"""
+        }.mkString(",\n")
+        s"""
+WITH $duckQuantizedCte,
+$duckKmeansCtes,
+$duckAssignedCtes,
+cand AS MATERIALIZED (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM assigned a JOIN assigned b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE CAST(${duckDot("a.qe", "b.qe")} AS DOUBLE)
+      / (sqrt(CAST(a.qn AS DOUBLE)) * sqrt(CAST(b.qn AS DOUBLE)))
+    >= $NearDupTau
+),
+sym AS MATERIALIZED (
+  SELECT vec_a AS src, vec_b AS dst FROM cand
+  UNION ALL SELECT vec_b, vec_a FROM cand
+),
+lv0 AS (SELECT vec_id, vec_id AS label FROM embeddings),
+$rounds
+SELECT vec_id, label AS cluster_id,
+  count(*) OVER (PARTITION BY label) AS cluster_size,
+  (vec_id = label) AS is_canonical
+FROM lv$EmbCcRounds ORDER BY vec_id"""
+      },
+      "embedding near-dup pairs → connected components (semantic dedup)"),
 
     // ── IVF top-k search: each probe fans out to its NProbe nearest
     // centroid buckets and scans ONLY those — the recall-for-throughput

@@ -24,6 +24,52 @@ object TextQueries {
   private def inList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("(", ",", ")")
 
+  /** The x02 quality computation (per-doc ratios + blended 0-100 score),
+    * factored so x42's keep-best-per-cluster pick scores with EXACTLY
+    * the x02 spelling — a drifted copy would silently rank clusters by
+    * a different notion of quality. Returns documents plus n_tokens /
+    * stop_ratio / uniq_ratio / mean_token_len / quality_score.
+    */
+  private[operators] def qualityScored(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val en = inList(stopwords.head._2)
+    Tables.documents(s, d)
+      .withColumn("n_tokens", expr("size(split(text, ' '))"))
+      .withColumn("stop_ratio", expr(
+        s"size(filter(split(text, ' '), w -> w IN $en)) / CAST(n_tokens AS DOUBLE)"))
+      .withColumn("uniq_ratio", expr(
+        "size(array_distinct(split(text, ' '))) / CAST(n_tokens AS DOUBLE)"))
+      .withColumn("mean_token_len", expr(
+        "length(replace(text, ' ', '')) / CAST(n_tokens AS DOUBLE)"))
+      .withColumn("quality_score", Money.moneyRound(
+        lit(100d) * (lit(0.4d) * col("stop_ratio") +
+          lit(0.3d) * col("uniq_ratio") +
+          lit(0.3d) * least(col("n_tokens") / 100d, lit(1d)))))
+  }
+
+  /** DuckDB `t`/`q` CTEs in lockstep with [[qualityScored]] (shared by
+    * the x02 and x42 oracles).
+    */
+  private[operators] def duckQualityCtes: String = {
+    val en = inList(stopwords.head._2)
+    s"""t AS (
+  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens,
+    len(list_filter(string_split(text, ' '), w -> w IN $en))
+      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+    len(list_distinct(string_split(text, ' ')))
+      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS uniq_ratio,
+    length(replace(text, ' ', ''))
+      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len
+  FROM documents
+),
+q AS (
+  SELECT *, ${sqlRound(
+      "100 * (0.4*stop_ratio + 0.3*uniq_ratio + 0.3*least(n_tokens/100.0, 1.0))")}
+    AS quality_score
+  FROM t
+)"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
 
     // ── Token counting: whitespace tokens, BPE-ish regex tokens, alpha mass
@@ -49,50 +95,18 @@ object TextQueries {
     // ── Quality scoring: stopword/unique-token ratios, mean token length,
     // blended 0-100 score + keep-flag (the C4/Gopher-style filter shape)
     "x02_text_quality" -> QueryDef(
-      (s, d) => {
-        val en = inList(stopwords.head._2)
-        Tables.documents(s, d)
-          .withColumn("n_tokens", expr("size(split(text, ' '))"))
-          .withColumn("stop_ratio", expr(
-            s"size(filter(split(text, ' '), w -> w IN $en)) / CAST(n_tokens AS DOUBLE)"))
-          .withColumn("uniq_ratio", expr(
-            "size(array_distinct(split(text, ' '))) / CAST(n_tokens AS DOUBLE)"))
-          .withColumn("mean_token_len", expr(
-            "length(replace(text, ' ', '')) / CAST(n_tokens AS DOUBLE)"))
-          .withColumn("quality_score", Money.moneyRound(
-            lit(100d) * (lit(0.4d) * col("stop_ratio") +
-              lit(0.3d) * col("uniq_ratio") +
-              lit(0.3d) * least(col("n_tokens") / 100d, lit(1d)))))
-          .select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"),
-            col("stop_ratio"), col("uniq_ratio"), col("mean_token_len"),
-            col("quality_score"),
-            (col("quality_score") >= 25d).as("keep"))
-          .orderBy("doc_id")
-      },
-      Some {
-        val en = inList(stopwords.head._2)
-        s"""
-WITH t AS (
-  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens,
-    len(list_filter(string_split(text, ' '), w -> w IN $en))
-      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
-    len(list_distinct(string_split(text, ' ')))
-      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS uniq_ratio,
-    length(replace(text, ' ', ''))
-      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len
-  FROM documents
-),
-q AS (
-  SELECT *, ${sqlRound(
-          "100 * (0.4*stop_ratio + 0.3*uniq_ratio + 0.3*least(n_tokens/100.0, 1.0))")}
-    AS quality_score
-  FROM t
-)
+      (s, d) => qualityScored(s, d)
+        .select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"),
+          col("stop_ratio"), col("uniq_ratio"), col("mean_token_len"),
+          col("quality_score"),
+          (col("quality_score") >= 25d).as("keep"))
+        .orderBy("doc_id"),
+      Some(s"""
+WITH $duckQualityCtes
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, stop_ratio,
   uniq_ratio, mean_token_len, quality_score,
   quality_score >= 25 AS keep
-FROM q ORDER BY doc_id"""
-      }),
+FROM q ORDER BY doc_id""")),
 
     // ── Language ID: stopword-hit argmax with fixed tie-break order
     "x03_lang_id" -> QueryDef(

@@ -78,6 +78,11 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
       plan.take(1500))
     assert(!plan.contains("NestedLoopJoin"), plan.take(1500))
+    // the top-1 pick must stay an aggregation (partial agg collapses
+    // the join fan-out map-side); a row_number Window here would
+    // shuffle and sort the full event×order fan-out
+    assert(plan.contains("Aggregate"), plan.take(1500))
+    assert(!plan.contains("Window"), plan.take(1500))
   }
 
   test("x36: token-keyed score join is a hash/SMJ; only the 1-row total " +
