@@ -44,8 +44,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Dev-only focus filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the
     // run to the named queries (the driver never sets it — full sweep).
+    // Unknown names fail fast: a typo must not produce a vacuous
+    // zero-query "green" bench.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // warm-up: every query once at the smallest SF (plans, codegen, JIT,

@@ -43,57 +43,76 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
-  /** @param edges     undirected edge list (each pair listed once is fine)
+  /** @param edges     undirected edge list (each pair listed once is
+    *                  fine). PRECONDITION: endpoints are drawn from
+    *                  `vertices` — an endpoint outside the universe would
+    *                  still propagate its id as a label (the function
+    *                  does not pay a per-run semi-join to police what the
+    *                  callers' candidate-pair generators guarantee by
+    *                  construction).
     * @param srcCol    edge source-vertex column in `edges`
     * @param dstCol    edge destination-vertex column in `edges`
     * @param vertices  full vertex universe (isolated vertices come back
     *                  as singleton components)
-    * @param idCol     vertex-id column in `vertices` (also the output key)
+    * @param idCol     vertex-id column in `vertices` (also the output
+    *                  key; any name except the reserved output column
+    *                  `component`)
     * @param maxRounds propagation-round cap; with pointer jumping the
     *                  fixpoint needs O(log(longest path)) rounds and the
     *                  early stop makes the cap a safety bound, not a cost
     * @param checkpointDir None = eager localCheckpoint (local mode);
-    *                  Some(dir) = reliable checkpoint for cluster runs
+    *                  Some(dir) = reliable checkpoint for cluster runs.
+    *                  NOTE: sets the session's SparkContext checkpoint
+    *                  dir (Spark has no per-job setting) and leaves the
+    *                  per-round checkpoint files behind — the returned
+    *                  frame still reads the last one lazily — so point
+    *                  it at a job-scoped path and delete it after the
+    *                  results are consumed.
     * @return (idCol, component) — component = min vertex id reachable
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       vertices: DataFrame, idCol: String,
       maxRounds: Int,
       checkpointDir: Option[String] = None): DataFrame = {
-    def materialize(df: DataFrame): DataFrame = checkpointDir match {
-      case Some(dir) =>
-        df.sparkSession.sparkContext.setCheckpointDir(dir)
-        df.checkpoint(true)
-      case None => df.localCheckpoint(true)
-    }
+    require(idCol != "component",
+      "idCol must not be named 'component' (the reserved output column)")
+    checkpointDir.foreach(
+      edges.sparkSession.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    // internal working names so arbitrary caller column names (including
+    // "id"/"label") can never collide with the loop's plumbing
+    val id = "__cc_id"
+    val lbl = "__cc_label"
     val sym = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionByName(
         edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
     // contracted vertex set: edge endpoints only (src covers both sides
     // of the symmetrized list)
-    val paired = sym.select(col("src").as("id")).distinct()
-    var labels = materialize(paired.select(col("id"), col("id").as("label")))
+    val paired = sym.select(col("src").as(id)).distinct()
+    var labels = materialize(paired.select(col(id), col(id).as(lbl)))
     def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+      df.agg(coalesce(sum(col(lbl)), lit(0L))).head().getLong(0)
     var prevSum = labelSum(labels)
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
       round += 1
-      val nbrMin = sym.join(labels, col("dst") === col("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nl"))
+      val nbrMin = sym.join(labels, col("dst") === col(id))
+        .groupBy(col("src")).agg(min(col(lbl)).as("nl"))
       val propagated = labels.as("v")
-        .join(nbrMin.as("m"), col("v.id") === col("m.src"), "left")
-        .select(col("v.id").as("id"),
-          least(col("v.label"), coalesce(col("m.nl"), col("v.label")))
-            .as("label"))
+        .join(nbrMin.as("m"), col(s"v.$id") === col("m.src"), "left")
+        .select(col(s"v.$id").as(id),
+          least(col(s"v.$lbl"), coalesce(col("m.nl"), col(s"v.$lbl")))
+            .as(lbl))
       // shortcut: label := label(label). Labels are always ids of
       // contracted vertices (min over component members, all of which
       // have edges), so the inner self-join loses nothing.
       val next = materialize(propagated.as("p")
-        .join(propagated.as("q"), col("p.label") === col("q.id"))
-        .select(col("p.id").as("id"), col("q.label").as("label")))
+        .join(propagated.as("q"), col(s"p.$lbl") === col(s"q.$id"))
+        .select(col(s"p.$id").as(id), col(s"q.$lbl").as(lbl)))
       val nextSum = labelSum(next)
       converged = nextSum == prevSum
       prevSum = nextSum
@@ -104,8 +123,8 @@ object Components {
     }
     // singletons (no edges) never changed: component = own id
     vertices.select(col(idCol))
-      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .join(labels.withColumnRenamed(id, idCol), Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("label"), col(idCol)).as("component"))
+        coalesce(col(lbl), col(idCol)).as("component"))
   }
 }

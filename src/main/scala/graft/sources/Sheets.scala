@@ -37,15 +37,16 @@ object Sheets {
   def payload(df: DataFrame, tab: String): String = {
     val nCols = df.columns.length.toLong
     require(nCols > 0, "sheet payload needs at least one column")
-    // cheap overflow probe FIRST: LocalLimit+count touches at most
-    // maxRows+1 rows distributed-side and ships one scalar, where a
+    // cheap overflow probe FIRST: count() aggregates partial counts
+    // map-side (one scalar per partition crosses the wire), where a
     // take(maxRows + 1) would haul up to the full 10M-cell cap of Row
     // objects onto the driver just to refuse them. Only an under-cap
     // frame is ever collected. (The probe and the collect are separate
-    // jobs; a non-deterministic frame could in principle disagree
-    // between them — the require after take keeps the guard airtight.)
+    // jobs — cache upstream if the plan is expensive; a
+    // non-deterministic frame could in principle disagree between them,
+    // so the require after take keeps the guard airtight.)
     val maxRows = (MaxCells / nCols - 1L).min(Int.MaxValue.toLong).toInt
-    val probed = df.limit(maxRows + 1).count()
+    val probed = df.count()
     require(probed <= maxRows,
       s"sheet payload exceeds the $MaxCells-cell cap at $nCols columns " +
         s"(> $maxRows data rows) — aggregate first or use a parquet sink")

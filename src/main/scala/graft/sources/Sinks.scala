@@ -271,7 +271,17 @@ object Sinks {
           if (fs.exists(claim)) next += 1 else throw e
       }
     }
-    df.write.mode("overwrite").parquet(s"$root/v=$next")
+    // a FAILED write must release its claim (nothing worth protecting
+    // exists yet), or every aborted publish would orphan a marker the
+    // prune loop never touches; a crash that skips this catch is mopped
+    // up by the orphan sweep below on the next successful publish
+    try df.write.mode("overwrite").parquet(s"$root/v=$next")
+    catch {
+      case e: Throwable =>
+        fs.delete(new org.apache.hadoop.fs.Path(rootP, s"_CLAIM.v=$next"),
+          false)
+        throw e
+    }
     val ptr = new org.apache.hadoop.fs.Path(rootP, "_LATEST")
     val tmp = new org.apache.hadoop.fs.Path(rootP, "_LATEST.tmp")
     val out = fs.create(tmp, true)
@@ -281,13 +291,32 @@ object Sinks {
     org.apache.hadoop.fs.FileContext
       .getFileContext(rootP.toUri, spark.sparkContext.hadoopConfiguration)
       .rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    // retention: prune fully-published versions older than the newest
-    // `keep` (the pointer target is always within the retained set);
-    // a pruned version's claim marker goes with it so the root doesn't
-    // accumulate empty claim files
-    versionList(fs, rootP).sorted.dropRight(keep).foreach { v =>
+    // retention: prune versions older than the newest `keep`, but NEVER
+    // the version this call just published or the one _LATEST currently
+    // points at — a slow publisher racing faster ones could otherwise
+    // prune its own just-flipped target (it sorts below the newer
+    // version numbers) and leave the pointer dangling. A pruned
+    // version's claim marker goes with it so the root doesn't
+    // accumulate empty claim files.
+    val pinned = Set(next) ++ currentVersion(spark, root)
+    val versions = versionList(fs, rootP).sorted
+    versions.dropRight(keep).filterNot(pinned).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(rootP, s"v=$v"), true)
       fs.delete(new org.apache.hadoop.fs.Path(rootP, s"_CLAIM.v=$v"), false)
+    }
+    // orphan sweep: a claim below the retention floor whose data
+    // directory never materialized (crash between claim and write) is
+    // unreachable by the prune loop above — remove it here
+    versions.dropRight(keep).headOption.foreach { _ =>
+      val floor = versions.takeRight(keep).headOption.getOrElse(next)
+      fs.listStatus(rootP).toSeq.map(_.getPath.getName)
+        .collect { case n if n.matches("_CLAIM\\.v=\\d+") => n.drop(9).toLong }
+        .filter(v => v < floor && !pinned(v) &&
+          !fs.exists(new org.apache.hadoop.fs.Path(rootP, s"v=$v")))
+        .foreach { v =>
+          fs.delete(new org.apache.hadoop.fs.Path(rootP, s"_CLAIM.v=$v"),
+            false)
+        }
     }
     next
   }

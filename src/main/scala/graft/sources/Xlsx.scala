@@ -263,15 +263,21 @@ object Xlsx {
     * cells (which [[read]] surfaces back as null — lossless roundtrip).
     */
   def write(df: DataFrame, path: String): Unit = {
-    // cap probe BEFORE the collect: a LocalLimit+count touches at most
-    // cap rows distributed-side, so an oversized frame is refused
-    // without ever materializing on the driver (the guard would be
-    // useless after an OOM-ing collect)
-    val capped = df.limit(1048576).count()
-    require(capped < 1048576,
-      s"xlsx sheets cap at 1,048,576 rows incl. header (got >= $capped" +
+    // cap probe BEFORE the collect: count() aggregates partial counts
+    // map-side (one scalar per partition crosses the wire), so an
+    // oversized frame is refused without ever materializing on the
+    // driver — the guard would be useless after an OOM-ing collect.
+    // The probe and collect are separate jobs (cache upstream if the
+    // plan is expensive); the re-check after the collect keeps the
+    // guard airtight if the two runs disagree.
+    val probed = df.count()
+    require(probed < 1048576,
+      s"xlsx sheets cap at 1,048,576 rows incl. header (got $probed" +
         ") — aggregate first or use a parquet sink")
     val rows = df.collect()
+    require(rows.length < 1048576,
+      s"xlsx sheets cap at 1,048,576 rows incl. header (got ${rows.length}" +
+        ") — aggregate first or use a parquet sink")
     val isNum = df.schema.fields.map(_.dataType.isInstanceOf[NumericType])
     val names = df.columns
     def cell(ref: String, v: Any, num: Boolean): String = v match {

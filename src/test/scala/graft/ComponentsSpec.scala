@@ -50,4 +50,49 @@ class ComponentsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(3L -> 3L, 4L -> 4L))
   }
+
+  test("caller column names never collide with the loop's plumbing") {
+    // "label"/"id" are the names most likely to clash with an internal
+    // working column — they must pass through untouched
+    val edges = Seq((1L, 2L)).toDF("label", "id")
+    val verts = Seq(1L, 2L, 3L).toDF("label")
+    val out = Components
+      .connectedComponents(edges, "label", "id", verts, "label", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    // the one reserved name is the output column itself
+    val e = intercept[IllegalArgumentException] {
+      Components.connectedComponents(edges, "label", "id",
+        verts.toDF("component"), "component", 4)
+    }
+    assert(e.getMessage.contains("component"))
+  }
+
+  test("random graphs match a reference union-find (seeded)") {
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 20 + rng.nextInt(30)
+      val nEdges = rng.nextInt(2 * n)
+      val es = Seq.fill(nEdges)(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: textbook union-find with min-root components
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val edges = (if (es.isEmpty) Seq((0L, 0L)).take(0) else es)
+        .toDF("src", "dst")
+      val verts = (0L until n.toLong).toDF("id")
+      val out = Components
+        .connectedComponents(edges, "src", "dst", verts, "id",
+          maxRounds = 12)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == expected, s"trial $trial (n=$n, edges=${es.size})")
+    }
+  }
 }

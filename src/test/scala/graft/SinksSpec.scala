@@ -231,6 +231,62 @@ class SinksSpec extends SparkSpec {
     assert(Sinks.readLatestSnapshot(spark, root).count() == 1)
   }
 
+  test("S14 retention never prunes the version it just published") {
+    import spark.implicits._
+    val root = tmp("snappin") + "/t"
+    // five publishes at keep=2 prune v1-v3 (and release their claims)
+    (1 to 5).foreach { i =>
+      Sinks.writeSnapshot(Seq(i.toLong).toDF("x"), root, keep = 2)
+    }
+    // regress the pointer so the NEXT publish allocates a low version
+    // number that sorts below the retained v4/v5 — the shape a slow
+    // publisher racing faster ones produces
+    val ptr = java.nio.file.Paths.get(root, "_LATEST")
+    java.nio.file.Files.write(ptr, "0".getBytes("UTF-8"))
+    // writing around the Hadoop FS leaves a stale .crc sidecar behind —
+    // drop it so the next read doesn't fail checksum verification
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(root, "._LATEST.crc"))
+    val v = Sinks.writeSnapshot(Seq(42L).toDF("x"), root, keep = 2)
+    assert(v < 4L, s"expected a low reallocated version, got $v")
+    // the just-published (and pointer-targeted) version must survive its
+    // own retention pass even though it sorts below the newest `keep`
+    assert(Sinks.currentVersion(spark, root).contains(v))
+    assert(Sinks.readLatestSnapshot(spark, root)
+      .as[Long].collect().toSeq == Seq(42L))
+  }
+
+  test("S14 crashed-claim orphans are swept once retention runs") {
+    import spark.implicits._
+    val root = tmp("snaporphan") + "/t"
+    new java.io.File(root).mkdirs()
+    // a crash between claim and write leaves a claim with no data dir
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_CLAIM.v=1"), Array.empty[Byte])
+    // publishes skip the claimed number, then retention's orphan sweep
+    // (active once versions fall below the floor) removes the marker
+    (1 to 4).foreach { i =>
+      Sinks.writeSnapshot(Seq(i.toLong).toDF("x"), root, keep = 2)
+    }
+    val names = new java.io.File(root).listFiles().map(_.getName).toSet
+    assert(!names.contains("_CLAIM.v=1"), names.mkString(", "))
+    assert(!names.contains("v=1")) // the number was never reused for data
+  }
+
+  test("S14 a failed write releases its claim for the retry") {
+    import spark.implicits._
+    val root = tmp("snapfail") + "/t"
+    Sinks.writeSnapshot(Seq(1L).toDF("x"), root, keep = 3)
+    val boom = Seq(1L).toDF("x")
+      .select(org.apache.spark.sql.functions.expr(
+        "raise_error('simulated write failure')").as("x"))
+    intercept[Exception] { Sinks.writeSnapshot(boom, root, keep = 3) }
+    // the aborted publish must not leave its claim behind: the retry
+    // reuses the same version number instead of skipping forward
+    val v = Sinks.writeSnapshot(Seq(2L).toDF("x"), root, keep = 3)
+    assert(v == 2L)
+  }
+
   test("streaming count snapshots: incremental merge, versioned publish") {
     import spark.implicits._
     import org.apache.spark.sql.types._
