@@ -85,6 +85,15 @@ object Components {
     // "id"/"label") can never collide with the loop's plumbing
     val id = "__cc_id"
     val lbl = "__cc_label"
+    // the symmetrized edge list feeds every round's propagate join as a
+    // cheap projection over the caller's (persisted) candidate pairs.
+    // Deliberately NOT pre-shuffled onto the join key: the label table
+    // is far smaller than the edges at every round, so AQE plans each
+    // propagate as a broadcast join of the labels — the edge side never
+    // exchanges at all, and a repartition+persist of the edges is pure
+    // added cost (measured +40% on x41 at sf0.1). Were the per-round
+    // label table ever too big to broadcast, pre-partitioning the edges
+    // once (GraphX-style) becomes the right trade.
     val sym = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionByName(
