@@ -220,6 +220,14 @@ object Graft {
     /** Per-source token-budget mixture cut in seeded-hash order. */
     def tokenBudgetMix(spark: SparkSession, dir: String): DataFrame =
       run("x37_token_budget_mix", spark, dir)
+    /** Near-dup pairs crossing the train/validation boundary — the
+      * held-out set is only held out if this is empty.
+      */
+    def splitLeakage(spark: SparkSession, dir: String): DataFrame =
+      run("x43_split_leakage", spark, dir)
+    /** k deterministic hash-derived negatives per document (no RNG). */
+    def negativeSamples(spark: SparkSession, dir: String): DataFrame =
+      run("x44_negative_samples", spark, dir)
   }
 
   /** Multimodal binary-column plumbing (stubbed codecs, real plumbing). */

@@ -445,6 +445,42 @@ SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
 FROM ranked WHERE rn = 1 ORDER BY cluster_id"""),
       "per-cluster argmax-quality canonical (keep-best dedup)"),
 
+    // ── Split-leakage audit: near-dup pairs that CROSS the x16
+    // train/validation boundary — the held-out set is only held out if
+    // no near-duplicate of a training doc sits in it. Composes the LSH
+    // candidate join with the split tag ([[TextQueries.sparkSplitCase]],
+    // the exact x16 spelling): two hash joins on doc id over the pair
+    // list, so the audit costs what the dedup already paid plus two
+    // broadcast-sized probes. Empty result = clean split.
+    "x43_split_leakage" -> QueryDef(
+      (s, d) => {
+        val cand = lshCandidates(lshSigs(s, d))
+        val splits = Tables.documents(s, d)
+          .select(col("doc_id"),
+            expr(TextQueries.sparkSplitCase).as("split"))
+        cand
+          .join(splits.select(col("doc_id").as("doc_a"),
+            col("split").as("split_a")), "doc_a")
+          .join(splits.select(col("doc_id").as("doc_b"),
+            col("split").as("split_b")), "doc_b")
+          .filter(col("split_a") =!= col("split_b"))
+          .select(col("doc_a"), col("doc_b"),
+            col("split_a"), col("split_b"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""
+WITH $duckLshCandCtes,
+sp AS (
+  SELECT doc_id, ${TextQueries.duckSplitCase} AS split FROM documents
+)
+SELECT doc_a, doc_b, a.split AS split_a, b.split AS split_b
+FROM cand
+JOIN sp a ON doc_a = a.doc_id
+JOIN sp b ON doc_b = b.doc_id
+WHERE a.split <> b.split
+ORDER BY doc_a, doc_b"""),
+      "near-dup pairs crossing the train/validation split (leakage audit)"),
+
     // ── SimHash: 32-bit bit-majority fingerprint over md5 token hashes
     "x07_dedup_simhash" -> QueryDef(
       (s, d) => simhashes(s, d)

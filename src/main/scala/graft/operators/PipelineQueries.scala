@@ -129,6 +129,49 @@ SELECT lang, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
 FROM packed GROUP BY 1, 2 ORDER BY lang, bin_id"""),
       "greedy sequence packing: per-shard prefix sum div token budget"),
 
+    // ── Negative sampling for contrastive/embedding training: k = 3
+    // deterministic pseudo-random negatives per document, derived from
+    // md5(doc_id | i) mod (max_id + 1) — no RNG, so the sample is stable
+    // under re-runs and partitioning and the oracle replays it exactly.
+    // Shape: map-only candidate generation (the 1-row max broadcasts,
+    // the x36 grand-total pattern) + one semi-join to keep candidates
+    // that exist; on a sparse id space misses drop samples ("up to k"
+    // semantics — the dense-rank variant that guarantees exactly k pays
+    // a global row_number and is the wrong default at 100 TB).
+    "x44_negative_samples" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"))
+        val mx = docs.agg(max(col("doc_id")).as("max_id"))
+        docs.crossJoin(broadcast(mx))
+          .withColumn("i", explode(expr("sequence(1, 3)")))
+          .withColumn("neg_id", expr(
+            "pmod(CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), " +
+              "'|', CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT), " +
+              "max_id + 1)"))
+          .filter(col("neg_id") =!= col("doc_id"))
+          .join(docs.select(col("doc_id").as("neg_id")),
+            Seq("neg_id"), "left_semi")
+          .select(col("doc_id"), col("i").cast("bigint").as("sample_idx"),
+            col("neg_id"))
+          .orderBy("doc_id", "sample_idx")
+      },
+      Some("""
+WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
+neg AS (
+  SELECT d.doc_id, i AS sample_idx,
+    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|'
+        || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+      % (mx.max_id + 1) AS neg_id
+  FROM documents d CROSS JOIN mx
+  CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS i)
+)
+SELECT doc_id, CAST(sample_idx AS BIGINT) AS sample_idx, neg_id
+FROM neg
+WHERE neg_id <> doc_id
+  AND neg_id IN (SELECT doc_id FROM documents)
+ORDER BY doc_id, sample_idx"""),
+      "deterministic hash-derived negative sampling (no RNG)"),
+
     // ── Repetition filter: fraction of duplicate word-3-grams per doc
     // (high ⇒ boilerplate/spam) — pure map stage over codegen'd array
     // expressions; `element_at` is 1-based like the oracle's list index.

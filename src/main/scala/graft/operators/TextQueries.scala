@@ -70,6 +70,19 @@ q AS (
 )"""
   }
 
+  /** x16's deterministic md5-bucket split, factored per engine so the
+    * x43 leakage audit tags documents with EXACTLY the split the holdout
+    * query assigns (a drifted copy would audit a different split).
+    * Bucket = first 15 md5 nibbles of the doc id mod 10; 0 ⇒ validation.
+    */
+  private[operators] val sparkSplitCase: String =
+    """CASE WHEN pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15),
+       16, 10) AS BIGINT), 10) = 0 THEN 'validation' ELSE 'train' END"""
+  private[operators] val duckSplitCase: String =
+    """CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         AS BIGINT) % 10 = 0
+       THEN 'validation' ELSE 'train' END"""
+
   def defs: Map[String, QueryDef] = Map(
 
     // ── Token counting: whitespace tokens, BPE-ish regex tokens, alpha mass
@@ -267,17 +280,11 @@ GROUP BY 1, 2 ORDER BY lang, decile"""),
     // the doc id mod 10; bucket 0 ⇒ validation (~10%).
     "x16_split_holdout" -> QueryDef(
       (s, d) => Tables.documents(s, d)
-        .withColumn("bucket",
-          expr("pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT), 10)"))
         .select(col("doc_id"), col("lang"),
-          when(col("bucket") === 0, "validation").otherwise("train")
-            .as("split"))
+          expr(sparkSplitCase).as("split"))
         .orderBy("doc_id"),
-      Some("""
-SELECT doc_id, lang,
-  CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-         AS BIGINT) % 10 = 0
-       THEN 'validation' ELSE 'train' END AS split
+      Some(s"""
+SELECT doc_id, lang, $duckSplitCase AS split
 FROM documents ORDER BY doc_id"""),
       "md5-bucket train/validation split: deterministic, map-only"),
 
