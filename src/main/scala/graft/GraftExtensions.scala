@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotLong, KmvSketch, MinHashSigs, SimHashBits}
+import graft.functions.{DotLong, KmvSketch, MinHashSigs, Shingles3, SimHashBits}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -33,6 +33,9 @@ object GraftExtensions {
     (FunctionIdentifier("simhash_bits"),
       new ExpressionInfo(classOf[SimHashBits].getName, "simhash_bits"),
       (args: Seq[Expression]) => SimHashBits(args(0))),
+    (FunctionIdentifier("shingles3"),
+      new ExpressionInfo(classOf[Shingles3].getName, "shingles3"),
+      (args: Seq[Expression]) => Shingles3(args(0))),
     (FunctionIdentifier("kmv_sketch"),
       new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),
       (args: Seq[Expression]) => args(1) match {

@@ -24,8 +24,13 @@ object DedupQueries {
     * (<3 words) fall back to the whole text as a single shingle — Spark's
     * `sequence(1, 0)` counts DOWN while DuckDB's `generate_series(1, 0)`
     * is empty, so the guard also pins that divergence.
+    *
+    * The HOF spelling is retained as the REFERENCE semantics that the
+    * native one-pass `shingles3` (graft.functions.Shingles3, used by
+    * every shingling operator) must match bit-exactly — Shingles3Spec
+    * asserts it; the oracle uses the DuckDB twin.
     */
-  private val sparkShingles =
+  private[graft] val sparkShingles =
     """CASE WHEN size(w) < 3 THEN array(text)
        ELSE array_distinct(transform(sequence(1, size(w) - 2),
          i -> concat(element_at(w, i), ' ', element_at(w, i + 1), ' ',
@@ -54,9 +59,9 @@ object DedupQueries {
     */
   def containmentPairs(docs0: org.apache.spark.sql.DataFrame,
       tau: Double): org.apache.spark.sql.DataFrame = {
+    graft.GraftExtensions.install(docs0.sparkSession)
     val docs = docs0
-      .withColumn("w", expr("split(text, ' ')"))
-      .withColumn("sh", expr(sparkShingles))
+      .withColumn("sh", expr("shingles3(text)"))
       .select(col("doc_id"), col("lang"), col("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
@@ -143,9 +148,9 @@ sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t)"""
     // persisted: four plan branches read this (posting a/b, sizes a/b)
     // and shingling is the expensive part — cache-once beats 4×
     // recompute at any scale (MEMORY_AND_DISK spills, never OOMs)
+    graft.GraftExtensions.install(s)
     val docs = Tables.documentsSpread(s, d)
-      .withColumn("w", expr("split(text, ' ')"))
-      .withColumn("sh", expr(sparkShingles))
+      .withColumn("sh", expr("shingles3(text)"))
       .select(col("doc_id"), col("lang"),
         expr("n_chars div 200").as("bkt"), col("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -188,8 +193,7 @@ sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t)"""
       d: String): org.apache.spark.sql.DataFrame = {
     graft.GraftExtensions.install(s)
     Tables.documentsSpread(s, d)
-      .withColumn("w", expr("split(text, ' ')"))
-      .withColumn("sh", expr(sparkShingles))
+      .withColumn("sh", expr("shingles3(text)"))
       .withColumn("sigs", expr(s"minhash_sigs(sh, $K)"))
       .select(col("doc_id") +:
         (0 until K).map(i => col("sigs").getItem(i).as(s"sig$i")): _*)

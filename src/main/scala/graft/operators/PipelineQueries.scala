@@ -172,6 +172,75 @@ WHERE neg_id <> doc_id
 ORDER BY doc_id, sample_idx"""),
       "deterministic hash-derived negative sampling (no RNG)"),
 
+    // ── Per-source quality drift: L1 distance between each source's
+    // quality-decile histogram and the corpus-wide one — the audit that
+    // catches a crawl source going bad (spam flood, parser regression)
+    // before it trains. All-integer until the last step: the distance
+    // numerator Σ|cnt_i·n_all − gcnt_i·n_src| is exact integer algebra
+    // (DECIMAL(38,0) on Spark, HUGEINT on DuckDB — the e11 pattern), and
+    // the only float work is one shared-spelling division chain at the
+    // end, so the oracle is bit-exact. Shape: two aggregations over the
+    // same (source, bucket) key space + broadcast-sized grid joins
+    // (sources × 10 buckets); the corpus is scanned once.
+    "x45_quality_drift" -> QueryDef(
+      (s, d) => {
+        val scored = TextQueries.qualityScored(s, d)
+          .select(col("source"), expr(
+            "least(CAST(floor(quality_score / 10) AS BIGINT), " +
+              "CAST(9 AS BIGINT))").as("bkt"))
+        val perSrc = scored.groupBy(col("source"), col("bkt"))
+          .agg(count(lit(1)).as("cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val srcTot = perSrc.groupBy(col("source"))
+          .agg(sum(col("cnt")).as("n_src"))
+        val glob = perSrc.groupBy(col("bkt"))
+          .agg(sum(col("cnt")).as("gcnt"))
+        val nAll = glob.agg(sum(col("gcnt")).as("n_all"))
+        srcTot.crossJoin(broadcast(glob))
+          .join(perSrc, Seq("source", "bkt"), "left")
+          .na.fill(0L, Seq("cnt"))
+          .crossJoin(broadcast(nAll))
+          .withColumn("term", abs(
+            col("cnt").cast("decimal(38,0)") * col("n_all") -
+              col("gcnt").cast("decimal(38,0)") * col("n_src")))
+          .groupBy(col("source"), col("n_src"), col("n_all"))
+          .agg(sum(col("term")).as("num"))
+          .select(col("source"), col("n_src").as("n_docs"),
+            (col("num").cast("double") /
+              (col("n_src").cast("double") * col("n_all").cast("double")))
+              .as("drift"))
+          .orderBy("source")
+      },
+      Some(s"""
+WITH ${TextQueries.duckQualityCtes},
+scored AS (
+  SELECT source, CAST(least(floor(quality_score / 10), 9) AS BIGINT)
+    AS bkt
+  FROM q
+),
+ps AS (SELECT source, bkt, count(*) AS cnt FROM scored GROUP BY 1, 2),
+st AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_src
+       FROM ps GROUP BY 1),
+gl AS (SELECT bkt, CAST(sum(cnt) AS BIGINT) AS gcnt FROM ps GROUP BY 1),
+na AS (SELECT CAST(sum(gcnt) AS BIGINT) AS n_all FROM gl),
+grid AS (
+  SELECT st.source, st.n_src, gl.bkt, gl.gcnt,
+    coalesce(ps.cnt, 0) AS cnt
+  FROM st CROSS JOIN gl
+  LEFT JOIN ps ON ps.source = st.source AND ps.bkt = gl.bkt
+),
+agg AS (
+  SELECT source, n_src, n_all,
+    sum(abs(CAST(cnt AS HUGEINT) * n_all
+          - CAST(gcnt AS HUGEINT) * n_src)) AS num
+  FROM grid CROSS JOIN na GROUP BY 1, 2, 3
+)
+SELECT source, n_src AS n_docs,
+  CAST(num AS DOUBLE)
+    / (CAST(n_src AS DOUBLE) * CAST(n_all AS DOUBLE)) AS drift
+FROM agg ORDER BY source"""),
+      "per-source quality-decile drift vs corpus (exact integer L1)"),
+
     // ── Repetition filter: fraction of duplicate word-3-grams per doc
     // (high ⇒ boilerplate/spam) — pure map stage over codegen'd array
     // expressions; `element_at` is 1-based like the oracle's list index.

@@ -53,7 +53,8 @@ object TextQueries {
   private[operators] def duckQualityCtes: String = {
     val en = inList(stopwords.head._2)
     s"""t AS (
-  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tokens,
+  SELECT doc_id, lang, source, text,
+    len(string_split(text, ' ')) AS n_tokens,
     len(list_filter(string_split(text, ' '), w -> w IN $en))
       / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
     len(list_distinct(string_split(text, ' ')))
