@@ -18,6 +18,7 @@ object SparkEntry {
       operators.EventQueries.defs ++
       operators.ReportingQueries.defs ++
       operators.PipelineQueries.defs ++
+      operators.GraphQueries.defs ++
       operators.MultimodalQueries.defs ++
       streaming.StreamingQueries.defs
 

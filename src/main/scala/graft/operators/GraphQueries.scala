@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Link-analysis operators over graphs derived from the relational
+  * tables — the crawl-seed / item-importance scoring tier of a
+  * training-data pipeline (rank sources before you spend crawl or
+  * annotation budget on them). The reference has no graph operators;
+  * this extends its analytics surface the way its co-occurrence
+  * reports (`analysis_queries.sql`-style rollups) extend plain counts.
+  *
+  * Everything is fixed-point integer arithmetic so the DuckDB oracle
+  * hash-matches bit-for-bit: ranks are scaled to 1e12 ("rank_fp"),
+  * every division is a positive-operand floor division with the SAME
+  * association order in both SQL texts, and the iteration count is a
+  * fixed constant unrolled in the oracle — per-round states are
+  * identical engine-to-engine, so any cap works (the x14/x41 argument).
+  *
+  * Scale shape: the co-purchase self-join fans out per order as
+  * (items-per-order)², which is bounded (~7 line items), so the edge
+  * build is linear in lineitem; the edge list is built ONCE, persisted,
+  * and re-scanned by each PageRank round, while the rank table (one row
+  * per node) is the small side AQE broadcasts — the same layout the
+  * Components loop uses (Components.scala's measured trade).
+  */
+object GraphQueries {
+
+  /** PageRank iterations — fixed and unrolled in the oracle. sf0.1's
+    * co-purchase graph is well-mixed (every node has out-edges, graph
+    * is symmetric and dense: 2.4M edges over 20k parts, 99.7% weight-1),
+    * so the ranking stabilizes within 3 damped rounds; the oracle
+    * identity holds at ANY constant — each extra round costs one full
+    * edge-table scan, so the constant is the price knob, not a
+    * correctness one.
+    */
+  private val PrRounds = 3
+
+  /** Fixed-point scale for ranks: 1e12 per unit of probability mass. */
+  private val PrScale = 1000000000000L
+
+  /** Co-purchase PageRank over parts: edge (a, b) with weight = number
+    * of orders whose line items contain both parts; 5 damped rounds
+    * (d = 0.85 spelled as integer 85/15 over 100); top 100 parts.
+    *
+    * The per-edge contribution floor-divides BEFORE summing —
+    * `(rank * w) div wout` per edge, then sum — so both engines
+    * aggregate exactly the same integers regardless of their float
+    * libms or sum orders.
+    */
+  def partPagerank(s: SparkSession, d: String): DataFrame = {
+    // Pair expansion via ONE shuffle: group line items by order
+    // (collect_set = the oracle's SELECT DISTINCT), then explode the
+    // per-order part set against itself map-side. Relationally identical
+    // to distinct + self-join on l_orderkey but pays one 600k-row
+    // shuffle instead of three (distinct, join-left, join-right).
+    // Fan-out is (items-per-order)² — bounded by order size (~7 here);
+    // a pathological million-item "order" would need a pre-cap upstream.
+    val pairs = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(collect_set(col("pk")).as("pks"))
+      .select(explode(col("pks")).as("src"), col("pks"))
+      .select(col("src"), explode(col("pks")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val edges = pairs
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // wout reads the edge CACHE (groupBy → ~|nodes| rows, AQE broadcasts
+    // it back); the joined transition table is persisted too so every
+    // PageRank round scans IT directly instead of re-paying the
+    // wout aggregation+join — persist-once beats PrRounds rebuilds
+    val ew = edges
+      .join(edges.groupBy("src").agg(sum(col("w")).as("wout")), Seq("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = ew.select(col("src").as("node")).distinct()
+    val base = s"(CAST($PrScale AS BIGINT) div n)"
+    var rank = nodes
+      .crossJoin(broadcast(nodes.agg(count(lit(1)).as("n"))))
+      .select(col("node"), expr(s"$base").as("rank"), col("n"))
+    for (_ <- 1 to PrRounds) {
+      rank = ew
+        .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          expr("(rank * w) div wout").as("c"), col("n"))
+        .groupBy("node", "n").agg(sum(col("c")).as("contrib"))
+        .select(col("node"),
+          expr(s"($base * 15) div 100 + (85 * contrib) div 100")
+            .as("rank"),
+          col("n"))
+    }
+    rank.select(col("node").as("p_partkey"), col("rank").as("rank_fp"))
+      .orderBy(col("rank_fp").desc, col("p_partkey"))
+      .limit(100)
+  }
+
+  /** The DuckDB twin: same graph, same integer spelling, PrRounds
+    * unrolled as chained CTEs. DuckDB's `//` is floor division and all
+    * operands are positive, matching Spark's `div`; every aggregate is
+    * re-CAST to BIGINT because DuckDB widens sums to HUGEINT.
+    */
+  private def pagerankOracle: String = {
+    val base = s"(CAST($PrScale AS BIGINT) // n)"
+    def round(cur: String, prev: String) = s"""
+$cur AS (
+  SELECT ew.dst AS node,
+    $base * 15 // 100
+      + (85 * CAST(sum((r.rank * ew.w) // ew.wout) AS BIGINT)) // 100
+      AS rank,
+    r.n AS n
+  FROM ew JOIN $prev r ON ew.src = r.node
+  GROUP BY ew.dst, r.n
+)"""
+    val rounds = (1 to PrRounds)
+      .map(i => round(s"r$i", s"r${i - 1}")).mkString(",")
+    s"""
+WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem),
+e AS (
+  SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS BIGINT) AS w
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+  GROUP BY 1, 2
+),
+ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM e GROUP BY 1),
+ew AS (SELECT e.src, e.dst, e.w, ow.wout FROM e JOIN ow USING (src)),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n
+       FROM (SELECT DISTINCT src FROM ew)),
+r0 AS (
+  SELECT src AS node, $base AS rank, n
+  FROM (SELECT DISTINCT src FROM ew) CROSS JOIN nn
+),$rounds
+SELECT node AS p_partkey, rank AS rank_fp
+FROM r$PrRounds
+ORDER BY rank_fp DESC, p_partkey
+LIMIT 100"""
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+    "x46_part_pagerank" -> QueryDef(
+      partPagerank,
+      Some(pagerankOracle),
+      "co-purchase graph + integer fixed-point PageRank, top 100 parts")
+  )
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the co-purchase PageRank (x46) that the DuckDB oracle
+  * can't see: damped-rank bounds, symmetry of the derived graph, and
+  * plan-level determinism across executions.
+  */
+class GraphQueriesSpec extends SparkSpec {
+
+  test("x46 ranks are positive, bounded, and sorted desc with tiebreak") {
+    val out = operators.GraphQueries.partPagerank(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 100)
+    out.foreach { r =>
+      val rank = r.getLong(1)
+      // each round mixes 15% of the uniform base back in, so a rank is
+      // strictly positive; total mass can't exceed the 1e12 scale (floor
+      // divisions only ever lose mass), so no single rank exceeds it
+      assert(rank > 0L && rank <= 1000000000000L)
+    }
+    val sorted = out.map(r => (-r.getLong(1), r.getLong(0))).toSeq
+    assert(sorted == sorted.sorted,
+      "rows must arrive ordered by rank desc, part asc")
+  }
+
+  test("x46 is deterministic across executions") {
+    val a = operators.GraphQueries.partPagerank(spark, sf).collect().toSeq
+    val b = operators.GraphQueries.partPagerank(spark, sf).collect().toSeq
+    assert(a == b)
+  }
+
+  test("the co-purchase graph is symmetric: mass flows both ways") {
+    // the edge relation is built from unordered co-occurrence, so for
+    // every (a, b) there is a (b, a) with the same weight — the property
+    // that guarantees no dangling nodes and keeps PageRank well-defined
+    // without a dangling-mass correction term
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(collect_set(col("pk")).as("pks"))
+      .select(explode(col("pks")).as("src"), col("pks"))
+      .select(col("src"), explode(col("pks")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val asym = li.as("f").join(li.as("r"),
+        col("f.src") === col("r.dst") && col("f.dst") === col("r.src"),
+        "left")
+      .filter(col("r.w").isNull || col("f.w") =!= col("r.w"))
+      .count()
+    assert(asym == 0L)
+  }
+}
