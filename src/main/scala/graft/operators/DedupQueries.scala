@@ -51,6 +51,42 @@ object DedupQueries {
 
   private val K = 6 // minhash signature length; 6 bands of 1 row for LSH
 
+  /** LSH band keys `(doc_id, band, sigval)` from any `(doc_id, text)`
+    * frame — per-row expressions only (shingle → minhash → posexplode),
+    * so the SAME column works over a batch scan or a file STREAM
+    * (st10 deduplicates at ingest with it). Caller must have installed
+    * [[graft.GraftExtensions]] on the session.
+    */
+  private[graft] def bandKeys(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("sh", expr("shingles3(text)"))
+      .withColumn("sigs", expr(s"minhash_sigs(sh, $K)"))
+      .select(col("doc_id"), posexplode(col("sigs")).as(Seq("band", "sigval")))
+
+  /** DuckDB twin of [[bandKeys]] as a `docs → shingled → sigs → bands`
+    * CTE chain (bands has columns doc_id, band, sigval).
+    */
+  private[graft] def duckBandKeysCtes: String = {
+    val sigSelect = (0 until K)
+      .map(i => s"${duckMinhash(i)} AS sig$i").mkString(",\n    ")
+    val bandUnion = (0 until K)
+      .map(i => s"SELECT doc_id, $i AS band, sig$i AS sigval FROM sigs")
+      .mkString("\n  UNION ALL ")
+    s"""docs AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+),
+shingled AS (
+  SELECT doc_id, $duckShingles AS sh FROM docs
+),
+sigs AS (
+  SELECT doc_id, $sigSelect FROM shingled
+),
+bands AS (
+  $bandUnion
+)"""
+  }
+
   /** Containment pairs over any (doc_id, lang, text) frame: inverted
     * 3-gram-shingle index, |A∩B| / min(|A|,|B|) ≥ tau, smaller-id
     * first. Factored out so ContainmentSpec can drive it on
@@ -250,23 +286,7 @@ sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t)"""
     * with [[lshSigs]]/[[lshCandidates]].
     */
   private val duckLshCandCtes: String = {
-    val sigSelect = (0 until K)
-      .map(i => s"${duckMinhash(i)} AS sig$i").mkString(",\n    ")
-    val bandUnion = (0 until K)
-      .map(i => s"SELECT doc_id, $i AS band, sig$i AS sigval FROM sigs")
-      .mkString("\n  UNION ALL ")
-    s"""docs AS (
-  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
-),
-shingled AS (
-  SELECT doc_id, $duckShingles AS sh FROM docs
-),
-sigs AS (
-  SELECT doc_id, $sigSelect FROM shingled
-),
-bands AS (
-  $bandUnion
-),
+    s"""$duckBandKeysCtes,
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b

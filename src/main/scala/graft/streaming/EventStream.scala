@@ -27,6 +27,23 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** The `documents` table as a file stream — the ingest shape of a
+    * corpus pipeline (documents arrive continuously; dedup/scoring run
+    * at ingest instead of as nightly batch rebuilds).
+    */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The file stream source wants a directory; testdata ships one file per

@@ -275,5 +275,36 @@ FROM sessions, wm
 WHERE epoch_us(session_end) < max_us - 3600000000 - 1800000000 - 1000000
 ORDER BY user_id, session_start"""),
       "flatMapGroupsWithState + EventTimeTimeout session assembly; " +
-        "watermark-closed region == batch gap-sessionization"))
+        "watermark-closed region == batch gap-sessionization"),
+
+    // ── Streaming LSH index build (near-dup discovery at ingest):
+    // documents stream through the SAME native shingle→minhash band-key
+    // expressions the batch dedup family uses (shingles3/minhash_sigs —
+    // per-row, so they lift to a stream unchanged), then a stateful
+    // aggregate maintains each LSH bucket's population; buckets holding
+    // ≥2 docs are the near-dup candidate groups, surfaced with their
+    // min-doc representative. count/min are arrival-order-free, so the
+    // drained complete-mode state equals the batch LSH bucket build —
+    // the streaming twin of x06's candidate generation, with state
+    // bounded by |buckets|, not |docs|².
+    "st10_stream_lsh_buckets" -> QueryDef(
+      (s, d) => {
+        graft.GraftExtensions.install(s)
+        val bands = graft.operators.DedupQueries
+          .bandKeys(EventStream.readDocuments(s, d))
+        val buckets = bands
+          .groupBy(col("band"), col("sigval"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_id"))
+          .filter(col("n_docs") >= 2)
+        EventStream.runToMemory(s, buckets,
+            s"st10_sink_${System.nanoTime}")
+          .orderBy("band", "sigval")
+      },
+      Some(s"""
+WITH ${graft.operators.DedupQueries.duckBandKeysCtes}
+SELECT band, sigval, CAST(count(*) AS BIGINT) AS n_docs,
+  min(doc_id) AS rep_id
+FROM bands GROUP BY 1, 2 HAVING count(*) >= 2
+ORDER BY band, sigval"""),
+      "streaming LSH bucket state (dedup-at-ingest) == batch band build"))
 }
