@@ -51,6 +51,11 @@ object DedupQueries {
 
   private val K = 6 // minhash signature length; 6 bands of 1 row for LSH
 
+  /** Exact-Jaccard threshold defining "true near-dup" in the x47 LSH
+    * recall audit (x08's pair set filtered here plays ground truth).
+    */
+  private val NearDupJaccard = 0.5
+
   /** LSH band keys `(doc_id, band, sigval)` from any `(doc_id, text)`
     * frame — per-row expressions only (shingle → minhash → posexplode),
     * so the SAME column works over a batch scan or a file STREAM
@@ -504,6 +509,60 @@ JOIN sp b ON doc_b = b.doc_id
 WHERE a.split <> b.split
 ORDER BY doc_a, doc_b"""),
       "near-dup pairs crossing the train/validation split (leakage audit)"),
+
+    // ── LSH calibration audit: recall of the MinHash band join (x06)
+    // against the blocked exact-Jaccard ground truth (x08's pair set at
+    // the near-dup threshold). THE question a pipeline owner asks before
+    // trusting probabilistic dedup at 100 TB — "what fraction of true
+    // near-dups do my bands actually catch?" — answered from the same
+    // two verified spellings, so the audit can't drift from the
+    // operators it audits. Counts are exact integers; recall is one
+    // shared-spelling division (vacuously 1.0 on an empty truth set).
+    // Scale: both chains are the key-partitioned joins they always are;
+    // the final assembly is three scalar aggregates broadcast together.
+    "x47_lsh_recall_audit" -> QueryDef(
+      (s, d) => {
+        val truth = ngramJaccard(s, d)
+          .filter(col("jaccard") >= NearDupJaccard)
+          .select(col("doc_a"), col("doc_b"))
+        val cand = minhashCandidates(s, d)
+        val nTrue = truth.agg(count(lit(1)).as("n_true"))
+        val nCand = cand.agg(count(lit(1)).as("n_cand"))
+        val nHit = truth.join(cand, Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("n_hit"))
+        nTrue.crossJoin(broadcast(nCand)).crossJoin(broadcast(nHit))
+          .select(col("n_true"), col("n_cand"), col("n_hit"),
+            expr("CASE WHEN n_true = 0 THEN CAST(1.0 AS DOUBLE) " +
+              "ELSE CAST(n_hit AS DOUBLE) / n_true END").as("recall"))
+      },
+      Some(s"""
+WITH $duckLshCandCtes,
+t AS (
+  SELECT doc_id, lang, n_chars // 200 AS bkt, $duckShingles AS sh
+  FROM (SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS w
+        FROM documents)
+),
+truth AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM t a JOIN t b
+      ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id)
+  WHERE jaccard >= $NearDupJaccard
+),
+agg AS (
+  SELECT
+    CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+    CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+    CAST((SELECT count(*) FROM truth JOIN cand USING (doc_a, doc_b))
+      AS BIGINT) AS n_hit
+)
+SELECT n_true, n_cand, n_hit,
+  CASE WHEN n_true = 0 THEN CAST(1.0 AS DOUBLE)
+       ELSE CAST(n_hit AS DOUBLE) / n_true END AS recall
+FROM agg"""),
+      "MinHash-LSH recall vs blocked exact-Jaccard truth (calibration)"),
 
     // ── SimHash: 32-bit bit-majority fingerprint over md5 token hashes
     "x07_dedup_simhash" -> QueryDef(
