@@ -238,16 +238,18 @@ object Graft {
       operators.Multimodal.frameSamples(spark, dir)
   }
 
-  /** Generic as-of join (pandas `merge_asof` "backward"): see
-    * [[operators.Joins.asOf]]. The declared `j14_asof_join` is its
-    * oracle-checked instantiation.
+  /** Generic as-of join (pandas `merge_asof`, directions
+    * backward/forward/nearest): see [[operators.Joins.asOf]]. The
+    * declared `j14_asof_join` (backward) and `j18_asof_forward` are its
+    * oracle-checked instantiations.
     */
   def asOfJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      tieBreak: Seq[String] = Nil): DataFrame =
+      tieBreak: Seq[String] = Nil,
+      direction: String = "backward"): DataFrame =
     operators.Joins.asOf(left, right, leftKey, rightKey, leftTime,
-      rightTime, tieBreak)
+      rightTime, tieBreak, direction)
 
   /** Salted skew-safe equi-join: exactly a plain inner join, with the
     * hot key's work spread `salt` ways; see [[operators.Joins.saltedJoin]].

@@ -184,6 +184,39 @@ SELECT event_id, user_id, ts, asof_order, asof_orderdate FROM (
 WHERE rn = 1 ORDER BY event_id"""),
       "as-of join composed as equi-join + per-row top-1 window"),
 
+    // ── Forward as-of join: each event picks the user's FIRST order at
+    // or after it — "time to next conversion" attribution, the mirror of
+    // j14's backward pick with min(struct) instead of max(struct). Same
+    // scale argument: the aggregation collapses each event's fan-out
+    // map-side, so the post-join shuffle carries one row per event.
+    "j18_asof_forward" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val ord = Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        ev.join(ord,
+            col("user_id") === col("o_custkey") &&
+              col("o_orderdate").cast("timestamp_ntz") >= col("ts"), "left")
+          .groupBy(col("event_id"), col("user_id"), col("ts"))
+          .agg(min(struct(col("o_orderdate"), col("o_orderkey")))
+            .as("pick"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("pick.o_orderkey").as("next_order"),
+            col("pick.o_orderdate").as("next_orderdate"))
+          .orderBy("event_id")
+      },
+      Some("""
+SELECT event_id, user_id, ts, next_order, next_orderdate FROM (
+  SELECT e.event_id, e.user_id, e.ts,
+    o.o_orderkey AS next_order, o.o_orderdate AS next_orderdate,
+    row_number() OVER (PARTITION BY e.event_id
+      ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+  FROM events e LEFT JOIN orders o
+    ON e.user_id = o.o_custkey AND CAST(o.o_orderdate AS TIMESTAMP) >= e.ts)
+WHERE rn = 1 ORDER BY event_id"""),
+      "forward as-of join (first order at/after each event)"),
+
     // ── Staged funnel: per user, the first signup, the first click AT OR
     // AFTER that signup, and the first purchase at or after that click —
     // ordered-stage conversion, the standard product-analytics ask. Three

@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
-  /** Generic as-of join, pandas `merge_asof` "backward" semantics: each
-    * left row picks the single right row with the greatest `rightTime`
-    * at-or-before its `leftTime` among rows sharing the key; unmatched
-    * left rows survive with nulls (left-join semantics).
+  /** Generic as-of join with pandas `merge_asof` direction semantics:
+    * `backward` (default) picks the single right row with the greatest
+    * `rightTime` at-or-before each left row's `leftTime` among rows
+    * sharing the key; `forward` the smallest at-or-after; `nearest` the
+    * smallest absolute time distance (an exact tie prefers the backward
+    * row). Unmatched left rows survive with nulls (left-join semantics).
     *
     * Shape: equi-join on the key (hash join — the fan-out is bounded by
     * right rows per key) followed by a per-left-row `max_by` AGGREGATION
@@ -43,7 +45,10 @@ object Joins {
   def asOf(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      tieBreak: Seq[String] = Nil): DataFrame = {
+      tieBreak: Seq[String] = Nil,
+      direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     val rowId = "__asof_row_id"
     val rkey  = "__asof_rkey"
     val leftCols = left.columns.toSet
@@ -60,19 +65,38 @@ object Joins {
     val publicRight = renamed.columns.filterNot(_ == rkey)
     val tagged = left.withColumn(rowId, monotonically_increasing_id())
     if (publicRight.isEmpty) return tagged.drop(rowId)
+    // backward: right at-or-before, latest wins (tie: max of tieBreak);
+    // forward: right at-or-after, earliest wins (tie: min of tieBreak);
+    // nearest: smallest |Δt| wins, an exact-distance tie prefers the
+    // BACKWARD row, then min of tieBreak. All three keep the range
+    // predicate null-rejecting so matched groups never see a null row.
+    val rangeCond: Column = direction match {
+      case "backward" => renamed(rtime) <= tagged(leftTime)
+      case "forward"  => renamed(rtime) >= tagged(leftTime)
+      case _          => renamed(rtime).isNotNull
+    }
     val joined = tagged.join(renamed,
-      tagged(leftKey) === renamed(rkey) &&
-        renamed(rtime) <= tagged(leftTime), "left")
-    // the pick key: (rightTime, tieBreak...) struct — struct max is
+      tagged(leftKey) === renamed(rkey) && rangeCond, "left")
+    // the pick key: (rightTime, tieBreak...) struct — struct extremum is
     // lexicographic, and an unmatched left row's singleton all-null
     // struct survives the agg and unpacks back to nulls (left-join
-    // semantics preserved; matched groups never contain the null row
-    // because the range predicate is null-rejecting)
-    val ordKeys: Seq[Column] = (rtime +: tieBreak.map { c =>
+    // semantics preserved)
+    val tieCols: Seq[Column] = tieBreak.map { c =>
       if (c == rightKey) rkey else publicName(c)
-    }).map(col)
-    val pick = max_by(struct(publicRight.map(col): _*),
-      struct(ordKeys: _*)).as("__asof_pick")
+    }.map(col)
+    val payload = struct(publicRight.map(col): _*)
+    val pick = (direction match {
+      case "backward" =>
+        max_by(payload, struct(col(rtime) +: tieCols: _*))
+      case "forward" =>
+        min_by(payload, struct(col(rtime) +: tieCols: _*))
+      case _ =>
+        // |Δt| via greatest of both signed differences — works for
+        // numeric AND timestamp columns (interval arithmetic) alike
+        val dist = greatest(col(leftTime) - col(rtime),
+          col(rtime) - col(leftTime))
+        min_by(payload, struct(dist +: col(rtime) +: tieCols: _*))
+    }).as("__asof_pick")
     val leftThrough = left.columns.map(c => first(col(c)).as(c))
     joined.groupBy(col(rowId))
       .agg(leftThrough.head, (leftThrough.tail :+ pick): _*)

@@ -62,6 +62,62 @@ class AsOfJoinSpec extends SparkSpec {
     assert(rows == Set(("u1", "a", 1.5), ("u2", "b", null)))
   }
 
+  test("forward picks the earliest right row at-or-after each left time") {
+    val trades = Seq(
+      ("AAPL", ts("2001-01-01 10:00:05"), 100), // next quote is 10:00:06
+      ("AAPL", ts("2001-01-01 10:00:03"), 50),  // exact-time match counts
+      ("MSFT", ts("2001-01-01 10:00:05"), 75),  // only quote is before
+      ("NVDA", ts("2001-01-01 10:00:03"), 10))  // no quotes at all
+      .toDF("sym", "trade_ts", "qty")
+    val quotes = Seq(
+      ("AAPL", ts("2001-01-01 10:00:03"), 2.0),
+      ("AAPL", ts("2001-01-01 10:00:06"), 3.0),
+      ("MSFT", ts("2001-01-01 10:00:04"), 9.0))
+      .toDF("qsym", "quote_ts", "px")
+    val out = operators.Joins.asOf(trades, quotes,
+        "sym", "qsym", "trade_ts", "quote_ts", direction = "forward")
+      .select("sym", "qty", "px").collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(out == Set(
+      ("AAPL", 100, 3.0),
+      ("AAPL", 50, 2.0),
+      ("MSFT", 75, null),
+      ("NVDA", 10, null)))
+  }
+
+  test("nearest picks the smallest |Δt|; an exact tie prefers backward") {
+    val l = Seq(
+      ("k", ts("2001-01-01 00:00:10"), 1), // early Δ2 vs late Δ3
+      ("k", ts("2001-01-01 00:00:11"), 2), // early Δ3 vs late Δ2
+      ("x", ts("2001-01-01 00:00:10"), 3)) // no right rows
+      .toDF("k", "t", "n")
+    val r = Seq(
+      ("k", ts("2001-01-01 00:00:08"), "early"),
+      ("k", ts("2001-01-01 00:00:13"), "late"))
+      .toDF("rk", "rt", "tag")
+    val out = operators.Joins.asOf(l, r, "k", "rk", "t", "rt",
+        direction = "nearest")
+      .select("n", "tag").collect()
+      .map(rr => (rr.getInt(0),
+        if (rr.isNullAt(1)) null else rr.getString(1))).toSet
+    assert(out == Set(
+      (1, "early"), // Δ2 beats Δ3
+      (2, "late"),  // Δ2 beats Δ3 the other way
+      (3, null)))
+  }
+
+  test("nearest exact-distance tie prefers the backward row") {
+    val l = Seq(("k", ts("2001-01-01 00:00:10"))).toDF("k", "t")
+    val r = Seq(
+      ("k", ts("2001-01-01 00:00:08"), "back"),
+      ("k", ts("2001-01-01 00:00:12"), "fwd")) // both Δ2
+      .toDF("rk", "rt", "tag")
+    val out = operators.Joins.asOf(l, r, "k", "rk", "t", "rt",
+      direction = "nearest")
+    assert(out.select("tag").head().getString(0) == "back")
+  }
+
   test("colliding non-key right columns come out suffixed _right") {
     val l = Seq(("k", ts("2001-01-01 00:00:10"), "L"))
       .toDF("k", "t", "src")
