@@ -532,6 +532,67 @@ WHERE rn <= $K ORDER BY q_id, rank"""),
     // rounded), then floor lands on exact integers. The md5 of the
     // rendered codes pins the whole codebook byte-for-byte; qmin/qscale
     // are what a dequantizer needs to reconstruct.
+    // ── Per-label embedding-centroid drift vs the corpus centroid —
+    // x45's exact-integer-L1 audit applied to vectors: catches a class
+    // (or a source, with a different grouping column) whose embeddings
+    // shifted after a re-embed or an upstream model change. Per-dim
+    // quantized sums are exact BIGINTs, the distance numerator
+    // Σ_d |sl·n_all − sg·n_label| is DECIMAL(38,0) ↔ HUGEINT algebra,
+    // and the only float work is one shared-spelling division at the
+    // end. Shape: one posexplode + (label, dim) aggregation over the
+    // corpus; everything downstream is ≤ |labels|·dims rows, broadcast.
+    "x48_embed_drift" -> QueryDef(
+      (s, d) => {
+        graft.GraftExtensions.install(s)
+        val e = Tables.embeddings(s, d)
+          .select(col("label"), expr(sparkQuant).as("qe"))
+        val dims = e.select(col("label"),
+          posexplode(col("qe")).as(Seq("dim", "v")))
+        val perL = dims.groupBy("label", "dim")
+          .agg(sum(col("v")).as("sl"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nL = e.groupBy("label").agg(count(lit(1)).as("n_label"))
+        val glob = perL.groupBy("dim").agg(sum(col("sl")).as("sg"))
+        val nAll = e.agg(count(lit(1)).as("n_all"))
+        perL.join(broadcast(glob), Seq("dim"))
+          .join(broadcast(nL), Seq("label"))
+          .crossJoin(broadcast(nAll))
+          .withColumn("term", abs(
+            col("sl").cast("decimal(38,0)") * col("n_all") -
+              col("sg").cast("decimal(38,0)") * col("n_label")))
+          .groupBy(col("label"), col("n_label"), col("n_all"))
+          .agg(sum(col("term")).as("num"))
+          .select(col("label"), col("n_label"),
+            (col("num").cast("double") /
+              (col("n_label").cast("double") * col("n_all").cast("double")))
+              .as("drift"))
+          .orderBy("label")
+      },
+      Some(s"""
+WITH q AS (SELECT label, $duckQuant AS qe FROM embeddings),
+dd AS (
+  SELECT label, i.i AS dim, qe[i.i] AS v
+  FROM q CROSS JOIN generate_series(1, $Dims) i(i)
+),
+pl AS (SELECT label, dim, CAST(sum(v) AS BIGINT) AS sl
+       FROM dd GROUP BY 1, 2),
+nl AS (SELECT label, CAST(count(*) AS BIGINT) AS n_label
+       FROM q GROUP BY 1),
+gl AS (SELECT dim, CAST(sum(sl) AS BIGINT) AS sg FROM pl GROUP BY 1),
+na AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM q),
+agg AS (
+  SELECT pl.label, nl.n_label, na.n_all,
+    sum(abs(CAST(pl.sl AS HUGEINT) * na.n_all
+          - CAST(pl_g.sg AS HUGEINT) * nl.n_label)) AS num
+  FROM pl JOIN gl pl_g USING (dim) JOIN nl USING (label) CROSS JOIN na
+  GROUP BY 1, 2, 3
+)
+SELECT label, n_label,
+  CAST(num AS DOUBLE)
+    / (CAST(n_label AS DOUBLE) * CAST(n_all AS DOUBLE)) AS drift
+FROM agg ORDER BY label"""),
+      "per-label embedding-centroid drift vs corpus (exact integer L1)"),
+
     "x28_embed_quantize" -> QueryDef(
       (s, d) => Tables.embeddingsSpread(s, d)
         .withColumn("v",
