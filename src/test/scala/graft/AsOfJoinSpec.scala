@@ -118,6 +118,55 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.select("tag").head().getString(0) == "back")
   }
 
+  test("all three directions agree with a brute-force reference on a " +
+      "seeded random frame") {
+    // deterministic pseudo-random frames (LCG on the index — no RNG in
+    // tests either), sized to force multi-partition execution and to
+    // contain unmatched keys, exact-time matches, and distance ties
+    val left = (1 to 400).map { i =>
+      val k = "k" + (i * 7919 % 13)
+      (k, ((i * 104729) % 97).toLong, i)
+    }.toDF("k", "t", "lid")
+    val right = (1 to 300).map { i =>
+      val k = "k" + (i * 6271 % 17) // keys 13-16 never match left
+      (k, ((i * 15485863) % 97).toLong, "r" + i)
+    }.toDF("rk", "rt", "tag")
+    val rightRows = right.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    def reference(direction: String): Set[(Int, Option[String])] = {
+      left.collect().map { lr =>
+        val (k, t, lid) = (lr.getString(0), lr.getLong(1), lr.getInt(2))
+        val matches = rightRows.filter(_._1 == k)
+        val pick = direction match {
+          case "backward" =>
+            val c = matches.filter(_._2 <= t)
+            if (c.isEmpty) None
+            // latest time, tie → max tag (max_by of (rt, tag))
+            else Some(c.maxBy(m => (m._2, m._3))._3)
+          case "forward" =>
+            val c = matches.filter(_._2 >= t)
+            if (c.isEmpty) None
+            // earliest time, tie → min tag (min_by of (rt, tag))
+            else Some(c.minBy(m => (m._2, m._3))._3)
+          case _ =>
+            if (matches.isEmpty) None
+            // smallest |Δt|, tie → smaller rt (backward), then min tag
+            else Some(matches.minBy(m =>
+              (math.abs(m._2 - t), m._2, m._3))._3)
+        }
+        (lid, pick)
+      }.toSet
+    }
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val got = operators.Joins.asOf(left, right, "k", "rk", "t", "rt",
+          tieBreak = Seq("tag"), direction = dir)
+        .select("lid", "tag").collect()
+        .map(r => (r.getInt(0),
+          if (r.isNullAt(1)) None else Some(r.getString(1)))).toSet
+      assert(got == reference(dir), s"direction=$dir")
+    }
+  }
+
   test("colliding non-key right columns come out suffixed _right") {
     val l = Seq(("k", ts("2001-01-01 00:00:10"), "L"))
       .toDF("k", "t", "src")
