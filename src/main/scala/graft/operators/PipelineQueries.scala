@@ -241,6 +241,55 @@ SELECT source, n_src AS n_docs,
 FROM agg ORDER BY source"""),
       "per-source quality-decile drift vs corpus (exact integer L1)"),
 
+    // ── Quality-budget curve: per source, tokens surviving each quality
+    // cut (cumulative from the top decile down) — the planning table for
+    // "if we keep only quality ≥ q, how many tokens does each source
+    // still contribute?". Integer token sums end-to-end; the share is
+    // one shared-spelling division. Shape: one aggregation to ≤
+    // |sources|·10 rows, then broadcast-sized windows.
+    "x49_quality_budget" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("source").orderBy(col("bkt").desc)
+        val wt = Window.partitionBy("source")
+        TextQueries.qualityScored(s, d)
+          .select(col("source"), expr(
+            "least(CAST(floor(quality_score / 10) AS BIGINT), " +
+              "CAST(9 AS BIGINT))").as("bkt"),
+            col("n_tokens"))
+          .groupBy("source", "bkt")
+          .agg(sum(col("n_tokens")).as("tokens"))
+          .withColumn("cum_tokens", sum(col("tokens")).over(w))
+          .withColumn("total", sum(col("tokens")).over(wt))
+          .select(col("source"), col("bkt"), col("tokens"),
+            col("cum_tokens"),
+            (col("cum_tokens").cast("double") / col("total"))
+              .as("cum_share"))
+          .orderBy("source", "bkt")
+      },
+      Some(s"""
+WITH ${TextQueries.duckQualityCtes},
+scored AS (
+  SELECT source,
+    CAST(least(floor(quality_score / 10), 9) AS BIGINT) AS bkt,
+    n_tokens
+  FROM q
+),
+per AS (
+  SELECT source, bkt, CAST(sum(n_tokens) AS BIGINT) AS tokens
+  FROM scored GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, bkt, tokens,
+    CAST(sum(tokens) OVER (PARTITION BY source ORDER BY bkt DESC)
+      AS BIGINT) AS cum_tokens,
+    CAST(sum(tokens) OVER (PARTITION BY source) AS BIGINT) AS total
+  FROM per
+)
+SELECT source, bkt, tokens, cum_tokens,
+  CAST(cum_tokens AS DOUBLE) / total AS cum_share
+FROM cum ORDER BY source, bkt"""),
+      "per-source cumulative token survival under quality cuts"),
+
     // ── Repetition filter: fraction of duplicate word-3-grams per doc
     // (high ⇒ boilerplate/spam) — pure map stage over codegen'd array
     // expressions; `element_at` is 1-based like the oracle's list index.
