@@ -51,6 +51,30 @@ object DedupQueries {
 
   private val K = 6 // minhash signature length; 6 bands of 1 row for LSH
 
+  /** x52's source-sketch signature length: more components than the LSH
+    * K because the sketch is an ESTIMATOR (granularity 1/K), not a
+    * bucketing key.
+    */
+  private val SketchK = 16
+
+  /** Per-source MinHash signature `(source, idx, mh)` over any
+    * `(source, text)` frame: component idx = min over every shingle in
+    * the source of hash_idx. Elementwise min is a monoid merge — the
+    * sketch of a union of shards is the min of the shard sketches
+    * (RobustStatsSpec pins it) — so partial aggregation combines
+    * map-side and per-shard sketches union without a rescan.
+    */
+  private[graft] def sourceSketch(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.GraftExtensions.install(docs.sparkSession)
+    docs
+      .withColumn("sh", expr("shingles3(text)"))
+      .withColumn("sigs", expr(s"minhash_sigs(sh, $SketchK)"))
+      .select(col("source"), posexplode(col("sigs")).as(Seq("idx", "hv")))
+      .groupBy(col("source"), col("idx"))
+      .agg(min(col("hv")).as("mh"))
+  }
+
   /** Exact-Jaccard threshold defining "true near-dup" in the x47 LSH
     * recall audit (x08's pair set filtered here plays ground truth).
     */
@@ -563,6 +587,65 @@ SELECT n_true, n_cand, n_hit,
        ELSE CAST(n_hit AS DOUBLE) / n_true END AS recall
 FROM agg"""),
       "MinHash-LSH recall vs blocked exact-Jaccard truth (calibration)"),
+
+    // ── Source-level MinHash sketch: one K-component signature per
+    // corpus slice (component i = min over every shingle in the source
+    // of hash_i), then pairwise signature agreement estimates the
+    // shingle-set Jaccard between sources — the mixture-planning input
+    // x40 computes from exact duplicate fingerprints, here from O(K)
+    // state per source. The sketch is a monoid: the signature of a
+    // union of shards is the elementwise min of their signatures, so
+    // per-shard sketches merge without rescanning — the property that
+    // makes this the 100 TB spelling (one scan, map-side partial min,
+    // |sources|·K rows after the only shuffle; the pair join is a
+    // broadcast of a tiny frame). Estimate granularity is 1/K; the
+    // only float is the final agreement division.
+    "x52_source_sketch" -> QueryDef(
+      (s, d) => {
+        val sig = sourceSketch(Tables.documents(s, d))
+        val a = sig.select(col("source").as("source_a"), col("idx"),
+          col("mh").as("mh_a"))
+        val b = sig.select(col("source").as("source_b"), col("idx"),
+          col("mh").as("mh_b"))
+        a.join(b, Seq("idx"))
+          .filter(col("source_a") < col("source_b"))
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L))
+            .as("n_match"))
+          .select(col("source_a"), col("source_b"), col("n_match"),
+            (col("n_match").cast("double") / SketchK).as("est_jaccard"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""
+WITH docs AS (
+  SELECT doc_id, source, text, string_split(text, ' ') AS w
+  FROM documents
+),
+shingled AS (
+  SELECT doc_id, source, $duckShingles AS sh FROM docs
+),
+sigs AS (
+  SELECT source,
+    ${(0 until SketchK).map(i => s"${duckMinhash(i)} AS sig$i")
+        .mkString(",\n    ")}
+  FROM shingled
+),
+src AS (
+  SELECT source,
+    ${(0 until SketchK).map(i => s"min(sig$i) AS m$i").mkString(", ")}
+  FROM sigs GROUP BY 1
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    CAST(${(0 until SketchK)
+        .map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)")
+        .mkString("\n      + ")} AS BIGINT) AS n_match
+  FROM src a JOIN src b ON a.source < b.source
+)
+SELECT source_a, source_b, n_match,
+  CAST(n_match AS DOUBLE) / $SketchK AS est_jaccard
+FROM pairs ORDER BY source_a, source_b"""),
+      "mergeable per-source MinHash sketch → pairwise Jaccard estimate"),
 
     // ── SimHash: 32-bit bit-majority fingerprint over md5 token hashes
     "x07_dedup_simhash" -> QueryDef(

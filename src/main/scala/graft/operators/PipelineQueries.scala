@@ -38,6 +38,13 @@ object PipelineQueries {
   private val ShuffleSeed = "epoch0"
   private val NShards = 8
 
+  /** x50's curriculum seed (changing it reshuffles within stages) and
+    * intra-stage shard count (scaled to corpus size in production so no
+    * window partition exceeds a worker; fixed for the oracle).
+    */
+  private val CurriculumSeed = "cur0"
+  private val CurShards = 4
+
   /** x33's domain blocklist (in production: a broadcast side table). */
   private val BlockedDomains = Seq(
     "www.src17.example.org", "www.src18.example.com",
@@ -289,6 +296,131 @@ SELECT source, bkt, tokens, cum_tokens,
   CAST(cum_tokens AS DOUBLE) / total AS cum_share
 FROM cum ORDER BY source, bkt"""),
       "per-source cumulative token survival under quality cuts"),
+
+    // ── Curriculum ordering: assign every document a deterministic
+    // training position — stage (difficulty: 0 = highest quality decile,
+    // consumed first), shard (seeded-hash spread within the stage), and
+    // pos (rank within the shard). The training loader reads shards in
+    // (stage, shard, pos) order and gets an easy→hard curriculum with
+    // intra-stage shuffling, reproducible under re-runs and
+    // repartitioning because the order key is md5, not rand(). Shape:
+    // map-only staging + one row_number window per (stage, shard) —
+    // never a global sort; at 100 TB the shard count scales so no
+    // window partition exceeds a worker (the x32 sharding argument).
+    "x50_curriculum_order" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("stage", "shard")
+          .orderBy(col("rk"), col("doc_id"))
+        TextQueries.qualityScored(s, d)
+          .select(col("doc_id"), expr(
+            "CAST(9 - least(CAST(floor(quality_score / 10) AS BIGINT), " +
+              "CAST(9 AS BIGINT)) AS BIGINT)").as("stage"))
+          .withColumn("rk",
+            expr(s"md5(concat('$CurriculumSeed|', CAST(doc_id AS STRING)))"))
+          .withColumn("shard", expr(
+            "pmod(CAST(conv(substr(rk, 1, 15), 16, 10) AS BIGINT), " +
+              s"CAST($CurShards AS BIGINT))"))
+          .withColumn("pos", row_number().over(w).cast("bigint"))
+          .select(col("doc_id"), col("stage"), col("shard"), col("pos"))
+          .orderBy("stage", "shard", "pos")
+      },
+      Some(s"""
+WITH ${TextQueries.duckQualityCtes},
+base AS (
+  SELECT doc_id,
+    CAST(9 - least(floor(quality_score / 10), 9) AS BIGINT) AS stage,
+    md5('$CurriculumSeed|' || CAST(doc_id AS VARCHAR)) AS rk
+  FROM q
+),
+sharded AS (
+  SELECT doc_id, stage, rk,
+    CAST(('0x' || substr(rk, 1, 15)) AS BIGINT) % $CurShards AS shard
+  FROM base
+)
+SELECT doc_id, stage, shard,
+  CAST(row_number() OVER (PARTITION BY stage, shard
+    ORDER BY rk, doc_id) AS BIGINT) AS pos
+FROM sharded ORDER BY stage, shard, pos"""),
+      "deterministic easy→hard curriculum schedule (stage/shard/pos)"),
+
+    // ── Robust length-outlier audit: per source, the lower median and
+    // MAD (median absolute deviation) of token counts in EXACT integer
+    // space — both medians are rank-selected elements (row_number =
+    // (n+1) div 2), never averaged, so every statistic is an integer
+    // that hashes identically cross-engine; mean/stddev audits break on
+    // the same data the outliers pollute, which is the point of MAD.
+    // Flags docs with |x − med| > 3·MAD (integer compare); the only
+    // float is the final share division. Shape: two source-partitioned
+    // window passes + broadcast joins of per-source scalars.
+    "x51_mad_outliers" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"))
+        def lowerMedian(df: org.apache.spark.sql.DataFrame, v: String,
+            out: String) = df
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("source").orderBy(col(v), col("doc_id"))))
+          .withColumn("cnt",
+            count(lit(1)).over(Window.partitionBy("source")))
+          .filter(expr("rn = (cnt + 1) div 2"))
+          .select(col("source"), col(v).as(out))
+        val med = lowerMedian(docs, "n_tokens", "med_tokens")
+        val dev = docs.join(broadcast(med), Seq("source"))
+          .withColumn("adev", abs(col("n_tokens") - col("med_tokens")))
+        val mad = lowerMedian(
+          dev.select(col("source"), col("doc_id"), col("adev")),
+          "adev", "mad_tokens")
+        dev.join(broadcast(mad), Seq("source"))
+          .groupBy(col("source"), col("med_tokens"), col("mad_tokens"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("adev") > lit(3L) * col("mad_tokens"), 1L)
+              .otherwise(0L)).as("n_outliers"))
+          .select(col("source"), col("n_docs"), col("med_tokens"),
+            col("mad_tokens"), col("n_outliers"),
+            (col("n_outliers").cast("double") / col("n_docs"))
+              .as("outlier_share"))
+          .orderBy("source")
+      },
+      Some("""
+WITH docs AS (
+  SELECT source, doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+med AS (
+  SELECT source, n_tokens AS med_tokens FROM (
+    SELECT source, n_tokens,
+      row_number() OVER (PARTITION BY source
+        ORDER BY n_tokens, doc_id) AS rn,
+      count(*) OVER (PARTITION BY source) AS cnt
+    FROM docs)
+  WHERE rn = (cnt + 1) // 2
+),
+dev AS (
+  SELECT d.source, d.doc_id, d.n_tokens, m.med_tokens,
+    abs(d.n_tokens - m.med_tokens) AS adev
+  FROM docs d JOIN med m ON d.source = m.source
+),
+mad AS (
+  SELECT source, adev AS mad_tokens FROM (
+    SELECT source, adev, doc_id,
+      row_number() OVER (PARTITION BY source
+        ORDER BY adev, doc_id) AS rn,
+      count(*) OVER (PARTITION BY source) AS cnt
+    FROM dev)
+  WHERE rn = (cnt + 1) // 2
+)
+SELECT v.source, CAST(count(*) AS BIGINT) AS n_docs,
+  v.med_tokens, a.mad_tokens,
+  CAST(sum(CASE WHEN v.adev > 3 * a.mad_tokens THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_outliers,
+  CAST(sum(CASE WHEN v.adev > 3 * a.mad_tokens THEN 1 ELSE 0 END)
+    AS DOUBLE) / count(*) AS outlier_share
+FROM dev v JOIN mad a ON v.source = a.source
+GROUP BY v.source, v.med_tokens, a.mad_tokens
+ORDER BY v.source"""),
+      "per-source exact-integer median/MAD length-outlier audit"),
 
     // ── Repetition filter: fraction of duplicate word-3-grams per doc
     // (high ⇒ boilerplate/spam) — pure map stage over codegen'd array
