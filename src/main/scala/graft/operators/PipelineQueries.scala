@@ -56,6 +56,20 @@ object PipelineQueries {
   private val ChunkW = 32
   private val ChunkS = 24
 
+  /** x53's content-defined chunking: boundary = token positions whose
+    * trailing CdcW-token window hashes to 0 mod CdcMask (expected chunk
+    * length ≈ CdcMask tokens).
+    */
+  private val CdcW = 8
+  private val CdcMask = 16
+
+  /** x54's per-source min-k sample size and hash seed. */
+  private val QSampleK = 64
+  private val QSeed = "q0"
+
+  /** x54's quantiles, in percent. */
+  private val Quantiles = Seq(25, 50, 75, 90)
+
   /** x26's "new batch": the last two source shards play the incoming
     * ingest; everything else is the already-accepted corpus.
     */
@@ -421,6 +435,179 @@ FROM dev v JOIN mad a ON v.source = a.source
 GROUP BY v.source, v.med_tokens, a.mad_tokens
 ORDER BY v.source"""),
       "per-source exact-integer median/MAD length-outlier audit"),
+
+    // ── Content-defined chunk dedup: chunk boundaries fall where the
+    // hash of the trailing CdcW-token window is 0 mod CdcMask, so an
+    // inserted sentence shifts ONE chunk instead of every downstream
+    // fixed-stride chunk — the property that lets this catch shared
+    // boilerplate x34's fixed grid misses when templates render at
+    // different offsets. Same deterministic-hash discipline as
+    // everything else (md5, no RNG), so the oracle replays the exact
+    // boundary set. Shape: per-row HOF expressions (no shuffle) until
+    // the single fingerprint aggregation — x34's scale argument.
+    "x53_cdc_chunks" -> QueryDef(
+      (s, d) => {
+        val W = CdcW; val M = CdcMask
+        Tables.documentsSpread(s, d)
+          .withColumn("w", expr("split(text, ' ')"))
+          .withColumn("n", expr("size(w)"))
+          .withColumn("bpos", expr(
+            s"""CASE WHEN n >= $W THEN
+                  filter(sequence($W, n), i ->
+                    pmod(CAST(conv(substr(md5(CAST(array_join(
+                      slice(w, i - ${W - 1}, $W), ' ') AS BINARY)),
+                      1, 15), 16, 10) AS BIGINT), $M) = 0)
+                ELSE CAST(array() AS ARRAY<INT>) END"""))
+          .withColumn("bounds", expr(
+            s"""concat(array(0), bpos,
+                  CASE WHEN size(bpos) = 0 OR element_at(bpos, -1) <> n
+                  THEN array(n) ELSE CAST(array() AS ARRAY<INT>) END)"""))
+          .withColumn("j", explode(expr("sequence(1, size(bounds) - 1)")))
+          .select(col("doc_id"),
+            expr("element_at(bounds, j)").as("cstart"),
+            expr("element_at(bounds, j + 1)").as("cend"))
+          .join(Tables.documentsSpread(s, d).select("doc_id", "text"),
+            Seq("doc_id"))
+          .select(col("doc_id"),
+            expr("CAST(cend - cstart AS BIGINT)").as("n_chunk_tokens"),
+            md5(expr(
+              "array_join(slice(split(text, ' '), cstart + 1, " +
+                "cend - cstart), ' ')").cast("binary")).as("chunk_fp"))
+          .groupBy(col("chunk_fp"))
+          .agg(min(col("n_chunk_tokens")).as("n_chunk_tokens"),
+            count(lit(1)).as("n_copies"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            min(col("doc_id")).as("canonical_doc"))
+          .filter(col("n_copies") > 1)
+          .orderBy("chunk_fp")
+      },
+      Some(s"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+b AS (
+  SELECT doc_id, w, n,
+    CASE WHEN n >= $CdcW THEN
+      list_filter(generate_series($CdcW, n), i ->
+        CAST(('0x' || substr(md5(array_to_string(
+          w[i - ${CdcW - 1} : i], ' ')), 1, 15)) AS BIGINT)
+          % $CdcMask = 0)
+    ELSE [] END AS bpos
+  FROM t
+),
+bb AS (
+  SELECT doc_id, w,
+    list_concat(list_concat([0], bpos),
+      CASE WHEN len(bpos) = 0 OR bpos[-1] <> n
+      THEN [n] ELSE [] END) AS bounds
+  FROM b
+),
+c AS (
+  SELECT doc_id, w, bounds,
+    unnest(generate_series(1, len(bounds) - 1)) AS j
+  FROM bb
+),
+f AS (
+  SELECT doc_id,
+    CAST(bounds[j + 1] - bounds[j] AS BIGINT) AS n_chunk_tokens,
+    md5(array_to_string(w[bounds[j] + 1 : bounds[j + 1]], ' '))
+      AS chunk_fp
+  FROM c
+)
+SELECT chunk_fp, min(n_chunk_tokens) AS n_chunk_tokens,
+  count(*) AS n_copies, count(DISTINCT doc_id) AS n_docs,
+  min(doc_id) AS canonical_doc
+FROM f GROUP BY 1 HAVING count(*) > 1
+ORDER BY chunk_fp"""),
+      "content-defined chunk dedup: boundaries survive offset shifts"),
+
+    // ── Mergeable quantile estimate + calibration: per source, token-
+    // count quantiles from the min-k hash sample (the k docs with the
+    // smallest seeded md5 — the x21 KMV construction, so the SAMPLE is
+    // a monoid: min-k of a union = min-k of merged samples, O(k) state
+    // per source forever) next to the exact rank-selected quantile and
+    // the absolute error. Every statistic is a rank-selected INTEGER —
+    // nothing interpolated, nothing floating. The exact side is the
+    // audit's ground truth at test SF; at 100 TB a pipeline runs the
+    // sample side alone and the window it needs is over k rows per
+    // source, not the corpus.
+    "x54_quantile_sketch" -> QueryDef(
+      (s, d) => {
+        val qArr = s"array(${Quantiles.mkString(", ")})"
+        val docs = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"))
+        val sample = docs
+          .withColumn("hv", expr(
+            s"CAST(conv(substr(md5(concat('$QSeed|', " +
+              "CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+          .withColumn("hrn", row_number().over(
+            Window.partitionBy("source").orderBy(col("hv"), col("doc_id"))))
+          .filter(col("hrn") <= QSampleK)
+        val est = sample
+          .withColumn("srn", row_number().over(
+            Window.partitionBy("source")
+              .orderBy(col("n_tokens"), col("doc_id"))))
+          .withColumn("m", count(lit(1)).over(Window.partitionBy("source")))
+          .withColumn("q", explode(expr(qArr)))
+          .filter(expr("srn = (q * m + 99) div 100"))
+          .select(col("source"), col("q").cast("bigint").as("q"),
+            col("n_tokens").as("est"))
+        val exact = docs
+          .withColumn("xrn", row_number().over(
+            Window.partitionBy("source")
+              .orderBy(col("n_tokens"), col("doc_id"))))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy("source")))
+          .withColumn("q", explode(expr(qArr)))
+          .filter(expr("xrn = (q * cnt + 99) div 100"))
+          .select(col("source"), col("q").cast("bigint").as("q"),
+            col("n_tokens").as("exact"))
+        est.join(exact, Seq("source", "q"))
+          .select(col("source"), col("q"), col("est"), col("exact"),
+            abs(col("est") - col("exact")).as("abs_err"))
+          .orderBy("source", "q")
+      },
+      Some(s"""
+WITH docs AS (
+  SELECT source, doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(('0x' || substr(md5('$QSeed|' || CAST(doc_id AS VARCHAR)),
+      1, 15)) AS BIGINT) AS hv
+  FROM documents
+),
+sample AS (
+  SELECT source, doc_id, n_tokens FROM (
+    SELECT source, doc_id, n_tokens,
+      row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS hrn
+    FROM docs)
+  WHERE hrn <= $QSampleK
+),
+est AS (
+  SELECT source, CAST(q AS BIGINT) AS q, n_tokens AS est FROM (
+    SELECT source, n_tokens,
+      row_number() OVER (PARTITION BY source
+        ORDER BY n_tokens, doc_id) AS srn,
+      count(*) OVER (PARTITION BY source) AS m
+    FROM sample) s
+  CROSS JOIN (SELECT unnest([${Quantiles.mkString(", ")}]) AS q)
+  WHERE srn = (q * m + 99) // 100
+),
+exact AS (
+  SELECT source, CAST(q AS BIGINT) AS q, n_tokens AS exact FROM (
+    SELECT source, n_tokens,
+      row_number() OVER (PARTITION BY source
+        ORDER BY n_tokens, doc_id) AS xrn,
+      count(*) OVER (PARTITION BY source) AS cnt
+    FROM docs) x
+  CROSS JOIN (SELECT unnest([${Quantiles.mkString(", ")}]) AS q)
+  WHERE xrn = (q * cnt + 99) // 100
+)
+SELECT e.source, e.q, e.est, x.exact, abs(e.est - x.exact) AS abs_err
+FROM est e JOIN exact x ON e.source = x.source AND e.q = x.q
+ORDER BY e.source, e.q"""),
+      "min-k hash-sample quantiles vs exact rank quantiles (mergeable)"),
 
     // ── Repetition filter: fraction of duplicate word-3-grams per doc
     // (high ⇒ boilerplate/spam) — pure map stage over codegen'd array

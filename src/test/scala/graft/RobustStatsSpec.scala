@@ -4,13 +4,17 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.functions._
 
-/** Semantic pins for the curriculum / robust-stats / source-sketch
-  * queries (x50, x51, x52) beyond the driver's DuckDB hash-compare:
-  * brute-force JVM recomputation where affordable (x51), structural
-  * invariants (x50), and the algebraic property the scale argument
-  * rests on (x52's monoid merge).
+/** Semantic pins for the curriculum / robust-stats / sketch queries
+  * (x50-x54) beyond the driver's DuckDB hash-compare: brute-force JVM
+  * recomputation where affordable (x51, x53, x54), structural
+  * invariants (x50), and the algebraic properties the scale arguments
+  * rest on (x52's monoid merge, x54's min-k merge).
   */
 class RobustStatsSpec extends SparkSpec {
+
+  private def md5hexOf(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
 
   test("x50: schedule is a permutation with dense per-shard positions") {
     val rows = SparkEntry.queries("x50_curriculum_order")(spark, sf)
@@ -101,16 +105,88 @@ class RobustStatsSpec extends SparkSpec {
     * recomputation (the same argument PipelineOpsSpec makes for x37).
     */
   test("x50: shard assignment matches a JVM md5 recompute") {
-    def md5hex(s: String): String =
-      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
     val rows = SparkEntry.queries("x50_curriculum_order")(spark, sf)
       .collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard"))
     rows.foreach { case (id, shard) =>
       val expected =
-        java.lang.Long.parseLong(md5hex(s"cur0|$id").take(15), 16) % 4
+        java.lang.Long.parseLong(md5hexOf(s"cur0|$id").take(15), 16) % 4
       assert(shard == expected, s"doc $id")
+    }
+  }
+
+  /** Reimplements the whole CDC pipeline in plain Scala — boundary
+    * hash, chunk split, fingerprint, aggregation — and demands the
+    * identical repeated-chunk table.
+    */
+  test("x53: repeated chunks match a JVM recompute of the CDC split") {
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val chunks = texts.flatMap { case (id, text) =>
+      val w = text.split(" ", -1)
+      val n = w.length
+      val bpos = (8 to n).filter { i =>
+        val window = w.slice(i - 8, i).mkString(" ")
+        java.lang.Long.parseLong(md5hexOf(window).take(15), 16) % 16 == 0
+      }
+      val bounds = (0 +: bpos) ++
+        (if (bpos.isEmpty || bpos.last != n) Seq(n) else Seq())
+      bounds.sliding(2).map { case Seq(a, b) =>
+        (id, b - a, md5hexOf(w.slice(a, b).mkString(" ")))
+      }
+    }
+    val expected = chunks.groupBy(_._3).collect {
+      case (fp, cs) if cs.length > 1 =>
+        fp -> ((cs.head._2.toLong, cs.length.toLong,
+          cs.map(_._1).distinct.length.toLong, cs.map(_._1).min))
+    }
+    val got = SparkEntry.queries("x53_cdc_chunks")(spark, sf).collect()
+      .map(r => r.getAs[String]("chunk_fp") ->
+        ((r.getAs[Long]("n_chunk_tokens"), r.getAs[Long]("n_copies"),
+          r.getAs[Long]("n_docs"), r.getAs[Long]("canonical_doc"))))
+      .toMap
+    assert(got == expected)
+  }
+
+  /** The min-k sample is a monoid (min-k of a union = min-k of the
+    * merged shard samples) and the full est/exact table matches a JVM
+    * recompute.
+    */
+  test("x54: quantile table matches JVM recompute; min-k sample merges") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def hv(id: Long): Long =
+      java.lang.Long.parseLong(md5hexOf(s"q0|$id").take(15), 16)
+    def minK(ds: Seq[(String, Long, Long)]): Seq[(String, Long, Long)] =
+      ds.sortBy(d => (hv(d._2), d._2)).take(64)
+    def rankQ(vals: Seq[(Long, Long)], q: Int): Long = {
+      val sorted = vals.sortBy(identity).map(_._1)
+      sorted(((q * sorted.length + 99) / 100) - 1)
+    }
+    val expected = docs.groupBy(_._1).flatMap { case (src, ds) =>
+      val sample = minK(ds.toSeq)
+      Seq(25, 50, 75, 90).map { q =>
+        val est = rankQ(sample.map(d => (d._3, d._2)), q)
+        val exact = rankQ(ds.map(d => (d._3, d._2)).toSeq, q)
+        (src, q.toLong) -> ((est, exact, math.abs(est - exact)))
+      }
+    }
+    val got = SparkEntry.queries("x54_quantile_sketch")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("q")) ->
+        ((r.getAs[Long]("est"), r.getAs[Long]("exact"),
+          r.getAs[Long]("abs_err"))))
+      .toMap
+    assert(got == expected)
+    // monoid: per source, min-k of the union == min-k over merged
+    // shard samples (split by doc parity)
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val (a, b) = ds.toSeq.partition(_._2 % 2 == 0)
+      assert(minK(minK(a) ++ minK(b)) == minK(ds.toSeq), src)
     }
   }
 }
