@@ -464,15 +464,12 @@ ORDER BY v.source"""),
                   THEN array(n) ELSE CAST(array() AS ARRAY<INT>) END)"""))
           .withColumn("j", explode(expr("sequence(1, size(bounds) - 1)")))
           .select(col("doc_id"),
-            expr("element_at(bounds, j)").as("cstart"),
-            expr("element_at(bounds, j + 1)").as("cend"))
-          .join(Tables.documentsSpread(s, d).select("doc_id", "text"),
-            Seq("doc_id"))
-          .select(col("doc_id"),
-            expr("CAST(cend - cstart AS BIGINT)").as("n_chunk_tokens"),
+            expr("CAST(element_at(bounds, j + 1) - element_at(bounds, j) " +
+              "AS BIGINT)").as("n_chunk_tokens"),
             md5(expr(
-              "array_join(slice(split(text, ' '), cstart + 1, " +
-                "cend - cstart), ' ')").cast("binary")).as("chunk_fp"))
+              "array_join(slice(w, element_at(bounds, j) + 1, " +
+                "element_at(bounds, j + 1) - element_at(bounds, j)), ' ')")
+              .cast("binary")).as("chunk_fp"))
           .groupBy(col("chunk_fp"))
           .agg(min(col("n_chunk_tokens")).as("n_chunk_tokens"),
             count(lit(1)).as("n_copies"),
