@@ -647,6 +647,59 @@ SELECT source_a, source_b, n_match,
 FROM pairs ORDER BY source_a, source_b"""),
       "mergeable per-source MinHash sketch → pairwise Jaccard estimate"),
 
+    // ── Dedup token-yield accounting: what exact dedup (x05's
+    // fingerprint, shared spelling) actually SAVES, per source — docs
+    // and tokens before/after keeping only each duplicate group's
+    // canonical (min doc_id, which may live in another source: the
+    // cross-source case is the interesting one for mixture budgeting).
+    // Shape: one fingerprint aggregation + one fp-keyed equi-join +
+    // one per-source rollup; no driver state. The yield share is the
+    // single float division.
+    "x56_dedup_yield" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("w", expr("split(text, ' ')"))
+          .withColumn("fp", prefixFpSpark)
+          .select(col("source"), col("doc_id"),
+            expr("CAST(size(w) AS BIGINT)").as("n_tokens"), col("fp"))
+        val canon = docs.groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("keep_id"))
+        docs.join(canon, Seq("fp"))
+          .withColumn("kept", col("doc_id") === col("keep_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(col("n_tokens")).as("tokens_total"),
+            sum(when(col("kept"), col("n_tokens")).otherwise(0L))
+              .as("tokens_kept"))
+          .select(col("source"), col("n_docs"), col("n_kept"),
+            col("tokens_total"), col("tokens_kept"),
+            (col("tokens_kept").cast("double") / col("tokens_total"))
+              .as("yield_share"))
+          .orderBy("source")
+      },
+      Some(s"""
+WITH t AS (
+  SELECT source, doc_id, string_split(text, ' ') AS w FROM documents
+),
+d AS (
+  SELECT source, doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+    $PrefixFpDuck AS fp
+  FROM t
+),
+c AS (SELECT fp, min(doc_id) AS keep_id FROM d GROUP BY 1)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN d.doc_id = c.keep_id THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_kept,
+  CAST(sum(d.n_tokens) AS BIGINT) AS tokens_total,
+  CAST(sum(CASE WHEN d.doc_id = c.keep_id THEN d.n_tokens ELSE 0 END)
+    AS BIGINT) AS tokens_kept,
+  CAST(sum(CASE WHEN d.doc_id = c.keep_id THEN d.n_tokens ELSE 0 END)
+    AS DOUBLE) / sum(d.n_tokens) AS yield_share
+FROM d JOIN c USING (fp)
+GROUP BY d.source ORDER BY d.source"""),
+      "per-source docs/tokens surviving exact dedup (yield accounting)"),
+
     // ── SimHash: 32-bit bit-majority fingerprint over md5 token hashes
     "x07_dedup_simhash" -> QueryDef(
       (s, d) => simhashes(s, d)

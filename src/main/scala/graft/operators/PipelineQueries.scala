@@ -70,6 +70,12 @@ object PipelineQueries {
   /** x54's quantiles, in percent. */
   private val Quantiles = Seq(25, 50, 75, 90)
 
+  /** x55's fixed-point scale for sqrt weights and the token budget the
+    * weights allocate.
+    */
+  private val WScale = 1000000L
+  private val AllocBudget = 1000000L
+
   /** x26's "new batch": the last two source shards play the incoming
     * ingest; everything else is the already-accepted corpus.
     */
@@ -605,6 +611,54 @@ SELECT e.source, e.q, e.est, x.exact, abs(e.est - x.exact) AS abs_err
 FROM est e JOIN exact x ON e.source = x.source AND e.q = x.q
 ORDER BY e.source, e.q"""),
       "min-k hash-sample quantiles vs exact rank quantiles (mergeable)"),
+
+    // ── Temperature-0.5 mixture weights: per-source sampling weight
+    // ∝ sqrt(source tokens) (the multilingual-corpus upsampling rule:
+    // dampen head sources, boost tail ones), plus the exact token
+    // allocation each source gets from a fixed budget. Cross-engine
+    // float discipline: sqrt is IEEE-CORRECTLY-ROUNDED (unlike ln/exp,
+    // which drift by ulps between libms), so floor(sqrt(exact_int) ·
+    // 1e6) is bit-identical on both engines; the weight then lives in
+    // fixed point, the allocation is exact integer algebra in
+    // DECIMAL(38,0) ↔ HUGEINT (the e11 rule), and the only remaining
+    // float is the single share division. Shape: one partial-agg
+    // shuffle to |sources| rows, then a broadcast 1-row total.
+    "x55_mixture_weights" -> QueryDef(
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(sum(expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+            .as("n_tokens"))
+          .withColumn("weight_fp", expr(
+            s"CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * $WScale) " +
+              "AS BIGINT)"))
+        val tot = tok.agg(sum(col("weight_fp")).as("tot_fp"))
+        tok.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_tokens"), col("weight_fp"),
+            (col("weight_fp").cast("double") / col("tot_fp")).as("share"),
+            expr(s"CAST((CAST($AllocBudget AS DECIMAL(38,0)) * weight_fp)" +
+              " div tot_fp AS BIGINT)").as("alloc_tokens"))
+          .orderBy("source")
+      },
+      Some(s"""
+WITH tok AS (
+  SELECT source,
+    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+w AS (
+  SELECT source, n_tokens,
+    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * $WScale) AS BIGINT)
+      AS weight_fp
+  FROM tok
+),
+tot AS (SELECT CAST(sum(weight_fp) AS BIGINT) AS tot_fp FROM w)
+SELECT source, n_tokens, weight_fp,
+  CAST(weight_fp AS DOUBLE) / tot_fp AS share,
+  CAST((CAST($AllocBudget AS HUGEINT) * weight_fp) // tot_fp AS BIGINT)
+    AS alloc_tokens
+FROM w CROSS JOIN tot ORDER BY source"""),
+      "sqrt-temperature mixture weights + exact integer token allocation"),
 
     // ── Repetition filter: fraction of duplicate word-3-grams per doc
     // (high ⇒ boilerplate/spam) — pure map stage over codegen'd array

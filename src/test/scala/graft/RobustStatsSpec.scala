@@ -189,4 +189,45 @@ class RobustStatsSpec extends SparkSpec {
       assert(minK(minK(a) ++ minK(b)) == minK(ds.toSeq), src)
     }
   }
+
+  /** Pins the x55 determinism argument: floor(sqrt(exact int) · 1e6)
+    * recomputed with JVM Math.sqrt must equal the engine's weight, and
+    * the integer allocations must sum to ≤ budget with each share in
+    * (0, 1).
+    */
+  test("x55: sqrt fixed-point weights match JVM; allocation is exact") {
+    val rows = SparkEntry.queries("x55_mixture_weights")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val totFp = rows.map(_.getAs[Long]("weight_fp")).sum
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val expectedFp =
+        math.floor(math.sqrt(n.toDouble) * 1000000L).toLong
+      assert(r.getAs[Long]("weight_fp") == expectedFp, r.toString)
+      val expectedAlloc =
+        (BigInt(1000000L) * expectedFp / totFp).toLong
+      assert(r.getAs[Long]("alloc_tokens") == expectedAlloc, r.toString)
+      val share = r.getAs[Double]("share")
+      assert(share > 0.0 && share < 1.0)
+    }
+    // floor allocation never overshoots the budget
+    assert(rows.map(_.getAs[Long]("alloc_tokens")).sum <= 1000000L)
+  }
+
+  /** x56's per-source ledger must reconcile with an independent x05
+    * replay: kept == canonical rows, totals add up corpus-wide.
+    */
+  test("x56: yield ledger reconciles with the x05 duplicate groups") {
+    val rows = SparkEntry.queries("x56_dedup_yield")(spark, sf).collect()
+    val x05 = SparkEntry.queries("x05_dedup_exact")(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // kept docs across sources == number of duplicate groups (x05 rows)
+    assert(rows.map(_.getAs[Long]("n_kept")).sum == x05.length.toLong)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("tokens_kept") <= r.getAs[Long]("tokens_total"))
+    }
+  }
 }
