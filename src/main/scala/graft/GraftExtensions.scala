@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotLong, KmvSketch, MinHashSigs, Shingles3, SimHashBits}
+import graft.functions.{DotLong, KmvSketch, MinHashSigs, MinKSample, Shingles3, SimHashBits}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -36,6 +36,13 @@ object GraftExtensions {
     (FunctionIdentifier("shingles3"),
       new ExpressionInfo(classOf[Shingles3].getName, "shingles3"),
       (args: Seq[Expression]) => Shingles3(args(0))),
+    (FunctionIdentifier("mink_sample"),
+      new ExpressionInfo(classOf[MinKSample].getName, "mink_sample"),
+      (args: Seq[Expression]) => args(1) match {
+        case Literal(k: Int, _) => MinKSample(args(0), k)
+        case other => throw new IllegalArgumentException(
+          s"mink_sample(struct, k): k must be an integer literal, got $other")
+      }),
     (FunctionIdentifier("kmv_sketch"),
       new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),
       (args: Seq[Expression]) => args(1) match {

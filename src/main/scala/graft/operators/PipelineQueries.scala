@@ -63,12 +63,44 @@ object PipelineQueries {
   private val CdcW = 8
   private val CdcMask = 16
 
-  /** x54's per-source min-k sample size and hash seed. */
-  private val QSampleK = 64
-  private val QSeed = "q0"
+  /** x54's per-source min-k sample size and hash seed (shared with the
+    * streaming twin st11).
+    */
+  private[graft] val QSampleK = 64
+  private[graft] val QSeed = "q0"
 
-  /** x54's quantiles, in percent. */
-  private val Quantiles = Seq(25, 50, 75, 90)
+  /** x54's quantiles, in percent (shared with st11). */
+  private[graft] val Quantiles = Seq(25, 50, 75, 90)
+
+  /** DuckDB CTE chain `docs → sample → est` for the min-k hash-sample
+    * quantile estimate — ONE spelling shared by the x54 oracle and its
+    * streaming twin st11 (whose drained state must equal the batch
+    * sample, so the oracles must agree on every byte).
+    */
+  private[graft] def duckMinKEstCtes: String = s"""docs AS (
+  SELECT source, doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(('0x' || substr(md5('$QSeed|' || CAST(doc_id AS VARCHAR)),
+      1, 15)) AS BIGINT) AS hv
+  FROM documents
+),
+sample AS (
+  SELECT source, doc_id, n_tokens FROM (
+    SELECT source, doc_id, n_tokens,
+      row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS hrn
+    FROM docs)
+  WHERE hrn <= $QSampleK
+),
+est AS (
+  SELECT source, CAST(q AS BIGINT) AS q, n_tokens AS est FROM (
+    SELECT source, n_tokens,
+      row_number() OVER (PARTITION BY source
+        ORDER BY n_tokens, doc_id) AS srn,
+      count(*) OVER (PARTITION BY source) AS m
+    FROM sample) s
+  CROSS JOIN (SELECT unnest([${Quantiles.mkString(", ")}]) AS q)
+  WHERE srn = (q * m + 99) // 100
+)"""
 
   /** x55's fixed-point scale for sqrt weights and the token budget the
     * weights allocate.
@@ -573,30 +605,7 @@ ORDER BY chunk_fp"""),
           .orderBy("source", "q")
       },
       Some(s"""
-WITH docs AS (
-  SELECT source, doc_id,
-    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-    CAST(('0x' || substr(md5('$QSeed|' || CAST(doc_id AS VARCHAR)),
-      1, 15)) AS BIGINT) AS hv
-  FROM documents
-),
-sample AS (
-  SELECT source, doc_id, n_tokens FROM (
-    SELECT source, doc_id, n_tokens,
-      row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS hrn
-    FROM docs)
-  WHERE hrn <= $QSampleK
-),
-est AS (
-  SELECT source, CAST(q AS BIGINT) AS q, n_tokens AS est FROM (
-    SELECT source, n_tokens,
-      row_number() OVER (PARTITION BY source
-        ORDER BY n_tokens, doc_id) AS srn,
-      count(*) OVER (PARTITION BY source) AS m
-    FROM sample) s
-  CROSS JOIN (SELECT unnest([${Quantiles.mkString(", ")}]) AS q)
-  WHERE srn = (q * m + 99) // 100
-),
+WITH $duckMinKEstCtes,
 exact AS (
   SELECT source, CAST(q AS BIGINT) AS q, n_tokens AS exact FROM (
     SELECT source, n_tokens,

@@ -306,5 +306,45 @@ SELECT band, sigval, CAST(count(*) AS BIGINT) AS n_docs,
   min(doc_id) AS rep_id
 FROM bands GROUP BY 1, 2 HAVING count(*) >= 2
 ORDER BY band, sigval"""),
-      "streaming LSH bucket state (dedup-at-ingest) == batch band build"))
+      "streaming LSH bucket state (dedup-at-ingest) == batch band build"),
+
+    // ── Streaming quantile sketch: documents stream into the native
+    // `mink_sample` aggregate (graft.functions.MinKSample) — O(k) state
+    // per source, merged as a monoid across micro-batches, so the
+    // drained complete-mode sample is byte-identical to the batch min-k
+    // sample regardless of arrival order; the quantile selection then
+    // runs on the drained (batch) frame. This is x54's estimate side at
+    // ingest time: a firehose keeps per-source length quantiles current
+    // without ever holding more than k rows per source, and the oracle
+    // is the SAME CTE chain as x54's (shared spelling).
+    "st11_stream_quantile_sketch" -> QueryDef(
+      (s, d) => {
+        graft.GraftExtensions.install(s)
+        import graft.operators.PipelineQueries.{QSampleK, QSeed, Quantiles}
+        val docs = EventStream.readDocuments(s, d)
+          .select(col("source"),
+            expr(s"CAST(conv(substr(md5(concat('$QSeed|', " +
+              "CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+              .as("hv"),
+            col("doc_id"),
+            expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"))
+        val agg = docs.groupBy(col("source"))
+          .agg(expr(s"mink_sample(struct(hv, doc_id, n_tokens), " +
+            s"$QSampleK)").as("sample"))
+        EventStream.runToMemory(s, agg, s"st11_sink_${System.nanoTime}")
+          .withColumn("sorted", expr(
+            "array_sort(transform(sample, x -> struct(x.val AS v, " +
+              "x.tag AS t)))"))
+          .withColumn("m", expr("CAST(size(sorted) AS BIGINT)"))
+          .withColumn("q", explode(expr(
+            s"array(${Quantiles.mkString(", ")})")))
+          .select(col("source"), col("q").cast("bigint").as("q"),
+            expr("element_at(sorted, CAST((q * m + 99) div 100 AS INT)).v")
+              .as("est"))
+          .orderBy("source", "q")
+      },
+      Some(s"""
+WITH ${graft.operators.PipelineQueries.duckMinKEstCtes}
+SELECT source, q, est FROM est ORDER BY source, q"""),
+      "streaming min-k sample state == batch quantile estimate (O(k)/key)"))
 }
