@@ -72,6 +72,44 @@ object PipelineQueries {
   /** x54's quantiles, in percent (shared with st11). */
   private[graft] val Quantiles = Seq(25, 50, 75, 90)
 
+  /** Min-k sample staging over any `(source, doc_id, text)` frame —
+    * batch or stream (identical per-row expressions, which is what makes
+    * st11's drained state comparable to x54's batch sample).
+    */
+  private[graft] def minkStaged(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("source"),
+      expr(s"CAST(conv(substr(md5(concat('$QSeed|', " +
+        "CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)").as("hv"),
+      col("doc_id"),
+      expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"))
+
+  /** The min-k sample itself via the native `mink_sample` aggregate
+    * (graft.functions.MinKSample): O(k) state per source, partial-agg
+    * map-side — the sample never pays a per-source window over the
+    * corpus.
+    */
+  private[graft] def minkAgg(
+      staged: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.GraftExtensions.install(staged.sparkSession)
+    staged.groupBy(col("source"))
+      .agg(expr(s"mink_sample(struct(hv, doc_id, n_tokens), $QSampleK)")
+        .as("sample"))
+  }
+
+  /** Rank-selected quantile estimates from a `(source, sample)` frame —
+    * shared by x54 and st11 so the two can't drift.
+    */
+  private[graft] def minkQuantiles(
+      agged: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = agged
+    .withColumn("sorted", expr(
+      "array_sort(transform(sample, x -> struct(x.val AS v, x.tag AS t)))"))
+    .withColumn("m", expr("CAST(size(sorted) AS BIGINT)"))
+    .withColumn("q", explode(expr(s"array(${Quantiles.mkString(", ")})")))
+    .select(col("source"), col("q").cast("bigint").as("q"),
+      expr("element_at(sorted, CAST((q * m + 99) div 100 AS INT)).v")
+        .as("est"))
+
   /** DuckDB CTE chain `docs → sample → est` for the min-k hash-sample
     * quantile estimate — ONE spelling shared by the x54 oracle and its
     * streaming twin st11 (whose drained state must equal the batch
@@ -566,30 +604,15 @@ ORDER BY chunk_fp"""),
     // the absolute error. Every statistic is a rank-selected INTEGER —
     // nothing interpolated, nothing floating. The exact side is the
     // audit's ground truth at test SF; at 100 TB a pipeline runs the
-    // sample side alone and the window it needs is over k rows per
-    // source, not the corpus.
+    // sample side alone — whose state is the mink_sample aggregate's
+    // O(k) per source, never a window over the corpus.
     "x54_quantile_sketch" -> QueryDef(
       (s, d) => {
         val qArr = s"array(${Quantiles.mkString(", ")})"
         val docs = Tables.documents(s, d)
           .select(col("source"), col("doc_id"),
             expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"))
-        val sample = docs
-          .withColumn("hv", expr(
-            s"CAST(conv(substr(md5(concat('$QSeed|', " +
-              "CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
-          .withColumn("hrn", row_number().over(
-            Window.partitionBy("source").orderBy(col("hv"), col("doc_id"))))
-          .filter(col("hrn") <= QSampleK)
-        val est = sample
-          .withColumn("srn", row_number().over(
-            Window.partitionBy("source")
-              .orderBy(col("n_tokens"), col("doc_id"))))
-          .withColumn("m", count(lit(1)).over(Window.partitionBy("source")))
-          .withColumn("q", explode(expr(qArr)))
-          .filter(expr("srn = (q * m + 99) div 100"))
-          .select(col("source"), col("q").cast("bigint").as("q"),
-            col("n_tokens").as("est"))
+        val est = minkQuantiles(minkAgg(minkStaged(Tables.documents(s, d))))
         val exact = docs
           .withColumn("xrn", row_number().over(
             Window.partitionBy("source")

@@ -319,28 +319,10 @@ ORDER BY band, sigval"""),
     // is the SAME CTE chain as x54's (shared spelling).
     "st11_stream_quantile_sketch" -> QueryDef(
       (s, d) => {
-        graft.GraftExtensions.install(s)
-        import graft.operators.PipelineQueries.{QSampleK, QSeed, Quantiles}
-        val docs = EventStream.readDocuments(s, d)
-          .select(col("source"),
-            expr(s"CAST(conv(substr(md5(concat('$QSeed|', " +
-              "CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)")
-              .as("hv"),
-            col("doc_id"),
-            expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"))
-        val agg = docs.groupBy(col("source"))
-          .agg(expr(s"mink_sample(struct(hv, doc_id, n_tokens), " +
-            s"$QSampleK)").as("sample"))
-        EventStream.runToMemory(s, agg, s"st11_sink_${System.nanoTime}")
-          .withColumn("sorted", expr(
-            "array_sort(transform(sample, x -> struct(x.val AS v, " +
-              "x.tag AS t)))"))
-          .withColumn("m", expr("CAST(size(sorted) AS BIGINT)"))
-          .withColumn("q", explode(expr(
-            s"array(${Quantiles.mkString(", ")})")))
-          .select(col("source"), col("q").cast("bigint").as("q"),
-            expr("element_at(sorted, CAST((q * m + 99) div 100 AS INT)).v")
-              .as("est"))
+        import graft.operators.PipelineQueries.{minkAgg, minkQuantiles, minkStaged}
+        val agg = minkAgg(minkStaged(EventStream.readDocuments(s, d)))
+        minkQuantiles(
+          EventStream.runToMemory(s, agg, s"st11_sink_${System.nanoTime}"))
           .orderBy("source", "q")
       },
       Some(s"""
