@@ -25,10 +25,11 @@ object GraftExtensions {
       (args: Seq[Expression]) => DotLong(args(0), args(1))),
     (FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
-      (args: Seq[Expression]) => args(1) match {
-        case Literal(k: Int, _) => MinHashSigs(args(0), k)
+      (args: Seq[Expression]) => args match {
+        case Seq(a, Literal(k: Int, _)) => MinHashSigs(a, k)
         case other => throw new IllegalArgumentException(
-          s"minhash_sigs(arr, k): k must be an integer literal, got $other")
+          "minhash_sigs(arr, k): expected (array, integer literal), " +
+            s"got $other")
       }),
     (FunctionIdentifier("simhash_bits"),
       new ExpressionInfo(classOf[SimHashBits].getName, "simhash_bits"),
@@ -38,17 +39,19 @@ object GraftExtensions {
       (args: Seq[Expression]) => Shingles3(args(0))),
     (FunctionIdentifier("mink_sample"),
       new ExpressionInfo(classOf[MinKSample].getName, "mink_sample"),
-      (args: Seq[Expression]) => args(1) match {
-        case Literal(k: Int, _) => MinKSample(args(0), k)
+      (args: Seq[Expression]) => args match {
+        case Seq(s, Literal(k: Int, _)) => MinKSample(s, k)
         case other => throw new IllegalArgumentException(
-          s"mink_sample(struct, k): k must be an integer literal, got $other")
+          "mink_sample(struct, k): expected (struct, integer literal), " +
+            s"got $other")
       }),
     (FunctionIdentifier("kmv_sketch"),
       new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),
-      (args: Seq[Expression]) => args(1) match {
-        case Literal(k: Int, _) => KmvSketch(args(0), k)
+      (args: Seq[Expression]) => args match {
+        case Seq(h, Literal(k: Int, _)) => KmvSketch(h, k)
         case other => throw new IllegalArgumentException(
-          s"kmv_sketch(hash, k): k must be an integer literal, got $other")
+          "kmv_sketch(hash, k): expected (hash, integer literal), " +
+            s"got $other")
       }),
     // Spark ships these two (they power its runtime row-level join
     // filtering) but leaves them out of the public registry; exposing

@@ -41,6 +41,8 @@ case class MinKSample(child: Expression, k: Int,
 
   require(k >= 1, s"mink_sample needs k >= 1, got $k")
 
+  private val ord = implicitly[Ordering[(Long, Long, Long)]]
+
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case StructType(fs)
@@ -60,13 +62,12 @@ case class MinKSample(child: Expression, k: Int,
   override def prettyName: String = "mink_sample"
 
   override def createAggregationBuffer(): java.util.TreeSet[(Long, Long, Long)] =
-    new java.util.TreeSet[(Long, Long, Long)](
-      implicitly[Ordering[(Long, Long, Long)]])
+    new java.util.TreeSet[(Long, Long, Long)](ord)
 
   private def insert(buf: java.util.TreeSet[(Long, Long, Long)],
       e: (Long, Long, Long)): Unit =
     if (buf.size < k) { buf.add(e); () }
-    else if (implicitly[Ordering[(Long, Long, Long)]].lt(e, buf.last)) {
+    else if (ord.lt(e, buf.last)) {
       if (buf.add(e)) { buf.remove(buf.last); () }
     }
 
@@ -75,7 +76,11 @@ case class MinKSample(child: Expression, k: Int,
     val v = child.eval(input)
     if (v != null) {
       val r = v.asInstanceOf[InternalRow]
-      insert(buf, (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // a NULL field (e.g. n_tokens of a NULL text) must not coerce to
+      // 0 and enter the sample — skip the row, like the window spelling
+      // whose NULLS-last rank never selects it
+      if (!r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2))
+        insert(buf, (r.getLong(0), r.getLong(1), r.getLong(2)))
     }
     buf
   }

@@ -11,12 +11,9 @@ class MinKSampleSpec extends SparkSpec {
 
   private def docs = {
     GraftExtensions.install(spark)
-    Tables.documents(spark, sf)
-      .select(col("source"),
-        expr("CAST(conv(substr(md5(concat('q0|', " +
-          "CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)").as("hv"),
-        col("doc_id"),
-        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"))
+    // the PRODUCTION staging — the point is pinning exactly what x54
+    // and st11 run, not a lookalike respelling
+    operators.PipelineQueries.minkStaged(Tables.documents(spark, sf))
   }
 
   private def collectAgg(df: org.apache.spark.sql.DataFrame, k: Int) = df

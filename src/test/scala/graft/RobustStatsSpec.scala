@@ -223,7 +223,8 @@ class RobustStatsSpec extends SparkSpec {
     val x05 = SparkEntry.queries("x05_dedup_exact")(spark, sf).collect()
     val nDocs = Tables.documents(spark, sf).count()
     assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
-    // kept docs across sources == number of duplicate groups (x05 rows)
+    // kept docs across sources == number of distinct fingerprints (x05
+    // emits one row per fingerprint, singletons included)
     assert(rows.map(_.getAs[Long]("n_kept")).sum == x05.length.toLong)
     rows.foreach { r =>
       assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
