@@ -358,5 +358,218 @@ SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, quality_score,
        THEN 'validation' ELSE 'train' END AS split
 FROM deduped ORDER BY doc_id"""
       },
-      "corpus flagship: quality filter → exact dedup → held-out split"))
+      "corpus flagship: quality filter → exact dedup → held-out split"),
+
+    // ── Repetition signals (the Gopher-style repetition filters): per-doc
+    // top word-2-gram share and duplicate 2-/3-gram fractions. The scalable
+    // spelling is explode → count per (doc, g, gram) → per-doc rollup: both
+    // aggregations are keyed by doc_id-prefixed keys so they partial-agg
+    // map-side and the post-shuffle row count is bounded by distinct grams
+    // per doc, never corpus-wide state. A per-doc HOF argmax
+    // (array_max over transform(array_distinct...)) would be O(n·distinct)
+    // per row — quadratic in doc length — which is why the explode shape
+    // wins for long documents.
+    "x57_repetition_stats" -> QueryDef(
+      (s, d) => {
+        val toks = Tables.documents(s, d).select(col("doc_id"),
+          expr("split(text, ' ')").as("tk"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"))
+        val wide = repPerDoc(toks)
+        toks.select("doc_id", "n_tokens")
+          .join(wide, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            col("top2").cast("bigint").as("top2_cnt"),
+            col("tot2").cast("bigint").as("n_2grams"),
+            col("dst2").cast("bigint").as("dst_2grams"),
+            expr(top2FracExpr).as("top_2gram_frac"),
+            expr(dup2FracExpr).as("dup_2gram_frac"),
+            expr("CAST(top3 AS DOUBLE) / tot3").as("top_3gram_frac"),
+            expr("CAST(tot3 - dst3 AS DOUBLE) / tot3").as("dup_3gram_frac"),
+            expr(repetitiveExpr).as("repetitive"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+WITH $duckRepCtes
+SELECT t.doc_id, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+  CAST(top2 AS BIGINT) AS top2_cnt,
+  CAST(tot2 AS BIGINT) AS n_2grams,
+  CAST(dst2 AS BIGINT) AS dst_2grams,
+  $top2FracExpr AS top_2gram_frac,
+  $dup2FracExpr AS dup_2gram_frac,
+  CAST(top3 AS DOUBLE) / tot3 AS top_3gram_frac,
+  CAST(tot3 - dst3 AS DOUBLE) / tot3 AS dup_3gram_frac,
+  $repetitiveExpr AS repetitive
+FROM rtoks t LEFT JOIN rwide USING (doc_id) ORDER BY doc_id"""),
+      "Gopher-style per-doc repetition signals via explode + two keyed aggs"),
+
+    // ── Filter-funnel survival: docs and tokens surviving the cumulative
+    // curation chain (length → language-identifiable → quality →
+    // non-repetitive) — the observability readout a corpus owner checks
+    // before committing a filter recipe. Per-doc flags are one map pass
+    // (plus the x57 repetition rollup, re-spelled from the SAME factored
+    // exprs so the funnel audits exactly the filters the other queries
+    // apply); the funnel itself is a single global aggregation to one row,
+    // unpivoted with stack(). Survival shares are single IEEE divisions
+    // of exact counts.
+    "x58_filter_funnel" -> QueryDef(
+      (s, d) => {
+        val hitSum = stopwords.map { case (_, ws) =>
+          s"size(filter(split(text, ' '), w -> w IN ${inList(ws)}))"
+        }.mkString(" + ")
+        val toks = Tables.documents(s, d).select(col("doc_id"),
+          expr("split(text, ' ')").as("tk"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"))
+        val flags = qualityScored(s, d)
+          .withColumn("f1", col("n_tokens").between(20, 1000))
+          .withColumn("f2", expr(s"($hitSum) > 0"))
+          .withColumn("f3", col("quality_score") >= 25d)
+          .select("doc_id", "n_tokens", "f1", "f2", "f3")
+          .join(repPerDoc(toks), Seq("doc_id"), "left")
+          .withColumn("f4", expr(s"NOT coalesce($repetitiveExpr, FALSE)"))
+        flags.agg(
+          count(lit(1)).as("d0"),
+          sum(when(col("f1"), 1L).otherwise(0L)).as("d1"),
+          sum(when(col("f1") && col("f2"), 1L).otherwise(0L)).as("d2"),
+          sum(when(col("f1") && col("f2") && col("f3"), 1L).otherwise(0L))
+            .as("d3"),
+          sum(when(col("f1") && col("f2") && col("f3") && col("f4"), 1L)
+            .otherwise(0L)).as("d4"),
+          sum(col("n_tokens")).as("t0"),
+          sum(when(col("f1"), col("n_tokens")).otherwise(0L)).as("t1"),
+          sum(when(col("f1") && col("f2"), col("n_tokens")).otherwise(0L))
+            .as("t2"),
+          sum(when(col("f1") && col("f2") && col("f3"), col("n_tokens"))
+            .otherwise(0L)).as("t3"),
+          sum(when(col("f1") && col("f2") && col("f3") && col("f4"),
+            col("n_tokens")).otherwise(0L)).as("t4"))
+          .select(expr(
+            """stack(5,
+               '0_all',        d0, CAST(t0 AS BIGINT), CAST(d0 AS DOUBLE) / d0,
+               '1_length',     d1, CAST(t1 AS BIGINT), CAST(d1 AS DOUBLE) / d0,
+               '2_lang',       d2, CAST(t2 AS BIGINT), CAST(d2 AS DOUBLE) / d0,
+               '3_quality',    d3, CAST(t3 AS BIGINT), CAST(d3 AS DOUBLE) / d0,
+               '4_repetition', d4, CAST(t4 AS BIGINT), CAST(d4 AS DOUBLE) / d0)
+               AS (stage, docs, tokens, doc_share)"""))
+          .orderBy("stage")
+      },
+      Some {
+        val hitSum = stopwords.map { case (_, ws) =>
+          s"len(list_filter(string_split(text, ' '), w -> w IN ${inList(ws)}))"
+        }.mkString(" + ")
+        s"""
+WITH $duckQualityCtes,
+$duckRepCtes,
+flags AS (
+  SELECT q.doc_id, q.n_tokens,
+    q.n_tokens BETWEEN 20 AND 1000 AS f1,
+    ($hitSum) > 0 AS f2,
+    q.quality_score >= 25 AS f3,
+    NOT coalesce($repetitiveExpr, FALSE) AS f4
+  FROM q LEFT JOIN rwide ON q.doc_id = rwide.doc_id
+),
+agg AS (
+  SELECT count(*) AS d0,
+    sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS d1,
+    sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS d2,
+    sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS d3,
+    sum(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) AS d4,
+    sum(n_tokens) AS t0,
+    sum(CASE WHEN f1 THEN n_tokens ELSE 0 END) AS t1,
+    sum(CASE WHEN f1 AND f2 THEN n_tokens ELSE 0 END) AS t2,
+    sum(CASE WHEN f1 AND f2 AND f3 THEN n_tokens ELSE 0 END) AS t3,
+    sum(CASE WHEN f1 AND f2 AND f3 AND f4 THEN n_tokens ELSE 0 END) AS t4
+  FROM flags
+)
+SELECT '0_all' AS stage, CAST(d0 AS BIGINT) AS docs,
+  CAST(t0 AS BIGINT) AS tokens, CAST(d0 AS DOUBLE) / d0 AS doc_share
+FROM agg
+UNION ALL SELECT '1_length', CAST(d1 AS BIGINT), CAST(t1 AS BIGINT),
+  CAST(d1 AS DOUBLE) / d0 FROM agg
+UNION ALL SELECT '2_lang', CAST(d2 AS BIGINT), CAST(t2 AS BIGINT),
+  CAST(d2 AS DOUBLE) / d0 FROM agg
+UNION ALL SELECT '3_quality', CAST(d3 AS BIGINT), CAST(t3 AS BIGINT),
+  CAST(d3 AS DOUBLE) / d0 FROM agg
+UNION ALL SELECT '4_repetition', CAST(d4 AS BIGINT), CAST(t4 AS BIGINT),
+  CAST(d4 AS DOUBLE) / d0 FROM agg
+ORDER BY stage"""
+      },
+      "cumulative curation-funnel survival (docs + tokens per filter stage)"))
+
+  /** Shared spellings for the x57/x58 repetition fractions — factored so
+    * the funnel's stage-4 filter is EXACTLY the x57 flag (a drifted copy
+    * would audit a different filter). Each is a single IEEE division of
+    * exact integers (bit-identical cross-engine).
+    */
+  private val top2FracExpr = "CAST(top2 AS DOUBLE) / tot2"
+  private val dup2FracExpr = "CAST(tot2 - dst2 AS DOUBLE) / tot2"
+  private val repetitiveExpr =
+    s"($top2FracExpr > 0.08 OR $dup2FracExpr > 0.08)"
+
+  /** Per-doc word-2/3-gram rollup: for each doc the most frequent gram's
+    * count (`topN`), the gram total (`totN`) and the distinct-gram count
+    * (`dstN`). Input must carry `doc_id`, `tk` (token array), `n_tokens`.
+    * Both grouping keys start with doc_id, so the whole chain partial-aggs
+    * map-side and shuffles at most one row per distinct (doc, gram).
+    */
+  private def repPerDoc(toks: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // sequence(k, size) DESCENDS when size < k (the documented Spark
+    // gotcha) — the n_tokens >= k guard rows it out before fan-out
+    def grams(k: Int) = {
+      val parts = (k - 1 to 0 by -1)
+        .map(j => s"element_at(tk, i - $j)").mkString(", ")
+      toks.where(col("n_tokens") >= k).select(col("doc_id"),
+        lit(k).as("g"),
+        explode(expr(
+          s"transform(sequence($k, CAST(size(tk) AS INT)), i -> concat_ws(' ', $parts))"))
+          .as("gram"))
+    }
+    grams(2).unionByName(grams(3))
+      .groupBy("doc_id", "g", "gram").count()
+      .groupBy("doc_id", "g").agg(
+        max("count").as("topc"), sum("count").as("total"),
+        count(lit(1)).as("dst"))
+      .groupBy("doc_id").agg(
+        max(when(col("g") === 2, col("topc"))).as("top2"),
+        max(when(col("g") === 2, col("total"))).as("tot2"),
+        max(when(col("g") === 2, col("dst"))).as("dst2"),
+        max(when(col("g") === 3, col("topc"))).as("top3"),
+        max(when(col("g") === 3, col("total"))).as("tot3"),
+        max(when(col("g") === 3, col("dst"))).as("dst3"))
+  }
+
+  /** DuckDB twin of [[repPerDoc]] (+ the `rtoks` token CTE): `rwide` has
+    * the same six columns; shared by the x57 and x58 oracles.
+    */
+  private val duckRepCtes: String = """rtoks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk,
+    len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+rgrams AS (
+  SELECT doc_id, 2 AS g, tk[i-1] || ' ' || tk[i] AS gram
+  FROM rtoks, UNNEST(generate_series(2, n_tokens)) AS u(i)
+  WHERE n_tokens >= 2
+  UNION ALL
+  SELECT doc_id, 3 AS g, tk[i-2] || ' ' || tk[i-1] || ' ' || tk[i] AS gram
+  FROM rtoks, UNNEST(generate_series(3, n_tokens)) AS u(i)
+  WHERE n_tokens >= 3
+),
+rcnt AS (
+  SELECT doc_id, g, gram, count(*) AS c FROM rgrams GROUP BY 1, 2, 3
+),
+rperdoc AS (
+  SELECT doc_id, g, max(c) AS topc, sum(c) AS total, count(*) AS dst
+  FROM rcnt GROUP BY 1, 2
+),
+rwide AS (
+  SELECT doc_id,
+    max(CASE WHEN g = 2 THEN topc END) AS top2,
+    max(CASE WHEN g = 2 THEN total END) AS tot2,
+    max(CASE WHEN g = 2 THEN dst END) AS dst2,
+    max(CASE WHEN g = 3 THEN topc END) AS top3,
+    max(CASE WHEN g = 3 THEN total END) AS tot3,
+    max(CASE WHEN g = 3 THEN dst END) AS dst3
+  FROM rperdoc GROUP BY 1
+)"""
 }
