@@ -1591,5 +1591,74 @@ FROM scored GROUP BY doc_id ORDER BY doc_id"""),
                     FROM orders)
               GROUP BY CUBE (yr, status)
               ORDER BY yr NULLS FIRST, status NULLS FIRST, lvl"""),
-      "full grouping-set lattice with grouping_id (CUBE twin of a10)"))
+      "full grouping-set lattice with grouping_id (CUBE twin of a10)"),
+
+    // ── Deterministic weighted sampling: priority sampling (Duffield /
+    // Lund / Thorup) with token-count weights — the subsample a corpus
+    // owner draws when big documents must be over-represented
+    // proportionally to their token mass, with the (k+1)-th priority
+    // threshold (`tau`) retained so downstream token totals stay
+    // unbiased (est = max(w, tau) for kept rows). "Random" is the
+    // seeded-md5 uniform (never rand()): u = (h + 1) / 2^60 in (0, 1],
+    // priority = w / u. One map pass + one source-keyed window pair
+    // sharing a single exchange; per-source state is the top k+1 rows,
+    // so the shuffle reduces to |sources| * (k+1) rows at any corpus
+    // size (a TakeOrdered-per-group, not a global sort).
+    "x60_priority_sample" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val prio =
+          """CAST(n_tokens AS DOUBLE)
+             / (CAST(CAST(conv(substr(md5(concat('ps|',
+                  CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)
+                + 1 AS DOUBLE) / 1152921504606846976.0d)"""
+            .replace('\n', ' ')
+        val bySrc = Window.partitionBy("source")
+        val ranked = Tables.documents(s, d)
+          .withColumn("n_tokens",
+            expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+          .withColumn("priority", expr(prio))
+          .withColumn("rk", row_number().over(
+            bySrc.orderBy(col("priority").desc, col("doc_id"))))
+          .withColumn("tau",
+            max(when(col("rk") === 17, col("priority"))).over(bySrc))
+        ranked.filter(col("rk") <= 16)
+          .select(col("source"), col("doc_id"), col("n_tokens"),
+            col("priority"), col("rk").cast("bigint").as("rk"), col("tau"),
+            expr("""CASE WHEN tau IS NULL THEN CAST(n_tokens AS DOUBLE)
+                   WHEN CAST(n_tokens AS DOUBLE) > tau
+                     THEN CAST(n_tokens AS DOUBLE)
+                   ELSE tau END""".replace('\n', ' ')).as("est_tokens"))
+          .orderBy("source", "rk")
+      },
+      Some("""
+WITH t AS (
+  SELECT source, doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+p AS (
+  SELECT *,
+    CAST(n_tokens AS DOUBLE)
+      / (CAST(CAST(('0x' || substr(md5('ps|' || CAST(doc_id AS VARCHAR)),
+             1, 15)) AS BIGINT) + 1 AS DOUBLE) / 1152921504606846976.0)
+      AS priority
+  FROM t
+),
+r AS (
+  SELECT *, row_number()
+    OVER (PARTITION BY source ORDER BY priority DESC, doc_id) AS rk
+  FROM p
+),
+w AS (
+  SELECT *, max(CASE WHEN rk = 17 THEN priority END)
+    OVER (PARTITION BY source) AS tau
+  FROM r
+)
+SELECT source, doc_id, n_tokens, priority, CAST(rk AS BIGINT) AS rk, tau,
+  CASE WHEN tau IS NULL THEN CAST(n_tokens AS DOUBLE)
+       WHEN CAST(n_tokens AS DOUBLE) > tau THEN CAST(n_tokens AS DOUBLE)
+       ELSE tau END AS est_tokens
+FROM w WHERE rk <= 16 ORDER BY source, rk"""),
+      "token-weighted priority sampling with unbiased-estimator threshold"))
 }

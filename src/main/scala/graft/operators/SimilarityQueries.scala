@@ -630,5 +630,59 @@ SELECT vec_id, vmin, vmax,
   CAST(len(q) AS BIGINT) AS dim,
   md5(array_to_string(q, ',')) AS q_md5
 FROM q ORDER BY vec_id"""),
-      "per-vector int8 affine quantization: 4x smaller vectors, md5-pinned"))
+      "per-vector int8 affine quantization: 4x smaller vectors, md5-pinned"),
+
+    // ── Per-dimension embedding distribution stats — the whitening /
+    // normalization input (mean, population variance, range per dim).
+    // Float sums are merge-order-dependent, so every coordinate is
+    // fixed-pointed to integer micro-units first (the x36 rule), the
+    // moments accumulate exactly (second moment in DECIMAL(38,0) ↔
+    // HUGEINT — 1e14 per row overflows BIGINT at corpus scale), and the
+    // float mean/variance are re-derived at the end with the SAME
+    // association order in both SQL texts (the a14 rule). One explode +
+    // one dim-keyed partial aggregation: post-shuffle rows = dim count,
+    // independent of corpus size.
+    "x59_embed_dim_stats" -> QueryDef(
+      (s, d) => Tables.embeddingsSpread(s, d)
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select((col("pos") + 1).cast("bigint").as("dim"),
+          expr("CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5d) AS BIGINT)")
+            .as("xf"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum("xf").as("sx"),
+          sum(expr("CAST(xf AS DECIMAL(38,0)) * CAST(xf AS DECIMAL(38,0))"))
+            .as("sxx"),
+          min("xf").as("min_micro"), max("xf").as("max_micro"))
+        .select(col("dim"), col("n"), col("sx"),
+          col("sxx").cast("string").as("sxx"),
+          col("min_micro"), col("max_micro"),
+          expr("CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0d)")
+            .as("mean"),
+          expr("""CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                 - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))
+                 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12)"""
+            .replace('\n', ' ')).as("var_pop"))
+        .orderBy("dim"),
+      Some("""
+WITH f AS (
+  SELECT i AS dim,
+    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+      AS xf
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+)
+SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(xf) AS BIGINT) AS sx,
+  CAST(sum(CAST(xf AS HUGEINT) * CAST(xf AS HUGEINT)) AS VARCHAR) AS sxx,
+  CAST(min(xf) AS BIGINT) AS min_micro,
+  CAST(max(xf) AS BIGINT) AS max_micro,
+  CAST(sum(xf) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0)
+    AS mean,
+  CAST(CAST(count(*) AS HUGEINT)
+         * sum(CAST(xf AS HUGEINT) * CAST(xf AS HUGEINT))
+       - CAST(sum(xf) AS HUGEINT) * CAST(sum(xf) AS HUGEINT) AS DOUBLE)
+    / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) * 1e12)
+    AS var_pop
+FROM f GROUP BY dim ORDER BY dim"""),
+      "exact per-dimension embedding moments (whitening input) via integer fixed-point"))
 }
