@@ -49,23 +49,39 @@ object GraphQueries {
     * aggregate exactly the same integers regardless of their float
     * libms or sum orders.
     */
-  def partPagerank(s: SparkSession, d: String): DataFrame = {
-    // Pair expansion via ONE shuffle: group line items by order
-    // (collect_set = the oracle's SELECT DISTINCT), then explode the
-    // per-order part set against itself map-side. Relationally identical
-    // to distinct + self-join on l_orderkey but pays one 600k-row
-    // shuffle instead of three (distinct, join-left, join-right).
-    // Fan-out is (items-per-order)² — bounded by order size (~7 here);
-    // a pathological million-item "order" would need a pre-cap upstream.
-    val pairs = Tables.lineitem(s, d)
+  /** Weighted co-purchase edge list (src, dst, w) — the shared graph
+    * under x46 PageRank and x61 label propagation. Pair expansion via
+    * ONE shuffle: group line items by order (collect_set = the oracle's
+    * SELECT DISTINCT), then explode the per-order part set against
+    * itself map-side. Relationally identical to distinct + self-join on
+    * l_orderkey but pays one 600k-row shuffle instead of three
+    * (distinct, join-left, join-right). Fan-out is (items-per-order)² —
+    * bounded by order size (~7 here); a pathological million-item
+    * "order" would need a pre-cap upstream. Persisted: each iterative
+    * round re-scans the cache, not the build.
+    */
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .groupBy("ok").agg(collect_set(col("pk")).as("pks"))
       .select(explode(col("pks")).as("src"), col("pks"))
       .select(col("src"), explode(col("pks")).as("dst"))
       .filter(col("src") =!= col("dst"))
-    val edges = pairs
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** The DuckDB spelling of [[copurchaseEdges]] (CTEs `li`, `e`). */
+  private val edgeCtes: String =
+    """li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem),
+e AS (
+  SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS BIGINT) AS w
+  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+  GROUP BY 1, 2
+)"""
+
+  def partPagerank(s: SparkSession, d: String): DataFrame = {
+    val edges = copurchaseEdges(s, d)
     // wout reads the edge CACHE (groupBy → ~|nodes| rows, AQE broadcasts
     // it back); the joined transition table is persisted too so every
     // PageRank round scans IT directly instead of re-paying the
@@ -114,13 +130,7 @@ $cur AS (
     val rounds = (1 to PrRounds)
       .map(i => round(s"r$i", s"r${i - 1}")).mkString(",")
     s"""
-WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-            FROM lineitem),
-e AS (
-  SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS BIGINT) AS w
-  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
-  GROUP BY 1, 2
-),
+WITH $edgeCtes,
 ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM e GROUP BY 1),
 ew AS (SELECT e.src, e.dst, e.w, ow.wout FROM e JOIN ow USING (src)),
 nn AS (SELECT CAST(count(*) AS BIGINT) AS n
@@ -135,10 +145,83 @@ ORDER BY rank_fp DESC, p_partkey
 LIMIT 100"""
   }
 
+  /** Label-propagation rounds — fixed and unrolled in the oracle, the
+    * same constant-rounds identity as PageRank: synchronous updates from
+    * a deterministic start (label = node id) with a total-order argmax
+    * (mass DESC, label ASC) make every per-round state identical
+    * engine-to-engine, so ANY constant hash-matches; more rounds only
+    * buy community quality, each at one edge-scan + argmax window.
+    */
+  private val LpRounds = 2
+
+  /** Community detection by synchronous label propagation over the
+    * co-purchase graph: each round a node adopts the label with the
+    * largest incident edge-weight mass among its neighbors (tie → min
+    * label). The corpus-curation use: communities = coherent product /
+    * document neighborhoods to stratify or cap before sampling. All
+    * integer arithmetic; the per-round shape is one broadcast-able
+    * label join + a (node, label) partial agg + a node-keyed argmax
+    * window — label state is one row per node, so rounds scale with the
+    * edge list, never node² (the x14 Components argument).
+    */
+  def labelPropagation(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = copurchaseEdges(s, d)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to LpRounds) {
+      val argmax = Window.partitionBy("node")
+        .orderBy(col("mass").desc, col("label"))
+      labels = edges
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst"), col("label"))
+        .agg(sum(col("w")).as("mass"))
+        .withColumnRenamed("dst", "node")
+        .withColumn("rn", row_number().over(argmax))
+        .filter(col("rn") === 1)
+        .select("node", "label")
+    }
+    labels.select(col("node").as("p_partkey"),
+      col("label").as("community"),
+      count(lit(1)).over(Window.partitionBy("label")).cast("bigint")
+        .as("community_size"))
+      .orderBy("p_partkey")
+  }
+
+  /** DuckDB twin: LpRounds unrolled as (mass, argmax) CTE pairs. */
+  private def labelPropOracle: String = {
+    def round(i: Int) = s"""
+m$i AS (
+  SELECT e.dst AS node, l.label, CAST(sum(e.w) AS BIGINT) AS mass
+  FROM e JOIN l${i - 1} l ON e.src = l.node
+  GROUP BY 1, 2
+),
+l$i AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+      row_number() OVER (PARTITION BY node ORDER BY mass DESC, label)
+        AS rn
+    FROM m$i)
+  WHERE rn = 1
+)"""
+    val rounds = (1 to LpRounds).map(round).mkString(",")
+    s"""
+WITH $edgeCtes,
+l0 AS (SELECT src AS node, src AS label
+       FROM (SELECT DISTINCT src FROM e)),$rounds
+SELECT node AS p_partkey, label AS community,
+  CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
+FROM l$LpRounds ORDER BY p_partkey"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "x46_part_pagerank" -> QueryDef(
       partPagerank,
       Some(pagerankOracle),
-      "co-purchase graph + integer fixed-point PageRank, top 100 parts")
+      "co-purchase graph + integer fixed-point PageRank, top 100 parts"),
+    "x61_label_communities" -> QueryDef(
+      labelPropagation,
+      Some(labelPropOracle),
+      "synchronous label-propagation communities over the co-purchase graph")
   )
 }

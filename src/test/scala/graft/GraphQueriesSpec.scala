@@ -48,4 +48,43 @@ class GraphQueriesSpec extends SparkSpec {
       .count()
     assert(asym == 0L)
   }
+
+  test("x61 matches a JVM brute-force 2-round label propagation") {
+    // rebuild the weighted co-purchase graph from scratch on the driver
+    val byOrder = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+      .groupBy(_._1).values.map(_.map(_._2).distinct)
+    val w = collection.mutable.Map.empty[(Long, Long), Long]
+    byOrder.foreach { pks =>
+      for (a <- pks; b <- pks if a != b)
+        w((a, b)) = w.getOrElse((a, b), 0L) + 1L
+    }
+    val nbrs = w.keys.toSeq.groupBy(_._1)
+    var label = nbrs.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 2) {
+      label = nbrs.map { case (node, es) =>
+        val mass = es.map { case (_, dst) => dst }
+          .groupBy(d => label(d))
+          .map { case (l, ds) =>
+            l -> ds.map(d => w((node, d))).sum
+          }
+        val best = mass.toSeq.sortBy { case (l, m) => (-m, l) }.head._1
+        node -> best
+      }
+    }
+    val sizes = label.values.toSeq.groupBy(identity).map {
+      case (l, g) => l -> g.size.toLong
+    }
+    val got = SparkEntry.queries("x61_label_communities")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == label.size)
+    got.foreach { case (node, community, size) =>
+      assert(community == label(node), s"node $node")
+      assert(size == sizes(community))
+    }
+    // propagation must actually coarsen: fewer communities than nodes
+    assert(sizes.size < label.size)
+  }
 }
