@@ -170,16 +170,17 @@ LIMIT 100"""
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (_ <- 1 to LpRounds) {
-      val argmax = Window.partitionBy("node")
-        .orderBy(col("mass").desc, col("label"))
+      // argmax spelled as max(struct(mass, -label)) — lexicographic max
+      // = (mass DESC, label ASC) exactly, but partial-aggregable
+      // map-side, so each round pays combiner-reduced exchanges instead
+      // of a sort-based row_number window over every (node, label) pair
       labels = edges
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst"), col("label"))
         .agg(sum(col("w")).as("mass"))
-        .withColumnRenamed("dst", "node")
-        .withColumn("rn", row_number().over(argmax))
-        .filter(col("rn") === 1)
-        .select("node", "label")
+        .groupBy(col("dst").as("node"))
+        .agg(max(struct(col("mass"), (-col("label")).as("nl"))).as("top"))
+        .select(col("node"), (-col("top.nl")).as("label"))
     }
     labels.select(col("node").as("p_partkey"),
       col("label").as("community"),
