@@ -15,7 +15,27 @@ object PipelineQueries {
   import Money.{moneySum, sqlSum}
 
   /** Tokens per packed sequence for x17 — the context-window budget. */
-  private val PackTarget = 2048L
+  private[operators] val PackTarget = 2048L
+
+  /** The x60 priority spelling, factored so `corpus_curate`'s sampling
+    * stage is EXACTLY the x60 ranking (a drifted copy would draw a
+    * different sample). u = (md5-15-nibble + 1) / 2^60 ∈ (0, 1],
+    * priority = n_tokens / u — two IEEE divisions with the same
+    * association order in both texts, bit-identical cross-engine.
+    */
+  private[operators] val prioritySparkExpr: String =
+    """CAST(n_tokens AS DOUBLE)
+       / (CAST(CAST(conv(substr(md5(concat('ps|',
+            CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)
+          + 1 AS DOUBLE) / 1152921504606846976.0d)"""
+      .replace('\n', ' ')
+
+  /** DuckDB twin of [[prioritySparkExpr]]. */
+  private[operators] val priorityDuckExpr: String =
+    """CAST(n_tokens AS DOUBLE)
+       / (CAST(CAST(('0x' || substr(md5('ps|' || CAST(doc_id AS VARCHAR)),
+              1, 15)) AS BIGINT) + 1 AS DOUBLE) / 1152921504606846976.0)"""
+      .replace('\n', ' ')
 
   /** Max duplicate-3-gram fraction a doc may carry and stay kept (x18) —
     * the Gopher-style repetition filter threshold.
@@ -1607,17 +1627,11 @@ FROM scored GROUP BY doc_id ORDER BY doc_id"""),
     "x60_priority_sample" -> QueryDef(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val prio =
-          """CAST(n_tokens AS DOUBLE)
-             / (CAST(CAST(conv(substr(md5(concat('ps|',
-                  CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)
-                + 1 AS DOUBLE) / 1152921504606846976.0d)"""
-            .replace('\n', ' ')
         val bySrc = Window.partitionBy("source")
         val ranked = Tables.documents(s, d)
           .withColumn("n_tokens",
             expr("CAST(size(split(text, ' ')) AS BIGINT)"))
-          .withColumn("priority", expr(prio))
+          .withColumn("priority", expr(prioritySparkExpr))
           .withColumn("rk", row_number().over(
             bySrc.orderBy(col("priority").desc, col("doc_id"))))
           .withColumn("tau",
@@ -1631,18 +1645,14 @@ FROM scored GROUP BY doc_id ORDER BY doc_id"""),
                    ELSE tau END""".replace('\n', ' ')).as("est_tokens"))
           .orderBy("source", "rk")
       },
-      Some("""
+      Some(s"""
 WITH t AS (
   SELECT source, doc_id,
     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
   FROM documents
 ),
 p AS (
-  SELECT *,
-    CAST(n_tokens AS DOUBLE)
-      / (CAST(CAST(('0x' || substr(md5('ps|' || CAST(doc_id AS VARCHAR)),
-             1, 15)) AS BIGINT) + 1 AS DOUBLE) / 1152921504606846976.0)
-      AS priority
+  SELECT *, $priorityDuckExpr AS priority
   FROM t
 ),
 r AS (

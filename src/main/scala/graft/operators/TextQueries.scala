@@ -413,19 +413,7 @@ FROM rtoks t LEFT JOIN rwide USING (doc_id) ORDER BY doc_id"""),
     // of exact counts.
     "x58_filter_funnel" -> QueryDef(
       (s, d) => {
-        val hitSum = stopwords.map { case (_, ws) =>
-          s"size(filter(split(text, ' '), w -> w IN ${inList(ws)}))"
-        }.mkString(" + ")
-        val toks = Tables.documents(s, d).select(col("doc_id"),
-          expr("split(text, ' ')").as("tk"),
-          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"))
-        val flags = qualityScored(s, d)
-          .withColumn("f1", col("n_tokens").between(20, 1000))
-          .withColumn("f2", expr(s"($hitSum) > 0"))
-          .withColumn("f3", col("quality_score") >= 25d)
-          .select("doc_id", "n_tokens", "f1", "f2", "f3")
-          .join(repPerDoc(toks), Seq("doc_id"), "left")
-          .withColumn("f4", expr(s"NOT coalesce($repetitiveExpr, FALSE)"))
+        val flags = curationFlags(s, d)
         flags.agg(
           count(lit(1)).as("d0"),
           sum(when(col("f1"), 1L).otherwise(0L)).as("d1"),
@@ -453,20 +441,10 @@ FROM rtoks t LEFT JOIN rwide USING (doc_id) ORDER BY doc_id"""),
           .orderBy("stage")
       },
       Some {
-        val hitSum = stopwords.map { case (_, ws) =>
-          s"len(list_filter(string_split(text, ' '), w -> w IN ${inList(ws)}))"
-        }.mkString(" + ")
         s"""
 WITH $duckQualityCtes,
 $duckRepCtes,
-flags AS (
-  SELECT q.doc_id, q.n_tokens,
-    q.n_tokens BETWEEN 20 AND 1000 AS f1,
-    ($hitSum) > 0 AS f2,
-    q.quality_score >= 25 AS f3,
-    NOT coalesce($repetitiveExpr, FALSE) AS f4
-  FROM q LEFT JOIN rwide ON q.doc_id = rwide.doc_id
-),
+$duckFlagsCte,
 agg AS (
   SELECT count(*) AS d0,
     sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS d1,
@@ -493,7 +471,131 @@ UNION ALL SELECT '4_repetition', CAST(d4 AS BIGINT), CAST(t4 AS BIGINT),
   CAST(d4 AS DOUBLE) / d0 FROM agg
 ORDER BY stage"""
       },
-      "cumulative curation-funnel survival (docs + tokens per filter stage)"))
+      "cumulative curation-funnel survival (docs + tokens per filter stage)"),
+
+    // ── The composed curation flagship: the whole training-data prep
+    // chain as ONE declarative plan — funnel filters (exactly x58's
+    // flags) → exact normalized-fingerprint dedup keep-first (the
+    // corpus_prepare spelling) → per-source token-weighted priority
+    // sample (exactly x60's ranking, k = 16) → per-language sequence
+    // packing (the x17 prefix-sum bins). Every stage reuses the factored
+    // expression its standalone query declares, so this IS the
+    // composition a reference user would run, not a re-implementation.
+    // Catalyst sees one tree: the filters and the gram rollup fuse
+    // map-side, the three window stages each key a bounded partition
+    // (fingerprint / source / language), and nothing collects.
+    "corpus_curate" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val kept = curationFlags(s, d)
+          .filter(col("f1") && col("f2") && col("f3") && col("f4"))
+          .withColumn("fp_norm",
+            md5(regexp_replace(lower(trim(col("text"))), " +", " ")
+              .cast("binary")))
+        val dd = kept
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("fp_norm").orderBy("doc_id")))
+          .filter(col("rn") === 1)
+        val sampled = dd
+          .withColumn("priority", expr(PipelineQueries.prioritySparkExpr))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("source")
+              .orderBy(col("priority").desc, col("doc_id"))))
+          .filter(col("rk") <= 16)
+        val packW = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        sampled
+          .withColumn("offset",
+            coalesce(sum(col("n_tokens")).over(packW), lit(0L)))
+          .withColumn("bin_id",
+            expr(s"offset div ${PipelineQueries.PackTarget}"))
+          .groupBy(col("lang"), col("bin_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("bigint").as("total_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy("lang", "bin_id")
+      },
+      Some(s"""
+WITH $duckQualityCtes,
+$duckRepCtes,
+$duckFlagsCte,
+kept AS (
+  SELECT *, md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
+    AS fp_norm
+  FROM flags WHERE f1 AND f2 AND f3 AND f4
+),
+dd AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp_norm ORDER BY doc_id)
+      AS rn
+    FROM kept)
+  WHERE rn = 1
+),
+sampled AS (
+  SELECT * FROM (
+    SELECT *, row_number()
+      OVER (PARTITION BY source ORDER BY priority DESC, doc_id) AS rk
+    FROM (SELECT *, ${PipelineQueries.priorityDuckExpr} AS priority
+          FROM dd))
+  WHERE rk <= 16
+),
+packed AS (
+  SELECT lang, doc_id, n_tokens,
+    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      // ${PipelineQueries.PackTarget} AS BIGINT) AS bin_id
+  FROM sampled
+)
+SELECT lang, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM packed GROUP BY 1, 2 ORDER BY lang, bin_id"""),
+      "curation flagship: funnel filters → exact dedup → priority sample → sequence packing"))
+
+  /** Per-doc curation flags over the documents table — the single
+    * source of truth for the funnel (x58) AND the composed
+    * `corpus_curate` flagship: f1 length ∈ [20, 1000] tokens, f2
+    * language-identifiable (any stopword hit), f3 quality_score ≥ 25
+    * (the x02 spelling), f4 non-repetitive (the x57 flag). One map
+    * pass plus the x57 gram rollup joined on doc_id.
+    */
+  private[operators] def curationFlags(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val hitSum = stopwords.map { case (_, ws) =>
+      s"size(filter(split(text, ' '), w -> w IN ${inList(ws)}))"
+    }.mkString(" + ")
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      expr("split(text, ' ')").as("tk"),
+      expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"))
+    qualityScored(s, d)
+      .withColumn("f1", col("n_tokens").between(20, 1000))
+      .withColumn("f2", expr(s"($hitSum) > 0"))
+      .withColumn("f3", col("quality_score") >= 25d)
+      .select("doc_id", "lang", "source", "text", "n_tokens",
+        "f1", "f2", "f3")
+      .join(repPerDoc(toks), Seq("doc_id"), "left")
+      .withColumn("f4", expr(s"NOT coalesce($repetitiveExpr, FALSE)"))
+      .select("doc_id", "lang", "source", "text", "n_tokens",
+        "f1", "f2", "f3", "f4")
+  }
+
+  /** DuckDB twin of [[curationFlags]] (CTE `flags`; requires
+    * [[duckQualityCtes]] and [[duckRepCtes]] earlier in the WITH chain).
+    */
+  private def duckFlagsCte: String = {
+    val hitSum = stopwords.map { case (_, ws) =>
+      s"len(list_filter(string_split(text, ' '), w -> w IN ${inList(ws)}))"
+    }.mkString(" + ")
+    s"""flags AS (
+  SELECT q.doc_id, q.lang, q.source, q.text, q.n_tokens,
+    q.n_tokens BETWEEN 20 AND 1000 AS f1,
+    ($hitSum) > 0 AS f2,
+    q.quality_score >= 25 AS f3,
+    NOT coalesce($repetitiveExpr, FALSE) AS f4
+  FROM q LEFT JOIN rwide ON q.doc_id = rwide.doc_id
+)"""
+  }
 
   /** Shared spellings for the x57/x58 repetition fractions — factored so
     * the funnel's stage-4 filter is EXACTLY the x57 flag (a drifted copy

@@ -59,4 +59,71 @@ class RepetitionSpec extends SparkSpec {
         r.getAs[Long]("docs").toDouble / docs.head)
     }
   }
+
+  test("corpus_curate == composition of its verified stage queries") {
+    // flags re-derived from the standalone queries' own outputs: f1/f3
+    // from x02, f2 from x03's hit counts, f4 from x57's flag
+    val q02 = SparkEntry.queries("x02_text_quality")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("quality_score")))
+      .toMap
+    val q03 = SparkEntry.queries("x03_lang_id")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("h_en") + r.getAs[Long]("h_es") +
+          r.getAs[Long]("h_de") + r.getAs[Long]("h_fr")))
+      .toMap
+    val q57 = SparkEntry.queries("x57_repetition_stats")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[Any]("repetitive"))
+          .exists(_.asInstanceOf[Boolean]))
+      .toMap
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val kept = docs.filter { case (id, _, _, _) =>
+      val (n, q) = q02(id)
+      n >= 20 && n <= 1000 && q03(id) > 0 && q >= 25d && !q57(id)
+    }
+    val deduped = kept
+      .groupBy { case (_, _, _, t) =>
+        md5hex(t.trim.toLowerCase.replaceAll(" +", " "))
+      }
+      .values.map(_.minBy(_._1)).toSeq
+    val sampled = deduped.groupBy(_._3).values.flatMap { g =>
+      g.sortBy { case (id, _, _, _) =>
+        val h = java.lang.Long.parseLong(md5hex(s"ps|$id").take(15), 16)
+        val prio = q02(id)._1.toDouble /
+          ((h + 1).toDouble / 1152921504606846976.0)
+        (-prio, id)
+      }.take(16)
+    }.toSeq
+    val expected = sampled.groupBy(_._2).toSeq.flatMap { case (lang, g) =>
+      val ordered = g.sortBy(_._1)
+      var offset = 0L
+      ordered.map { case (id, _, _, _) =>
+        val bin = offset / 2048L
+        offset += q02(id)._1
+        (lang, bin, id)
+      }
+    }.groupBy { case (lang, bin, _) => (lang, bin) }
+      .map { case ((lang, bin), g) =>
+        (lang, bin) -> ((g.size.toLong,
+          g.map { case (_, _, id) => q02(id)._1 }.sum,
+          g.map(_._3).min, g.map(_._3).max))
+      }
+    val got = SparkEntry.queries("corpus_curate")(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val key = (r.getAs[String]("lang"), r.getAs[Long]("bin_id"))
+      val (nd, tt, fd, ld) = expected(key)
+      assert(r.getAs[Long]("n_docs") == nd, s"$key n_docs")
+      assert(r.getAs[Long]("total_tokens") == tt, s"$key total_tokens")
+      assert(r.getAs[Long]("first_doc") == fd && r.getAs[Long]("last_doc") == ld, s"$key doc range")
+    }
+  }
 }
