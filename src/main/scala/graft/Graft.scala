@@ -169,6 +169,10 @@ object Graft {
     def searchIndex(spark: SparkSession, dir: String,
         indexPath: String): DataFrame =
       operators.SimilarityQueries.searchIndex(spark, dir, indexPath)
+
+    /** Exact per-dimension moments (whitening/normalization input). */
+    def dimStats(spark: SparkSession, dir: String): DataFrame =
+      run("x59_embed_dim_stats", spark, dir)
   }
 
   /** Release persisted intermediate branches left by the dedup/similarity
@@ -228,6 +232,28 @@ object Graft {
     /** k deterministic hash-derived negatives per document (no RNG). */
     def negativeSamples(spark: SparkSession, dir: String): DataFrame =
       run("x44_negative_samples", spark, dir)
+    /** Gopher-style per-doc 2-/3-gram repetition signals. */
+    def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+      run("x57_repetition_stats", spark, dir)
+    /** Docs/tokens surviving the cumulative curation filter chain. */
+    def filterFunnel(spark: SparkSession, dir: String): DataFrame =
+      run("x58_filter_funnel", spark, dir)
+    /** Token-weighted priority sample with unbiased-estimator tau. */
+    def prioritySample(spark: SparkSession, dir: String): DataFrame =
+      run("x60_priority_sample", spark, dir)
+    /** The composed flagship: funnel → dedup → sample → packing. */
+    def curate(spark: SparkSession, dir: String): DataFrame =
+      run("corpus_curate", spark, dir)
+  }
+
+  /** Graph analytics over derived relations (link analysis tier). */
+  object graph {
+    /** Co-purchase PageRank, integer fixed-point, top 100 parts. */
+    def partPagerank(spark: SparkSession, dir: String): DataFrame =
+      run("x46_part_pagerank", spark, dir)
+    /** Synchronous label-propagation communities over the same graph. */
+    def labelCommunities(spark: SparkSession, dir: String): DataFrame =
+      run("x61_label_communities", spark, dir)
   }
 
   /** Multimodal binary-column plumbing (stubbed codecs, real plumbing). */
