@@ -613,7 +613,7 @@ FROM packed GROUP BY 1, 2 ORDER BY lang, bin_id"""),
     * Both grouping keys start with doc_id, so the whole chain partial-aggs
     * map-side and shuffles at most one row per distinct (doc, gram).
     */
-  private def repPerDoc(toks: org.apache.spark.sql.DataFrame)
+  private[graft] def repPerDoc(toks: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     // sequence(k, size) DESCENDS when size < k (the documented Spark
     // gotcha) — the n_tokens >= k guard rows it out before fan-out
