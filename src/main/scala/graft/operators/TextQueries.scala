@@ -50,7 +50,7 @@ object TextQueries {
   /** DuckDB `t`/`q` CTEs in lockstep with [[qualityScored]] (shared by
     * the x02 and x42 oracles).
     */
-  private[operators] def duckQualityCtes: String = {
+  private[graft] def duckQualityCtes: String = {
     val en = inList(stopwords.head._2)
     s"""t AS (
   SELECT doc_id, lang, source, text,
@@ -560,7 +560,7 @@ FROM packed GROUP BY 1, 2 ORDER BY lang, bin_id"""),
     * (the x02 spelling), f4 non-repetitive (the x57 flag). One map
     * pass plus the x57 gram rollup joined on doc_id.
     */
-  private[operators] def curationFlags(s: org.apache.spark.sql.SparkSession,
+  private[graft] def curationFlags(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     val hitSum = stopwords.map { case (_, ws) =>
       s"size(filter(split(text, ' '), w -> w IN ${inList(ws)}))"
@@ -580,10 +580,52 @@ FROM packed GROUP BY 1, 2 ORDER BY lang, bin_id"""),
         "f1", "f2", "f3", "f4")
   }
 
+  /** Row-local spelling of [[curationFlags]] for STREAMING input: the
+    * f1/f2/f3 exprs are identical, but f4's gram stats come from
+    * per-row HOFs over the token array instead of the explode + rollup
+    * (structured streaming forbids chained aggregations, and an ingest
+    * gate sees each doc exactly once, so the O(n·distinct) per-row cost
+    * is bounded by the doc length the gate itself caps). Same integer
+    * counts, same single divisions, same flag — `RepetitionSpec` pins
+    * the two spellings equal on every doc.
+    */
+  private[graft] def rowLocalFlags(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val en = inList(stopwords.head._2)
+    val hitSum = stopwords.map { case (_, ws) =>
+      s"size(filter(split(text, ' '), w -> w IN ${inList(ws)}))"
+    }.mkString(" + ")
+    docs
+      .withColumn("tk", expr("split(text, ' ')"))
+      .withColumn("n_tokens", expr("size(tk)"))
+      .withColumn("stop_ratio", expr(
+        s"size(filter(split(text, ' '), w -> w IN $en)) / CAST(n_tokens AS DOUBLE)"))
+      .withColumn("uniq_ratio", expr(
+        "size(array_distinct(split(text, ' '))) / CAST(n_tokens AS DOUBLE)"))
+      .withColumn("quality_score", Money.moneyRound(
+        lit(100d) * (lit(0.4d) * col("stop_ratio") +
+          lit(0.3d) * col("uniq_ratio") +
+          lit(0.3d) * least(col("n_tokens") / 100d, lit(1d)))))
+      .withColumn("f1", col("n_tokens").between(20, 1000))
+      .withColumn("f2", expr(s"($hitSum) > 0"))
+      .withColumn("f3", col("quality_score") >= 25d)
+      .withColumn("bg", expr(
+        """CASE WHEN size(tk) >= 2
+           THEN transform(sequence(2, size(tk)),
+                  i -> concat_ws(' ', element_at(tk, i - 1),
+                                 element_at(tk, i)))
+           END""".replace('\n', ' ')))
+      .withColumn("top2", expr(
+        "array_max(transform(array_distinct(bg), g -> size(filter(bg, x -> x = g))))"))
+      .withColumn("tot2", expr("size(bg)"))
+      .withColumn("dst2", expr("size(array_distinct(bg))"))
+      .withColumn("f4", expr(s"NOT coalesce($repetitiveExpr, FALSE)"))
+  }
+
   /** DuckDB twin of [[curationFlags]] (CTE `flags`; requires
     * [[duckQualityCtes]] and [[duckRepCtes]] earlier in the WITH chain).
     */
-  private def duckFlagsCte: String = {
+  private[graft] def duckFlagsCte: String = {
     val hitSum = stopwords.map { case (_, ws) =>
       s"len(list_filter(string_split(text, ' '), w -> w IN ${inList(ws)}))"
     }.mkString(" + ")
@@ -643,7 +685,7 @@ FROM packed GROUP BY 1, 2 ORDER BY lang, bin_id"""),
   /** DuckDB twin of [[repPerDoc]] (+ the `rtoks` token CTE): `rwide` has
     * the same six columns; shared by the x57 and x58 oracles.
     */
-  private val duckRepCtes: String = """rtoks AS (
+  private[graft] val duckRepCtes: String = """rtoks AS (
   SELECT doc_id, string_split(text, ' ') AS tk,
     len(string_split(text, ' ')) AS n_tokens
   FROM documents

@@ -328,5 +328,42 @@ ORDER BY band, sigval"""),
       Some(s"""
 WITH ${graft.operators.PipelineQueries.duckMinKEstCtes}
 SELECT source, q, est FROM est ORDER BY source, q"""),
-      "streaming min-k sample state == batch quantile estimate (O(k)/key)"))
+      "streaming min-k sample state == batch quantile estimate (O(k)/key)"),
+
+    // ── Streaming ingest quality gate: the x58 curation flags applied
+    // AT INGEST — per-source docs/tokens in vs kept, maintained as one
+    // streaming aggregation with |sources| rows of state. f1/f2/f3 are
+    // the exact batch exprs; f4's gram stats are the row-local HOF
+    // spelling (structured streaming forbids chained aggregations, and
+    // an ingest gate sees each doc once, so per-row cost is bounded by
+    // the doc length the gate itself caps) — RepetitionSpec pins the
+    // two f4 spellings equal doc-by-doc, and the oracle is the SAME
+    // batch flags CTE chain the funnel uses, rolled up per source.
+    "st12_stream_curation_gate" -> QueryDef(
+      (s, d) => {
+        import graft.operators.TextQueries
+        val kept = col("f1") && col("f2") && col("f3") && col("f4")
+        val gate = TextQueries
+          .rowLocalFlags(EventStream.readDocuments(s, d))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("docs_in"),
+            sum(when(kept, 1L).otherwise(0L)).as("docs_kept"),
+            sum(col("n_tokens")).cast("bigint").as("tokens_in"),
+            sum(when(kept, col("n_tokens")).otherwise(0L)).cast("bigint")
+              .as("tokens_kept"))
+        EventStream.runToMemory(s, gate, s"st12_sink_${System.nanoTime}")
+          .orderBy("source")
+      },
+      Some(s"""
+WITH ${graft.operators.TextQueries.duckQualityCtes},
+${graft.operators.TextQueries.duckRepCtes},
+${graft.operators.TextQueries.duckFlagsCte}
+SELECT source, CAST(count(*) AS BIGINT) AS docs_in,
+  CAST(sum(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END)
+    AS BIGINT) AS docs_kept,
+  CAST(sum(n_tokens) AS BIGINT) AS tokens_in,
+  CAST(sum(CASE WHEN f1 AND f2 AND f3 AND f4 THEN n_tokens ELSE 0 END)
+    AS BIGINT) AS tokens_kept
+FROM flags GROUP BY source ORDER BY source"""),
+      "streaming ingest gate: per-source funnel survival == batch flags"))
 }

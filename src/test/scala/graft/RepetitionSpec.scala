@@ -60,6 +60,49 @@ class RepetitionSpec extends SparkSpec {
     }
   }
 
+  test("row-local streaming flags == batch rollup flags, doc by doc") {
+    // the st12 ingest gate computes f4 via per-row HOFs; the batch
+    // funnel via explode + rollup — the two spellings must agree on
+    // every doc (and on every shared intermediate count)
+    val batch = operators.TextQueries.curationFlags(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("f1"), r.getAs[Boolean]("f2"),
+          r.getAs[Boolean]("f3"), r.getAs[Boolean]("f4")))
+      .toMap
+    val local = operators.TextQueries
+      .rowLocalFlags(Tables.documents(spark, sf)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("f1"), r.getAs[Boolean]("f2"),
+          r.getAs[Boolean]("f3"), r.getAs[Boolean]("f4")))
+      .toMap
+    assert(local.keySet == batch.keySet)
+    local.foreach { case (id, flags) =>
+      assert(flags == batch(id), s"doc $id")
+    }
+  }
+
+  test("st12 drained gate == batch flags rolled up per source") {
+    val flags = operators.TextQueries.curationFlags(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"),
+        r.getAs[Int]("n_tokens").toLong,
+        r.getAs[Boolean]("f1") && r.getAs[Boolean]("f2") &&
+          r.getAs[Boolean]("f3") && r.getAs[Boolean]("f4")))
+    val expected = flags.groupBy(_._1).map { case (src, g) =>
+      src -> ((g.size.toLong, g.count(_._3).toLong,
+        g.map(_._2).sum, g.filter(_._3).map(_._2).sum))
+    }
+    val got = SparkEntry.queries("st12_stream_curation_gate")(spark, sf)
+      .collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (di, dk, ti, tk) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("docs_in") == di)
+      assert(r.getAs[Long]("docs_kept") == dk)
+      assert(r.getAs[Long]("tokens_in") == ti)
+      assert(r.getAs[Long]("tokens_kept") == tk)
+    }
+  }
+
   test("corpus_curate == composition of its verified stage queries") {
     // flags re-derived from the standalone queries' own outputs: f1/f3
     // from x02, f2 from x03's hit counts, f4 from x57's flag
