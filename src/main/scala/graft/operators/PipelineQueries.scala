@@ -17,6 +17,12 @@ object PipelineQueries {
   /** Tokens per packed sequence for x17 — the context-window budget. */
   private[operators] val PackTarget = 2048L
 
+  /** Priority-sample size k (threshold rank = SampleK + 1) — ONE
+    * constant shared by x60, corpus_curate, and their specs so the
+    * flagship's sampling stage cannot drift from the x60 ranking.
+    */
+  private[graft] val SampleK = 16
+
   /** The x60 priority spelling, factored so `corpus_curate`'s sampling
     * stage is EXACTLY the x60 ranking (a drifted copy would draw a
     * different sample). u = (md5-15-nibble + 1) / 2^60 ∈ (0, 1],
@@ -1635,8 +1641,9 @@ FROM scored GROUP BY doc_id ORDER BY doc_id"""),
           .withColumn("rk", row_number().over(
             bySrc.orderBy(col("priority").desc, col("doc_id"))))
           .withColumn("tau",
-            max(when(col("rk") === 17, col("priority"))).over(bySrc))
-        ranked.filter(col("rk") <= 16)
+            max(when(col("rk") === (SampleK + 1), col("priority")))
+              .over(bySrc))
+        ranked.filter(col("rk") <= SampleK)
           .select(col("source"), col("doc_id"), col("n_tokens"),
             col("priority"), col("rk").cast("bigint").as("rk"), col("tau"),
             expr("""CASE WHEN tau IS NULL THEN CAST(n_tokens AS DOUBLE)
@@ -1661,7 +1668,7 @@ r AS (
   FROM p
 ),
 w AS (
-  SELECT *, max(CASE WHEN rk = 17 THEN priority END)
+  SELECT *, max(CASE WHEN rk = ${SampleK + 1} THEN priority END)
     OVER (PARTITION BY source) AS tau
   FROM r
 )
@@ -1669,6 +1676,6 @@ SELECT source, doc_id, n_tokens, priority, CAST(rk AS BIGINT) AS rk, tau,
   CASE WHEN tau IS NULL THEN CAST(n_tokens AS DOUBLE)
        WHEN CAST(n_tokens AS DOUBLE) > tau THEN CAST(n_tokens AS DOUBLE)
        ELSE tau END AS est_tokens
-FROM w WHERE rk <= 16 ORDER BY source, rk"""),
+FROM w WHERE rk <= $SampleK ORDER BY source, rk"""),
       "token-weighted priority sampling with unbiased-estimator threshold"))
 }

@@ -31,9 +31,17 @@ object TextQueries {
     * stop_ratio / uniq_ratio / mean_token_len / quality_score.
     */
   private[operators] def qualityScored(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+      d: String): org.apache.spark.sql.DataFrame =
+    qualityScoredDf(Tables.documents(s, d))
+
+  /** [[qualityScored]] over an arbitrary `documents`-shaped frame —
+    * the same Column tree applied to batch reads AND streaming input
+    * (st12), so the two cannot drift.
+    */
+  private[graft] def qualityScoredDf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val en = inList(stopwords.head._2)
-    Tables.documents(s, d)
+    docs
       .withColumn("n_tokens", expr("size(split(text, ' '))"))
       .withColumn("stop_ratio", expr(
         s"size(filter(split(text, ' '), w -> w IN $en)) / CAST(n_tokens AS DOUBLE)"))
@@ -79,6 +87,19 @@ q AS (
   private[operators] val sparkSplitCase: String =
     """CASE WHEN pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15),
        16, 10) AS BIGINT), 10) = 0 THEN 'validation' ELSE 'train' END"""
+  /** Normalized-text exact-dedup fingerprint — lowercase, trimmed,
+    * runs of spaces collapsed, md5'd. ONE spelling shared by x04,
+    * corpus_prepare, and corpus_curate (a drifted copy would dedup the
+    * flagship on a different key than the standalone queries).
+    */
+  private[graft] def fpNormCol: org.apache.spark.sql.Column =
+    md5(regexp_replace(lower(trim(col("text"))), " +", " ")
+      .cast("binary"))
+
+  /** DuckDB twin of [[fpNormCol]]. */
+  private[graft] val duckFpNorm: String =
+    "md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))"
+
   private[operators] val duckSplitCase: String =
     """CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
          AS BIGINT) % 10 = 0
@@ -233,15 +254,14 @@ FROM c ORDER BY lang, pred_lang"""
       (s, d) => Tables.documents(s, d).select(
         col("doc_id"),
         md5(col("text").cast("binary")).as("fp_full"),
-        md5(regexp_replace(lower(trim(col("text"))), " +", " ")
-          .cast("binary")).as("fp_norm"),
+        fpNormCol.as("fp_norm"),
         md5(substring(col("text"), 1, 64).cast("binary")).as("fp_prefix"),
         expr("CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)")
           .as("fp_long"))
         .orderBy("doc_id"),
-      Some("""SELECT doc_id,
+      Some(s"""SELECT doc_id,
               md5(text) AS fp_full,
-              md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
+              $duckFpNorm
                 AS fp_norm,
               md5(substr(text, 1, 64)) AS fp_prefix,
               CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp_long
@@ -312,9 +332,7 @@ FROM documents ORDER BY doc_id"""),
               lit(0.3d) * col("uniq_ratio") +
               lit(0.3d) * least(col("n_tokens") / 100d, lit(1d)))))
           .filter(col("quality_score") >= 25d)
-          .withColumn("fp_norm",
-            md5(regexp_replace(lower(trim(col("text"))), " +", " ")
-              .cast("binary")))
+          .withColumn("fp_norm", fpNormCol)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .withColumn("split",
@@ -341,7 +359,7 @@ WITH scored AS (
   FROM documents
 ),
 kept AS (
-  SELECT *, md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
+  SELECT *, ${duckFpNorm}
     AS fp_norm
   FROM scored WHERE quality_score >= 25
 ),
@@ -477,7 +495,7 @@ ORDER BY stage"""
     // chain as ONE declarative plan — funnel filters (exactly x58's
     // flags) → exact normalized-fingerprint dedup keep-first (the
     // corpus_prepare spelling) → per-source token-weighted priority
-    // sample (exactly x60's ranking, k = 16) → per-language sequence
+    // sample (exactly x60's ranking, k = PipelineQueries.SampleK) → per-language sequence
     // packing (the x17 prefix-sum bins). Every stage reuses the factored
     // expression its standalone query declares, so this IS the
     // composition a reference user would run, not a re-implementation.
@@ -489,9 +507,7 @@ ORDER BY stage"""
         import org.apache.spark.sql.expressions.Window
         val kept = curationFlags(s, d)
           .filter(col("f1") && col("f2") && col("f3") && col("f4"))
-          .withColumn("fp_norm",
-            md5(regexp_replace(lower(trim(col("text"))), " +", " ")
-              .cast("binary")))
+          .withColumn("fp_norm", fpNormCol)
         val dd = kept
           .withColumn("rn", row_number().over(
             Window.partitionBy("fp_norm").orderBy("doc_id")))
@@ -501,7 +517,7 @@ ORDER BY stage"""
           .withColumn("rk", row_number().over(
             Window.partitionBy("source")
               .orderBy(col("priority").desc, col("doc_id"))))
-          .filter(col("rk") <= 16)
+          .filter(col("rk") <= PipelineQueries.SampleK)
         val packW = Window.partitionBy("lang").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, -1)
         sampled
@@ -521,7 +537,7 @@ WITH $duckQualityCtes,
 $duckRepCtes,
 $duckFlagsCte,
 kept AS (
-  SELECT *, md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g'))
+  SELECT *, ${duckFpNorm}
     AS fp_norm
   FROM flags WHERE f1 AND f2 AND f3 AND f4
 ),
@@ -538,7 +554,7 @@ sampled AS (
       OVER (PARTITION BY source ORDER BY priority DESC, doc_id) AS rk
     FROM (SELECT *, ${PipelineQueries.priorityDuckExpr} AS priority
           FROM dd))
-  WHERE rk <= 16
+  WHERE rk <= ${PipelineQueries.SampleK}
 ),
 packed AS (
   SELECT lang, doc_id, n_tokens,
@@ -562,22 +578,31 @@ FROM packed GROUP BY 1, 2 ORDER BY lang, bin_id"""),
     */
   private[graft] def curationFlags(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    val hitSum = stopwords.map { case (_, ws) =>
-      s"size(filter(split(text, ' '), w -> w IN ${inList(ws)}))"
-    }.mkString(" + ")
     val toks = Tables.documents(s, d).select(col("doc_id"),
       expr("split(text, ' ')").as("tk"),
       expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"))
-    qualityScored(s, d)
-      .withColumn("f1", col("n_tokens").between(20, 1000))
-      .withColumn("f2", expr(s"($hitSum) > 0"))
-      .withColumn("f3", col("quality_score") >= 25d)
+    withBaseFlags(qualityScored(s, d))
       .select("doc_id", "lang", "source", "text", "n_tokens",
         "f1", "f2", "f3")
       .join(repPerDoc(toks), Seq("doc_id"), "left")
       .withColumn("f4", expr(s"NOT coalesce($repetitiveExpr, FALSE)"))
       .select("doc_id", "lang", "source", "text", "n_tokens",
         "f1", "f2", "f3", "f4")
+  }
+
+  /** f1 (length), f2 (language-identifiable), f3 (quality) over a
+    * [[qualityScoredDf]] output — the row-local flag triple shared by
+    * curationFlags (batch) and rowLocalFlags (streaming).
+    */
+  private def withBaseFlags(scored: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val hitSum = stopwords.map { case (_, ws) =>
+      s"size(filter(split(text, ' '), w -> w IN ${inList(ws)}))"
+    }.mkString(" + ")
+    scored
+      .withColumn("f1", col("n_tokens").between(20, 1000))
+      .withColumn("f2", expr(s"($hitSum) > 0"))
+      .withColumn("f3", col("quality_score") >= 25d)
   }
 
   /** Row-local spelling of [[curationFlags]] for STREAMING input: the
@@ -591,24 +616,8 @@ FROM packed GROUP BY 1, 2 ORDER BY lang, bin_id"""),
     */
   private[graft] def rowLocalFlags(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val en = inList(stopwords.head._2)
-    val hitSum = stopwords.map { case (_, ws) =>
-      s"size(filter(split(text, ' '), w -> w IN ${inList(ws)}))"
-    }.mkString(" + ")
-    docs
+    withBaseFlags(qualityScoredDf(docs))
       .withColumn("tk", expr("split(text, ' ')"))
-      .withColumn("n_tokens", expr("size(tk)"))
-      .withColumn("stop_ratio", expr(
-        s"size(filter(split(text, ' '), w -> w IN $en)) / CAST(n_tokens AS DOUBLE)"))
-      .withColumn("uniq_ratio", expr(
-        "size(array_distinct(split(text, ' '))) / CAST(n_tokens AS DOUBLE)"))
-      .withColumn("quality_score", Money.moneyRound(
-        lit(100d) * (lit(0.4d) * col("stop_ratio") +
-          lit(0.3d) * col("uniq_ratio") +
-          lit(0.3d) * least(col("n_tokens") / 100d, lit(1d)))))
-      .withColumn("f1", col("n_tokens").between(20, 1000))
-      .withColumn("f2", expr(s"($hitSum) > 0"))
-      .withColumn("f3", col("quality_score") >= 25d)
       .withColumn("bg", expr(
         """CASE WHEN size(tk) >= 2
            THEN transform(sequence(2, size(tk)),

@@ -38,7 +38,8 @@ class DimStatsSampleSpec extends SparkSpec {
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
-  test("x60: kept set is exactly the top-16 priorities per source") {
+  test("x60: kept set is exactly the top-SampleK priorities per source") {
+    val k = operators.PipelineQueries.SampleK
     val docs = Tables.documents(spark, sf)
       .selectExpr("source", "doc_id",
         "CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens")
@@ -50,8 +51,8 @@ class DimStatsSampleSpec extends SparkSpec {
     }
     val expected = prio.groupBy(_._1).flatMap { case (src, g) =>
       val ranked = g.sortBy(t => (-t._4, t._2))
-      val tau = if (ranked.length >= 17) Some(ranked(16)._4) else None
-      ranked.take(16).zipWithIndex.toSeq.map { case ((_, id, w, p), i) =>
+      val tau = if (ranked.length >= k + 1) Some(ranked(k)._4) else None
+      ranked.take(k).zipWithIndex.toSeq.map { case ((_, id, w, p), i) =>
         (src, id) -> ((i + 1L, p, tau,
           tau.fold(w.toDouble)(t => math.max(w.toDouble, t))))
       }

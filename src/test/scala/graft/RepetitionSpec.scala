@@ -35,8 +35,10 @@ class RepetitionSpec extends SparkSpec {
         assert(r.getAs[Double]("top_3gram_frac") ==
           tg.values.max.toDouble / (toks.length - 2))
     }
-    // the flag must actually fire somewhere and not everywhere
-    val flags = rows.map(_.getAs[Boolean]("repetitive"))
+    // the flag must actually fire somewhere and not everywhere — read
+    // through Option so NULL (short docs) can't masquerade as false
+    val flags = rows.flatMap(r =>
+      Option(r.getAs[Any]("repetitive")).map(_.asInstanceOf[Boolean]))
     assert(flags.contains(true) && flags.contains(false))
   }
 
@@ -143,7 +145,7 @@ class RepetitionSpec extends SparkSpec {
         val prio = q02(id)._1.toDouble /
           ((h + 1).toDouble / 1152921504606846976.0)
         (-prio, id)
-      }.take(16)
+      }.take(operators.PipelineQueries.SampleK)
     }.toSeq
     val expected = sampled.groupBy(_._2).toSeq.flatMap { case (lang, g) =>
       val ordered = g.sortBy(_._1)
