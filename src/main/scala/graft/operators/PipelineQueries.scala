@@ -186,6 +186,13 @@ est AS (
     */
   private val LpScale = 1000000L
 
+  /** x62: ranked-vocab depth of the Zipf OLS fit. 100 keeps every OLS
+    * accumulator far inside BIGINT (n·Σxy ≤ ~1e18 even at ln(cnt) of a
+    * trillion-token corpus) while covering the whole 31-term synthetic
+    * vocab at every SF.
+    */
+  private val ZipfTopR = 100L
+
   /** x37's mixture seed and per-source token budget: each source
     * contributes documents (in seeded-hash order) until the budget
     * fills — the knob a data-mixture recipe turns per corpus slice.
@@ -1677,5 +1684,78 @@ SELECT source, doc_id, n_tokens, priority, CAST(rk AS BIGINT) AS rk, tau,
        WHEN CAST(n_tokens AS DOUBLE) > tau THEN CAST(n_tokens AS DOUBLE)
        ELSE tau END AS est_tokens
 FROM w WHERE rk <= $SampleK ORDER BY source, rk"""),
-      "token-weighted priority sampling with unbiased-estimator threshold"))
+      "token-weighted priority sampling with unbiased-estimator threshold"),
+
+    // ── Zipf power-law audit: per-language OLS slope of ln(freq) vs
+    // ln(rank) over the ranked vocabulary — natural corpora track a
+    // slope near -1, so a far-off slope flags synthetic, boilerplate, or
+    // truncated text (the classic token-distribution QC for LLM corpora;
+    // cf. the x02 quality heuristics per document — this is the
+    // corpus-level twin). Both lns are fixed-pointed to integer
+    // micro-nats (the x36 rule: NEVER sum raw floats cross-engine), the
+    // four OLS sums accumulate exactly in BIGINT (|x| <= ln(1e2)*1e6,
+    // |y| <= ln(1e12)*1e6 keeps n*Σxy well under 2^63 at ZipfTopR=100),
+    // and the slope is ONE division of two exact integers — bit-identical
+    // cross-engine. Plan shape: one (lang, term) hash aggregation with
+    // map-side combine over the corpus, then a lang-keyed window over the
+    // already-tiny per-lang vocab and a |langs|-row aggregation. The raw
+    // sums ship alongside the slope so a caller can pool languages or
+    // derive the intercept without re-scanning.
+    "x62_zipf_fit" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang").orderBy(desc("cnt"), col("term"))
+        Tables.documentsSpread(s, d)
+          .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("lang"), col("term"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rank", row_number().over(w).cast("bigint"))
+          .filter(col("rank") <= ZipfTopR)
+          .withColumn("lx", expr(
+            s"CAST(floor(ln(CAST(rank AS DOUBLE)) * $LpScale + 0.5d)" +
+              " AS BIGINT)"))
+          .withColumn("ly", expr(
+            s"CAST(floor(ln(CAST(cnt AS DOUBLE)) * $LpScale + 0.5d)" +
+              " AS BIGINT)"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_terms"),
+            sum("lx").as("sx"), sum("ly").as("sy"),
+            sum(expr("lx * ly")).as("sxy"),
+            sum(expr("lx * lx")).as("sxx"))
+          .withColumn("zipf_slope",
+            expr("CAST(n_terms * sxy - sx * sy AS DOUBLE)") /
+              expr("CAST(n_terms * sxx - sx * sx AS DOUBLE)"))
+          .select(col("lang"), col("n_terms"), col("sx"), col("sy"),
+            col("sxy"), col("sxx"), col("zipf_slope"))
+          .orderBy("lang")
+      },
+      Some(s"""
+WITH terms AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+),
+c AS (SELECT lang, term, count(*) AS cnt FROM terms GROUP BY 1, 2),
+r AS (
+  SELECT lang, cnt,
+    CAST(row_number() OVER (PARTITION BY lang
+      ORDER BY cnt DESC, term) AS BIGINT) AS rank
+  FROM c
+),
+f AS (
+  SELECT lang,
+    CAST(floor(ln(CAST(rank AS DOUBLE)) * $LpScale + 0.5) AS BIGINT) AS lx,
+    CAST(floor(ln(CAST(cnt AS DOUBLE)) * $LpScale + 0.5) AS BIGINT) AS ly
+  FROM r WHERE rank <= $ZipfTopR
+),
+a AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+    CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+    CAST(sum(lx * ly) AS BIGINT) AS sxy,
+    CAST(sum(lx * lx) AS BIGINT) AS sxx
+  FROM f GROUP BY 1
+)
+SELECT lang, n_terms, sx, sy, sxy, sxx,
+  CAST(n_terms * sxy - sx * sy AS DOUBLE)
+    / CAST(n_terms * sxx - sx * sx AS DOUBLE) AS zipf_slope
+FROM a ORDER BY lang"""),
+      "per-language Zipf slope of the vocab (corpus-shape QC, exact OLS)"))
 }
