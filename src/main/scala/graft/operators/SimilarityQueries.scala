@@ -215,6 +215,68 @@ assigned AS (
     */
   private val EmbCcRounds = 12
 
+  /** x41's cluster assignment (vec_id → cluster_id), factored out so the
+    * purity audit (x64) recomposes the SAME clusters — one spelling, no
+    * drift between the dedup query and its QC twin. Shape: bucket-local
+    * near-dup pairs (the x11 join) into contracted early-stopped BSP
+    * connected components.
+    */
+  private def embClusterAssignment(s: SparkSession, d: String): DataFrame = {
+    val e = quantizedCached(s, d)
+    val assigned = assignedBuckets(e, trainedCentroids(e))
+      .select(col("vec_id"), col("qe"), col("qn"), col("bucket"))
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter((expr(s"CAST(${sparkDot("a.qe", "b.qe")} AS DOUBLE)") /
+        (sqrt(col("a.qn").cast("double")) *
+          sqrt(col("b.qn").cast("double")))) >= NearDupTau)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Components.connectedComponents(pairs, "vec_a", "vec_b",
+        Tables.embeddings(s, d).select(col("vec_id")), "vec_id",
+        EmbCcRounds)
+      .select(col("vec_id"), col("component").as("cluster_id"))
+  }
+
+  /** DuckDB CTE chain ending in `clusters(vec_id, cluster_id)` — the
+    * oracle-side twin of [[embClusterAssignment]], shared by x41 and
+    * x64. Round CTEs are lv-/pr-prefixed: the kmeans CTE chain already
+    * owns s1..sN for its per-iteration sums.
+    */
+  private def duckEmbClusterCtes: String = {
+    val rounds = (1 to EmbCcRounds).map { i =>
+      s"""pr$i AS MATERIALIZED (
+  SELECT v.vec_id, least(v.label, coalesce(m.nl, v.label)) AS label
+  FROM lv${i - 1} v LEFT JOIN (
+    SELECT s.src, min(l.label) AS nl
+    FROM sym s JOIN lv${i - 1} l ON s.dst = l.vec_id GROUP BY s.src) m
+  ON v.vec_id = m.src
+),
+lv$i AS MATERIALIZED (
+  SELECT p.vec_id, q.label FROM pr$i p JOIN pr$i q ON p.label = q.vec_id
+)"""
+    }.mkString(",\n")
+    s"""$duckQuantizedCte,
+$duckKmeansCtes,
+$duckAssignedCtes,
+cand AS MATERIALIZED (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM assigned a JOIN assigned b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE CAST(${duckDot("a.qe", "b.qe")} AS DOUBLE)
+      / (sqrt(CAST(a.qn AS DOUBLE)) * sqrt(CAST(b.qn AS DOUBLE)))
+    >= $NearDupTau
+),
+sym AS MATERIALIZED (
+  SELECT vec_a AS src, vec_b AS dst FROM cand
+  UNION ALL SELECT vec_b, vec_a FROM cand
+),
+lv0 AS (SELECT vec_id, vec_id AS label FROM embeddings),
+$rounds,
+clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
+  }
+
   /** Corpus → nearest-centroid bucket assignment (the IVF partitioning
     * step): broadcast centroids, map-only scoring, window top-1. Persisted
     * because every consumer (x10 stats, x11 self-join, x12 search) reads
@@ -413,65 +475,17 @@ ORDER BY vec_a, vec_b"""),
     // never span buckets (a vector has exactly one IVF bucket and pairs
     // are intra-bucket), which also bounds cluster size by bucket size.
     "x41_embed_dedup_clusters" -> QueryDef(
-      (s, d) => {
-        val e = quantizedCached(s, d)
-        val assigned = assignedBuckets(e, trainedCentroids(e))
-          .select(col("vec_id"), col("qe"), col("qn"), col("bucket"))
-        val pairs = assigned.as("a").join(assigned.as("b"),
-            col("a.bucket") === col("b.bucket") &&
-              col("a.vec_id") < col("b.vec_id"))
-          .filter((expr(s"CAST(${sparkDot("a.qe", "b.qe")} AS DOUBLE)") /
-            (sqrt(col("a.qn").cast("double")) *
-              sqrt(col("b.qn").cast("double")))) >= NearDupTau)
-          .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        Components.connectedComponents(pairs, "vec_a", "vec_b",
-            Tables.embeddings(s, d).select(col("vec_id")), "vec_id",
-            EmbCcRounds)
-          .select(col("vec_id"), col("component").as("cluster_id"))
-          .withColumn("cluster_size", count(lit(1)).over(
-            Window.partitionBy("cluster_id")))
-          .withColumn("is_canonical", col("vec_id") === col("cluster_id"))
-          .orderBy("vec_id")
-      },
-      Some {
-        // round CTEs are lv-/pr-prefixed: the kmeans CTE chain already
-        // owns s1..sN for its per-iteration sums
-        val rounds = (1 to EmbCcRounds).map { i =>
-          s"""pr$i AS MATERIALIZED (
-  SELECT v.vec_id, least(v.label, coalesce(m.nl, v.label)) AS label
-  FROM lv${i - 1} v LEFT JOIN (
-    SELECT s.src, min(l.label) AS nl
-    FROM sym s JOIN lv${i - 1} l ON s.dst = l.vec_id GROUP BY s.src) m
-  ON v.vec_id = m.src
-),
-lv$i AS MATERIALIZED (
-  SELECT p.vec_id, q.label FROM pr$i p JOIN pr$i q ON p.label = q.vec_id
-)"""
-        }.mkString(",\n")
-        s"""
-WITH $duckQuantizedCte,
-$duckKmeansCtes,
-$duckAssignedCtes,
-cand AS MATERIALIZED (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM assigned a JOIN assigned b
-    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-  WHERE CAST(${duckDot("a.qe", "b.qe")} AS DOUBLE)
-      / (sqrt(CAST(a.qn AS DOUBLE)) * sqrt(CAST(b.qn AS DOUBLE)))
-    >= $NearDupTau
-),
-sym AS MATERIALIZED (
-  SELECT vec_a AS src, vec_b AS dst FROM cand
-  UNION ALL SELECT vec_b, vec_a FROM cand
-),
-lv0 AS (SELECT vec_id, vec_id AS label FROM embeddings),
-$rounds
-SELECT vec_id, label AS cluster_id,
-  count(*) OVER (PARTITION BY label) AS cluster_size,
-  (vec_id = label) AS is_canonical
-FROM lv$EmbCcRounds ORDER BY vec_id"""
-      },
+      (s, d) => embClusterAssignment(s, d)
+        .withColumn("cluster_size", count(lit(1)).over(
+          Window.partitionBy("cluster_id")))
+        .withColumn("is_canonical", col("vec_id") === col("cluster_id"))
+        .orderBy("vec_id"),
+      Some(s"""
+WITH $duckEmbClusterCtes
+SELECT vec_id, cluster_id,
+  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+  (vec_id = cluster_id) AS is_canonical
+FROM clusters ORDER BY vec_id"""),
       "embedding near-dup pairs → connected components (semantic dedup)"),
 
     // ── IVF top-k search: each probe fans out to its NProbe nearest
@@ -684,5 +698,127 @@ SELECT CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
     / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) * 1e12)
     AS var_pop
 FROM f GROUP BY dim ORDER BY dim"""),
-      "exact per-dimension embedding moments (whitening input) via integer fixed-point"))
+      "exact per-dimension embedding moments (whitening input) via integer fixed-point"),
+
+    // ── kNN-graph hubness audit: in/out-degree of the bucket-local
+    // k-nearest-neighbor graph. Hub vectors (in-degree ≫ k) are the
+    // classic high-dimensional pathology — they crowd every neighbor
+    // list, distort near-dup clustering, and sink retrieval diversity —
+    // so a corpus QC pass flags them before ANN serving. Same
+    // bucket-local shape as x11: the quadratic scan is confined to IVF
+    // buckets, the kNN edge set is ≤ |V|·k rows, and each degree count
+    // is one equi-shuffle on the endpoint id. out_degree < k exposes
+    // under-filled buckets (isolation), is_hub pins the audit's verdict.
+    "x63_knn_hubness" -> QueryDef(
+      (s, d) => {
+        val e = quantizedCached(s, d)
+        val assigned = assignedBuckets(e, trainedCentroids(e))
+          .select(col("vec_id"), col("qe"), col("qn"), col("bucket"))
+        val wk = Window.partitionBy(col("a.vec_id"))
+          .orderBy(desc("cos"), col("b.vec_id"))
+        val knn = assigned.as("a").join(assigned.as("b"),
+            col("a.bucket") === col("b.bucket") &&
+              col("a.vec_id") =!= col("b.vec_id"))
+          .withColumn("cos",
+            expr(s"CAST(${sparkDot("a.qe", "b.qe")} AS DOUBLE)") /
+              (sqrt(col("a.qn").cast("double")) *
+                sqrt(col("b.qn").cast("double"))))
+          .withColumn("rn", row_number().over(wk))
+          .filter(col("rn") <= K)
+          .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ind = knn.groupBy(col("dst")).agg(count(lit(1)).as("ic"))
+        val outd = knn.groupBy(col("src")).agg(count(lit(1)).as("oc"))
+        assigned.select(col("vec_id"), col("bucket"))
+          .join(ind, col("vec_id") === col("dst"), "left")
+          .join(outd, col("vec_id") === col("src"), "left")
+          .select(col("vec_id"), col("bucket"),
+            coalesce(col("ic"), lit(0L)).as("in_degree"),
+            coalesce(col("oc"), lit(0L)).as("out_degree"))
+          .withColumn("is_hub", col("in_degree") >= lit(2L * K))
+          .orderBy("vec_id")
+      },
+      Some(s"""
+WITH $duckQuantizedCte,
+$duckKmeansCtes,
+$duckAssignedCtes,
+knn AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        CAST(${duckDot("a.qe", "b.qe")} AS DOUBLE)
+          / (sqrt(CAST(a.qn AS DOUBLE)) * sqrt(CAST(b.qn AS DOUBLE)))
+        DESC, b.vec_id) AS rn
+    FROM assigned a JOIN assigned b
+      ON a.bucket = b.bucket AND a.vec_id != b.vec_id)
+  WHERE rn <= $K
+),
+ind AS (SELECT dst, count(*) AS ic FROM knn GROUP BY 1),
+outd AS (SELECT src, count(*) AS oc FROM knn GROUP BY 1)
+SELECT a.vec_id, a.bucket,
+  CAST(coalesce(i.ic, 0) AS BIGINT) AS in_degree,
+  CAST(coalesce(o.oc, 0) AS BIGINT) AS out_degree,
+  (CAST(coalesce(i.ic, 0) AS BIGINT) >= ${2 * K}) AS is_hub
+FROM assigned a
+LEFT JOIN ind i ON a.vec_id = i.dst
+LEFT JOIN outd o ON a.vec_id = o.src
+ORDER BY a.vec_id"""),
+      "kNN-graph in/out-degree per vector: hub detection before ANN serving"),
+
+    // ── Cluster-vs-label purity audit: how homogeneous are the x41
+    // semantic-dedup clusters w.r.t. the supervised `label` column? Low
+    // purity on large clusters means the near-dup threshold is merging
+    // semantically distinct documents — the canonical QC before an x42
+    // canonical-doc collapse is allowed to drop data. Recomposes the
+    // EXACT x41 clusters ([[embClusterAssignment]] / `clusters` CTE —
+    // one shared spelling), joins the tiny label column, and reduces per
+    // cluster: majority label via partial-aggregable max(struct(cnt,
+    // -label)) (the j14/x61 argmax respell — no window, map-side
+    // combinable), purity as ONE exact-integer division. Post-CC rows
+    // are |V| at worst, the per-cluster state is one struct.
+    "x64_cluster_purity" -> QueryDef(
+      (s, d) => {
+        val cl = embClusterAssignment(s, d)
+          .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")),
+            "vec_id")
+        cl.groupBy("cluster_id", "label")
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("cluster_id")
+          .agg(sum(col("cnt")).as("cluster_size"),
+            count(lit(1)).as("n_labels"),
+            max(struct(col("cnt"), (-col("label")).as("neg"),
+              col("label").as("lbl"))).as("mj"))
+          .select(col("cluster_id"),
+            col("cluster_size"), col("n_labels"),
+            col("mj.lbl").as("majority_label"),
+            col("mj.cnt").as("majority_cnt"),
+            (col("mj.cnt").cast("double") /
+              col("cluster_size").cast("double")).as("purity"))
+          .orderBy("cluster_id")
+      },
+      Some(s"""
+WITH $duckEmbClusterCtes,
+cl AS (
+  SELECT c.cluster_id, emb.label
+  FROM clusters c JOIN embeddings emb ON c.vec_id = emb.vec_id
+),
+pl AS (
+  SELECT cluster_id, label, CAST(count(*) AS BIGINT) AS cnt
+  FROM cl GROUP BY 1, 2
+),
+mj AS (
+  SELECT cluster_id, label AS majority_label, cnt AS majority_cnt
+  FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+          ORDER BY cnt DESC, label) AS rn FROM pl)
+  WHERE rn = 1
+)
+SELECT p.cluster_id,
+  CAST(sum(p.cnt) AS BIGINT) AS cluster_size,
+  CAST(count(*) AS BIGINT) AS n_labels,
+  mj.majority_label, mj.majority_cnt,
+  CAST(mj.majority_cnt AS DOUBLE) / CAST(sum(p.cnt) AS DOUBLE) AS purity
+FROM pl p JOIN mj USING (cluster_id)
+GROUP BY 1, 4, 5
+ORDER BY p.cluster_id"""),
+      "label purity of the x41 semantic-dedup clusters (merge-threshold QC)"))
 }
