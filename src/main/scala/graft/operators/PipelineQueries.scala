@@ -193,6 +193,12 @@ est AS (
     */
   private val ZipfTopR = 100L
 
+  /** x65: probe terms per language (the x25 top-M spelling) and docs
+    * returned per probe.
+    */
+  private val BmProbeM = 10L
+  private val BmTopDocs = 5L
+
   /** x37's mixture seed and per-source token budget: each source
     * contributes documents (in seeded-hash order) until the budget
     * fills — the knob a data-mixture recipe turns per corpus slice.
@@ -1757,5 +1763,124 @@ SELECT lang, n_terms, sx, sy, sxy, sxx,
   CAST(n_terms * sxy - sx * sy AS DOUBLE)
     / CAST(n_terms * sxx - sx * sx AS DOUBLE) AS zipf_slope
 FROM a ORDER BY lang"""),
-      "per-language Zipf slope of the vocab (corpus-shape QC, exact OLS)"))
+      "per-language Zipf slope of the vocab (corpus-shape QC, exact OLS)"),
+
+    // ── BM25 retrieval ranking: top documents per probe term under the
+    // Okapi BM25 score (k1 = 1.2, b = 0.75) — the query-centric
+    // retrieval twin of x23's doc-centric integer TF-IDF (x23 dodges
+    // logs entirely; here the true log idf IS the point, made
+    // parity-safe by the x36 fixed-point rule). The probe set is the
+    // per-language top-BmProbeM terms by corpus count (the x25
+    // spelling), so the whole query is self-contained and
+    // deterministic. Cross-engine exactness: idf is fixed-pointed to
+    // integer micro-nats once per (lang, term), and the tf/length
+    // normalization is restated as ONE rational of exact BIGINTs —
+    //   score = idf · 2.2·tf / (tf + 0.3 + 0.9·dl·N/SumDL)
+    //         = idf_micro·22·tf·SumDL
+    //           / (10·SumDL·tf + 3·SumDL + 9·dl·N) / 1e6
+    // (multiply through by 10·SumDL: k1+1 = 22/10, k1(1-b) = 3/10,
+    // k1·b = 9/10) — so the only float work is two divisions in the
+    // same association order on both engines. Exact while
+    // idf_micro·22·tf·SumDL < 2^63 (a per-language shard of ~1e12
+    // tokens); beyond that a deployment shards the corpus or accepts
+    // float avgdl. Plan shape: explode → three hash aggregations (dl,
+    // probe counts, tf) with map-side combine; probe and per-language
+    // stats broadcast; the final window runs per (lang, term) over at
+    // most |probe|·N rows.
+    "x65_bm25_rank" -> QueryDef(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = Tables.documentsSpread(s, d)
+          .select(col("lang"), col("doc_id"),
+            explode(split(col("text"), " ")).as("token"))
+        val dl = toks.groupBy("lang", "doc_id")
+          .agg(count(lit(1)).as("dl"))
+        val lstats = dl.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+        val wp = Window.partitionBy("lang")
+          .orderBy(desc("cnt"), col("token"))
+        val probe = toks.groupBy("lang", "token")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("pr", row_number().over(wp))
+          .filter(col("pr") <= BmProbeM)
+          .select(col("lang"), col("token"))
+        val tf = toks.join(broadcast(probe), Seq("lang", "token"))
+          .groupBy("lang", "token", "doc_id")
+          .agg(count(lit(1)).as("tf"))
+        val dfc = tf.groupBy("lang", "token")
+          .agg(count(lit(1)).as("df"))
+        val wr = Window.partitionBy("lang", "token")
+          .orderBy(desc("score"), col("doc_id"))
+        tf.join(dl, Seq("lang", "doc_id"))
+          .join(broadcast(dfc), Seq("lang", "token"))
+          .join(broadcast(lstats), Seq("lang"))
+          .withColumn("idf_micro", expr(
+            """CAST(floor(ln((CAST(n_docs - df AS DOUBLE) + 0.5d)
+               / (CAST(df AS DOUBLE) + 0.5d) + 1.0d) * 1000000 + 0.5d)
+               AS BIGINT)""".replace('\n', ' ')))
+          .withColumn("score", expr(
+            """CAST(idf_micro * 22 * tf * sum_dl AS DOUBLE)
+               / CAST(10 * sum_dl * tf + 3 * sum_dl + 9 * dl * n_docs
+                      AS DOUBLE)
+               / 1000000.0d""".replace('\n', ' ')))
+          .withColumn("rank", row_number().over(wr).cast("bigint"))
+          .filter(col("rank") <= BmTopDocs)
+          .select(col("lang"), col("token").as("term"), col("rank"),
+            col("doc_id"), col("tf"), col("dl"), col("idf_micro"),
+            col("score"))
+          .orderBy("lang", "term", "rank")
+      },
+      Some(s"""
+WITH toks AS (
+  SELECT lang, doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+dl AS (
+  SELECT lang, doc_id, CAST(count(*) AS BIGINT) AS dl
+  FROM toks GROUP BY 1, 2
+),
+ls AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(dl) AS BIGINT) AS sum_dl
+  FROM dl GROUP BY 1
+),
+pc AS (SELECT lang, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+probe AS (
+  SELECT lang, token FROM (
+    SELECT lang, token, row_number() OVER (PARTITION BY lang
+      ORDER BY cnt DESC, token) AS pr FROM pc)
+  WHERE pr <= $BmProbeM
+),
+tf AS (
+  SELECT t.lang, t.token, t.doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM toks t JOIN probe p ON t.lang = p.lang AND t.token = p.token
+  GROUP BY 1, 2, 3
+),
+dfc AS (
+  SELECT lang, token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1, 2
+),
+sc AS (
+  SELECT tf.lang, tf.token, tf.doc_id, tf.tf, dl.dl,
+    CAST(floor(ln((CAST(ls.n_docs - dfc.df AS DOUBLE) + 0.5)
+      / (CAST(dfc.df AS DOUBLE) + 0.5) + 1.0) * 1000000 + 0.5)
+      AS BIGINT) AS idf_micro,
+    ls.n_docs, ls.sum_dl
+  FROM tf
+  JOIN dl ON tf.lang = dl.lang AND tf.doc_id = dl.doc_id
+  JOIN dfc ON tf.lang = dfc.lang AND tf.token = dfc.token
+  JOIN ls ON tf.lang = ls.lang
+),
+scored AS (
+  SELECT lang, token, doc_id, tf, dl, idf_micro,
+    CAST(idf_micro * 22 * tf * sum_dl AS DOUBLE)
+      / CAST(10 * sum_dl * tf + 3 * sum_dl + 9 * dl * n_docs AS DOUBLE)
+      / 1000000.0 AS score
+  FROM sc
+)
+SELECT lang, token AS term, CAST(rn AS BIGINT) AS rank, doc_id, tf, dl,
+  idf_micro, score
+FROM (SELECT *, row_number() OVER (PARTITION BY lang, token
+        ORDER BY score DESC, doc_id) AS rn FROM scored)
+WHERE rn <= $BmTopDocs ORDER BY lang, term, rank"""),
+      "Okapi BM25 top-docs per probe term (exact integer rational + micro-nat idf)"))
 }
