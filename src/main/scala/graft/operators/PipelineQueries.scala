@@ -1882,5 +1882,72 @@ SELECT lang, token AS term, CAST(rn AS BIGINT) AS rank, doc_id, tf, dl,
 FROM (SELECT *, row_number() OVER (PARTITION BY lang, token
         ORDER BY score DESC, doc_id) AS rn FROM scored)
 WHERE rn <= $BmTopDocs ORDER BY lang, term, rank"""),
-      "Okapi BM25 top-docs per probe term (exact integer rational + micro-nat idf)"))
+      "Okapi BM25 top-docs per probe term (exact integer rational + micro-nat idf)"),
+
+    // ── Per-source KL divergence from the corpus token distribution:
+    // KL(P_src ‖ P_corpus) in nats — the information-theoretic drift
+    // audit that catches a source whose token mix diverges from the
+    // corpus (machine-generated floods, wrong-language crawls, parser
+    // regressions), sharper than x45's decile-histogram L1 because it
+    // weighs every term. Exact cross-engine: the per-term log-ratio
+    // ln((c_st·N)/(c_t·N_s)) takes ONE correctly-rounded division of
+    // exact-in-double integers (< 2^53), is fixed-pointed to micro-nats
+    // (the x36 rule), and Σ c_st·lr_micro accumulates in BIGINT; the
+    // final KL is one shared-spelling division. KL ≥ 0 up to the 1e-6
+    // quantization. Shape: one (source, token) hash aggregation with
+    // map-side combine; everything downstream is vocabulary-sized and
+    // broadcast.
+    "x66_source_kl" -> QueryDef(
+      (s, d) => {
+        val st = Tables.documentsSpread(s, d)
+          .select(col("source"), explode(split(col("text"), " "))
+            .as("token"))
+          .groupBy("source", "token").agg(count(lit(1)).as("c_st"))
+        val ct = st.groupBy("token").agg(sum("c_st").as("c_t"))
+        val ns = st.groupBy("source").agg(sum("c_st").as("n_src"),
+          count(lit(1)).as("n_terms"))
+        val n = ct.agg(sum("c_t").as("n_all"))
+        st.join(broadcast(ct), "token")
+          .join(broadcast(ns), "source")
+          .crossJoin(broadcast(n))
+          .withColumn("lr_micro", expr(
+            """CAST(floor(ln(CAST(c_st * n_all AS DOUBLE)
+               / CAST(c_t * n_src AS DOUBLE)) * 1000000 + 0.5d)
+               AS BIGINT)""".replace('\n', ' ')))
+          .groupBy("source", "n_src", "n_terms")
+          .agg(sum(expr("c_st * lr_micro")).as("kl_micro_sum"))
+          .select(col("source"), col("n_src").as("n_tokens"),
+            col("n_terms"), col("kl_micro_sum"),
+            expr("CAST(kl_micro_sum AS DOUBLE)" +
+              " / (CAST(n_src AS DOUBLE) * 1000000.0d)").as("kl_nats"))
+          .orderBy("source")
+      },
+      Some("""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+),
+st AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS c_st
+  FROM toks GROUP BY 1, 2
+),
+ct AS (SELECT token, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+ns AS (
+  SELECT source, CAST(sum(c_st) AS BIGINT) AS n_src,
+    CAST(count(*) AS BIGINT) AS n_terms
+  FROM st GROUP BY 1
+),
+na AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_all FROM ct),
+scored AS (
+  SELECT st.source, ns.n_src, ns.n_terms,
+    st.c_st * CAST(floor(ln(CAST(st.c_st * na.n_all AS DOUBLE)
+      / CAST(ct.c_t * ns.n_src AS DOUBLE)) * 1000000 + 0.5)
+      AS BIGINT) AS term_kl
+  FROM st JOIN ct USING (token) JOIN ns USING (source) CROSS JOIN na
+)
+SELECT source, n_src AS n_tokens, n_terms,
+  CAST(sum(term_kl) AS BIGINT) AS kl_micro_sum,
+  CAST(sum(term_kl) AS DOUBLE) / (CAST(n_src AS DOUBLE) * 1000000.0)
+    AS kl_nats
+FROM scored GROUP BY 1, 2, 3 ORDER BY source"""),
+      "per-source KL divergence vs corpus token distribution (exact micro-nats)"))
 }

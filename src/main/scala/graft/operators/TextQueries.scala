@@ -567,7 +567,61 @@ SELECT lang, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
   min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM packed GROUP BY 1, 2 ORDER BY lang, bin_id"""),
-      "curation flagship: funnel filters → exact dedup → priority sample → sequence packing"))
+      "curation flagship: funnel filters → exact dedup → priority sample → sequence packing"),
+
+    // ── Corpus-level n-gram diversity per source: distinct-to-total
+    // ratio for word 1/2/3-grams ACROSS a source's documents — the
+    // self-repetition audit that flags template-generated or
+    // model-generated sources (low distinct-n), complementing x57's
+    // WITHIN-document repetition flags. Same fan-out idiom as
+    // [[repPerDoc]] but keyed by source: explode → (source, g, gram)
+    // count with map-side combine → a |sources|·3-row rollup; the
+    // diversity ratio is ONE division of exact integers.
+    "x67_ngram_diversity" -> QueryDef(
+      (s, d) => {
+        val toks = Tables.documentsSpread(s, d)
+          .select(col("source"), expr("split(text, ' ')").as("tk"),
+            expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"))
+        def grams(k: Int) = {
+          val parts = (k - 1 to 0 by -1)
+            .map(j => s"element_at(tk, i - $j)").mkString(", ")
+          toks.where(col("n_tokens") >= k).select(col("source"),
+            lit(k.toLong).as("g"),
+            explode(expr(s"transform(sequence($k, CAST(size(tk) AS INT))," +
+              s" i -> concat_ws(' ', $parts))")).as("gram"))
+        }
+        grams(1).unionByName(grams(2)).unionByName(grams(3))
+          .groupBy("source", "g", "gram").agg(count(lit(1)).as("c"))
+          .groupBy("source", "g")
+          .agg(sum("c").as("total_grams"),
+            count(lit(1)).as("distinct_grams"),
+            max("c").as("top_gram_count"))
+          .withColumn("diversity", col("distinct_grams").cast("double") /
+            col("total_grams").cast("double"))
+          .orderBy("source", "g")
+      },
+      Some("""
+WITH t AS (
+  SELECT source, string_split(text, ' ') AS tk,
+    len(string_split(text, ' ')) AS n FROM documents
+),
+grams AS (
+  SELECT source, CAST(1 AS BIGINT) AS g, tk[i] AS gram
+  FROM t, UNNEST(generate_series(1, n)) AS u(i) WHERE n >= 1
+  UNION ALL
+  SELECT source, CAST(2 AS BIGINT), tk[i-1] || ' ' || tk[i]
+  FROM t, UNNEST(generate_series(2, n)) AS u(i) WHERE n >= 2
+  UNION ALL
+  SELECT source, CAST(3 AS BIGINT), tk[i-2] || ' ' || tk[i-1] || ' ' || tk[i]
+  FROM t, UNNEST(generate_series(3, n)) AS u(i) WHERE n >= 3
+),
+c AS (SELECT source, g, gram, count(*) AS c FROM grams GROUP BY 1, 2, 3)
+SELECT source, g, CAST(sum(c) AS BIGINT) AS total_grams,
+  CAST(count(*) AS BIGINT) AS distinct_grams,
+  CAST(max(c) AS BIGINT) AS top_gram_count,
+  CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS diversity
+FROM c GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "per-source 1/2/3-gram diversity (template/model-generated source audit)"))
 
   /** Per-doc curation flags over the documents table — the single
     * source of truth for the funnel (x58) AND the composed
