@@ -1949,5 +1949,107 @@ SELECT source, n_src AS n_tokens, n_terms,
   CAST(sum(term_kl) AS DOUBLE) / (CAST(n_src AS DOUBLE) * 1000000.0)
     AS kl_nats
 FROM scored GROUP BY 1, 2, 3 ORDER BY source"""),
-      "per-source KL divergence vs corpus token distribution (exact micro-nats)"))
+      "per-source KL divergence vs corpus token distribution (exact micro-nats)"),
+
+    // ── Heaps-law vocabulary growth: cumulative distinct-token count at
+    // ten doc_id-range checkpoints, plus the fitted Heaps exponent β
+    // (ln V = ln K + β·ln N, natural text: β ≈ 0.4-0.6) — the
+    // vocabulary-accumulation audit that exposes closed-vocabulary
+    // (template/model-generated) corpora, which saturate instantly
+    // (β ≈ 0, exactly what this synthetic corpus shows). Checkpoints
+    // are VALUE deciles of the doc_id range — pure integer arithmetic
+    // off one min/max aggregation, deliberately NOT a global
+    // row_number (no single-reducer sort at corpus scale). Each curve
+    // point comes from a ≤10-row broadcast nested-loop fan-out that
+    // partial-aggregates map-side (docs for size, per-token first-doc
+    // for vocab — vocabulary-sized, ≪ corpus). The OLS fit is the x62
+    // machinery on the 10-point curve: fixed-point lns, exact BIGINT
+    // sums, slope as ONE division.
+    "x68_heaps_fit" -> QueryDef(
+      (s, d) => {
+        val docs = Tables.documentsSpread(s, d)
+          .select(col("doc_id"),
+            expr("CAST(size(split(text, ' ')) AS BIGINT)").as("nt"),
+            expr("split(text, ' ')").as("tk"))
+        val cps = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+          .select(explode(expr("sequence(1, 10)")).as("icp"),
+            col("lo"), col("hi"))
+          .select(col("icp").cast("bigint").as("cp"),
+            expr("lo + ((hi - lo) * CAST(icp AS BIGINT)) div 10")
+              .as("cp_doc"))
+        val firstDoc = docs
+          .select(col("doc_id"), explode(col("tk")).as("token"))
+          .groupBy("token").agg(min("doc_id").as("fdoc"))
+        val sz = docs.select("doc_id", "nt")
+          .join(broadcast(cps), col("doc_id") <= col("cp_doc"))
+          .groupBy("cp", "cp_doc")
+          .agg(count(lit(1)).as("docs_seen"), sum("nt").as("tokens_seen"))
+        val vc = firstDoc
+          .join(broadcast(cps), col("fdoc") <= col("cp_doc"))
+          .groupBy("cp").agg(count(lit(1)).as("vocab_size"))
+        val curve = sz.join(vc, "cp")
+          .withColumn("lx", expr(
+            s"CAST(floor(ln(CAST(tokens_seen AS DOUBLE)) * $LpScale" +
+              " + 0.5d) AS BIGINT)"))
+          .withColumn("ly", expr(
+            s"CAST(floor(ln(CAST(vocab_size AS DOUBLE)) * $LpScale" +
+              " + 0.5d) AS BIGINT)"))
+        val ols = curve.agg(count(lit(1)).as("n"),
+          sum("lx").as("sx"), sum("ly").as("sy"),
+          sum(expr("lx * ly")).as("sxy"), sum(expr("lx * lx")).as("sxx"))
+        curve.crossJoin(broadcast(ols))
+          .select(col("cp").as("checkpoint"), col("cp_doc"),
+            col("docs_seen"), col("tokens_seen"), col("vocab_size"),
+            (expr("CAST(n * sxy - sx * sy AS DOUBLE)") /
+              expr("CAST(n * sxx - sx * sx AS DOUBLE)")).as("heaps_slope"))
+          .orderBy("checkpoint")
+      },
+      Some(s"""
+WITH docs AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+    string_split(text, ' ') AS tk
+  FROM documents
+),
+b AS (
+  SELECT CAST(min(doc_id) AS BIGINT) AS lo,
+    CAST(max(doc_id) AS BIGINT) AS hi
+  FROM docs
+),
+cps AS (
+  SELECT CAST(i AS BIGINT) AS cp,
+    lo + ((hi - lo) * CAST(i AS BIGINT)) // 10 AS cp_doc
+  FROM b, UNNEST(generate_series(1, 10)) AS u(i)
+),
+fd AS (
+  SELECT token, CAST(min(doc_id) AS BIGINT) AS fdoc
+  FROM (SELECT doc_id, unnest(tk) AS token FROM docs) GROUP BY 1
+),
+sz AS (
+  SELECT c.cp, c.cp_doc, CAST(count(*) AS BIGINT) AS docs_seen,
+    CAST(sum(d.nt) AS BIGINT) AS tokens_seen
+  FROM cps c JOIN docs d ON d.doc_id <= c.cp_doc GROUP BY 1, 2
+),
+vc AS (
+  SELECT c.cp, CAST(count(*) AS BIGINT) AS vocab_size
+  FROM cps c JOIN fd ON fd.fdoc <= c.cp_doc GROUP BY 1
+),
+curve AS (
+  SELECT sz.cp, sz.cp_doc, sz.docs_seen, sz.tokens_seen, vc.vocab_size,
+    CAST(floor(ln(CAST(sz.tokens_seen AS DOUBLE)) * $LpScale + 0.5)
+      AS BIGINT) AS lx,
+    CAST(floor(ln(CAST(vc.vocab_size AS DOUBLE)) * $LpScale + 0.5)
+      AS BIGINT) AS ly
+  FROM sz JOIN vc USING (cp)
+),
+ols AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(lx) AS BIGINT) AS sx,
+    CAST(sum(ly) AS BIGINT) AS sy, CAST(sum(lx * ly) AS BIGINT) AS sxy,
+    CAST(sum(lx * lx) AS BIGINT) AS sxx
+  FROM curve
+)
+SELECT cp AS checkpoint, cp_doc, docs_seen, tokens_seen, vocab_size,
+  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+    AS heaps_slope
+FROM curve CROSS JOIN ols ORDER BY checkpoint"""),
+      "Heaps-law vocab growth curve + exponent (closed-vocabulary detection)"))
 }
