@@ -1899,10 +1899,15 @@ WHERE rn <= $BmTopDocs ORDER BY lang, term, rank"""),
     // broadcast.
     "x66_source_kl" -> QueryDef(
       (s, d) => {
+        // persisted: st is the VOCABULARY-sized (source, token) rollup —
+        // tiny next to the corpus — and ct/ns/the final join all derive
+        // from it; without the persist each one re-scans and re-explodes
+        // the full corpus
         val st = Tables.documentsSpread(s, d)
           .select(col("source"), explode(split(col("text"), " "))
             .as("token"))
           .groupBy("source", "token").agg(count(lit(1)).as("c_st"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val ct = st.groupBy("token").agg(sum("c_st").as("c_t"))
         val ns = st.groupBy("source").agg(sum("c_st").as("n_src"),
           count(lit(1)).as("n_terms"))
