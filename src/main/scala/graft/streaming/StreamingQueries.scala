@@ -365,5 +365,63 @@ SELECT source, CAST(count(*) AS BIGINT) AS docs_in,
   CAST(sum(CASE WHEN f1 AND f2 AND f3 AND f4 THEN n_tokens ELSE 0 END)
     AS BIGINT) AS tokens_kept
 FROM flags GROUP BY source ORDER BY source"""),
-      "streaming ingest gate: per-source funnel survival == batch flags"))
+      "streaming ingest gate: per-source funnel survival == batch flags"),
+
+    // ── Streaming unique-content cardinality: the x21 KMV sketch
+    // maintained AT INGEST over each source's x05 content fingerprint —
+    // the dedup-rate monitor a firehose keeps current without a
+    // distinct shuffle (exact streaming countDistinct is unsupported
+    // AND unbounded-state by nature; the KMV buffer is ≤ StKmvK longs
+    // per source, merged as a monoid across micro-batches, so the
+    // drained estimate is byte-identical to the batch sketch regardless
+    // of arrival order). K = 16 (vs x21's 256) so the ESTIMATOR branch
+    // — not the exact small-set branch — is what every SF exercises.
+    // The oracle replays the deterministic md5-order min-K selection
+    // exactly, x21-style.
+    "st13_stream_kmv_cardinality" -> QueryDef(
+      (s, d) => {
+        graft.GraftExtensions.install(s)
+        val hashed = EventStream.readDocuments(s, d)
+          .withColumn("h", expr(
+            "CAST(conv(substr(md5(CAST(array_join(slice(split(text, ' ')," +
+              " 1, 5), ' ') AS BINARY)), 1, 15), 16, 10) AS BIGINT)"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("docs_in"),
+            expr(s"kmv_sketch(h, $StKmvK)").as("uniq_est"))
+        EventStream.runToMemory(s, hashed, s"st13_sink_${System.nanoTime}")
+          .orderBy("source")
+      },
+      Some(s"""
+WITH h AS (
+  SELECT DISTINCT source,
+    CAST(('0x' || substr(md5(array_to_string(
+      (string_split(text, ' '))[:5], ' ')), 1, 15)) AS BIGINT) AS h
+  FROM documents
+),
+r AS (
+  SELECT source, h,
+    row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+    count(*) OVER (PARTITION BY source) AS nd
+  FROM h
+),
+est AS (
+  SELECT source, max(nd) AS nd,
+    max(CASE WHEN rn = $StKmvK THEN h END) AS hk
+  FROM r GROUP BY 1
+),
+di AS (SELECT source, CAST(count(*) AS BIGINT) AS docs_in
+       FROM documents GROUP BY 1)
+SELECT e.source AS source, di.docs_in,
+  CASE WHEN e.nd < $StKmvK THEN CAST(e.nd AS DOUBLE)
+       ELSE (CAST($StKmvK - 1 AS DOUBLE) * pow(2, 60))
+              / CAST(e.hk AS DOUBLE) END AS uniq_est
+FROM est e JOIN di ON e.source = di.source
+ORDER BY source"""),
+      "streaming KMV sketch per source: unique-content rate at ingest, O(K) state"))
+
+  /** st13's sketch size — small enough that every SF's per-source
+    * fingerprint count (≥ 24) exercises the estimator branch, not the
+    * exact small-set branch.
+    */
+  private val StKmvK = 16
 }
