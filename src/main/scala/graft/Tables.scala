@@ -21,10 +21,13 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * outright (PARQUET_TYPE_ILLEGAL). Read nanos as raw longs and convert
-    * with integer division — exact, unlike a double roundtrip at 1e18 —
-    * matching DuckDB's own nanos→micros truncation.
+  /** `events.ts` arrives in either of two physical spellings depending on
+    * the generator vintage: TIMESTAMP(NANOS) — which Spark's reader rejects
+    * outright (PARQUET_TYPE_ILLEGAL) unless read as raw longs — or plain
+    * TIMESTAMP(MICROS) without a UTC flag (inferred TIMESTAMP_NTZ). Adapt
+    * on the scanned schema: longs get exact integer nanos→micros division
+    * (matching DuckDB's own truncation), native timestamps just re-cast to
+    * NTZ. Both normalize to the same logical column.
     *
     * Side effect: sets `spark.sql.legacy.parquet.nanosAsLong` for the
     * session and leaves it set — the flag is consulted again at execution
@@ -34,9 +37,13 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val raw = load(s, d, "events")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+      case _ => col("ts").cast("timestamp_ntz")
+    }
+    raw.withColumn("ts", ts)
   }
   /** Table by name, routed through any table-specific reader (`events`
     * needs the nanos workaround below). The single dispatch point for

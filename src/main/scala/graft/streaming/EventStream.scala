@@ -16,16 +16,21 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet — same workaround as the
-    * batch reader (Tables.events): read longs, convert exactly.
+  /** `events.ts` arrives as either TIMESTAMP(NANOS) — readable only as
+    * raw longs, same workaround as the batch reader (Tables.events) — or
+    * plain TIMESTAMP(MICROS)/NTZ, depending on the generator vintage. The
+    * file source needs an explicit schema, so [[readEvents]] probes the
+    * actual file once (a batch schema read, no data scan) and slots the
+    * matching ts type in here.
     */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  def rawSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
   /** The `documents` table as a file stream — the ingest shape of a
     * corpus pipeline (documents arrive continuously; dedup/scoring run
@@ -46,13 +51,21 @@ object EventStream {
 
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // probe the physical ts spelling (bigint nanos vs native timestamp);
+    // schema-only batch read, no data scan
+    val tsType = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
     // The file stream source wants a directory; testdata ships one file per
     // table in the sf dir, so scan the dir with a glob pinned to events.
-    spark.readStream
-      .schema(rawSchema)
+    val raw = spark.readStream
+      .schema(rawSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Tumbling event-time windows with a watermark. */
