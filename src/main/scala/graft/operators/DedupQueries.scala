@@ -371,7 +371,115 @@ $rounds"""
     md5(expr("array_join(slice(w, 1, 5), ' ')").cast("binary"))
   private val PrefixFpDuck = "md5(array_to_string(w[:5], ' '))"
 
+  /** Sub-document exact-substring dedup audit (the declared
+    * `x69_dup_spans`): which token RANGES of each document also appear
+    * verbatim elsewhere in the corpus — the span-level complement of the
+    * doc-level (x05) and chunk-level (x34/x53) passes, after the
+    * training-data observation that duplication concentrates in repeated
+    * passages (licenses, boilerplate, quotations) inside otherwise-unique
+    * documents.
+    *
+    * Shape: every 5-token window is fingerprinted (md5 — fixed 16-byte
+    * shuffle key no matter the gram text, the x27 trick); a window whose
+    * fingerprint occurs in ≥ 2 distinct documents is "covered"; covered
+    * windows are coalesced into maximal spans per document by the classic
+    * island sweep (new island when a window starts past the running
+    * max-end + 1). Everything is one gram aggregation + one semi-join +
+    * one per-doc window — each stage keyed and partial-aggregable, the
+    * 100 TB shape; no pair join ever materializes (coverage needs only
+    * the df ≥ 2 bit, not WHICH documents share the gram).
+    */
+  def dupSpans(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // two plan branches read the tokenized corpus (gram build, sizes);
+    // persist the cheap token arrays once
+    val docs = Tables.documentsSpread(s, d)
+      .select(col("doc_id"), expr("split(text, ' ')").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one struct array per doc, exploded — the window text never leaves
+    // the map side; only (doc_id, start, 16-byte fp) is shuffled.
+    // sequence() guard: size(w) >= 5 rows only (a shorter doc has no
+    // 5-gram and sequence(1, size-4) would silently run DESCENDING).
+    val pos = docs.filter(size(col("w")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(w) - 4),
+             i -> struct(i, md5(cast(concat_ws(' ', slice(w, i, 5))
+                                     as binary)) AS fp))""")).as("g"))
+      .select(col("doc_id"), col("g.i").as("s"), col("g.fp").as("fp"))
+    val dup = pos.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2).select("fp")
+    val covered = pos.join(dup, Seq("fp"))
+      .select(col("doc_id"), col("s"), (col("s") + 4).as("e"))
+    val byStart = Window.partitionBy("doc_id").orderBy("s")
+    val prevMax = max(col("e")).over(
+      byStart.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = covered
+      .withColumn("brk",
+        when(col("s") > coalesce(prevMax, lit(-1)) + 1, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(
+        byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min(col("s")).as("ss"), max(col("e")).as("ee"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("ee") - col("ss") + 1).as("dup_tokens"))
+    docs.select(col("doc_id"), size(col("w")).cast("bigint").as("n_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).cast("bigint")
+          .as("dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).cast("bigint").as("n_spans"))
+      .orderBy("doc_id")
+  }
+
+  private val dupSpansOracle: String = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT t.doc_id, u.i AS s,
+    md5(array_to_string(w[u.i:u.i+4], ' ')) AS fp
+  FROM t, LATERAL unnest(generate_series(1, len(w) - 4)) AS u(i)
+  WHERE len(w) >= 5
+),
+d AS (SELECT fp FROM g GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+p AS (SELECT g.doc_id, g.s, g.s + 4 AS e FROM g JOIN d USING (fp)),
+isl AS (
+  SELECT doc_id, s, e,
+    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+    THEN 1 ELSE 0 END AS brk
+  FROM p
+),
+sp AS (
+  SELECT doc_id,
+    sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island, s, e
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island, min(s) AS ss, max(e) AS ee
+  FROM sp GROUP BY doc_id, island
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+    CAST(sum(ee - ss + 1) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+  coalesce(a.dup_tokens, 0) AS dup_tokens,
+  coalesce(a.n_spans, 0) AS n_spans
+FROM t LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id"""
+
   def defs: Map[String, QueryDef] = Map(
+
+    // ── Span-level exact-substring dedup audit: 5-gram windows shared
+    // across documents, coalesced into maximal duplicated spans per doc
+    "x69_dup_spans" -> QueryDef(
+      (s, d) => dupSpans(s, d),
+      Some(dupSpansOracle),
+      "duplicated 5-gram windows coalesced into maximal spans per doc"),
 
     // ── Exact dedup: hash-groupBy on a normalized prefix fingerprint,
     // keep-min-id canonical (distributed `dropDuplicates` with provenance)
