@@ -215,6 +215,103 @@ SELECT node AS p_partkey, label AS community,
 FROM l$LpRounds ORDER BY p_partkey"""
   }
 
+  /** Triangle counting + exact clustering coefficient per part (the
+    * declared `x71_triangle_cc`) over the co-purchase graph — the local
+    * cohesion audit of the link-analysis tier: a part whose neighbors
+    * also co-occur with each other sits inside a coherent product
+    * cluster, one with many neighbors but no closures is a hub that
+    * bridges unrelated baskets (stratify or cap before sampling).
+    *
+    * Algorithm: degree-ordered edge orientation — every undirected edge
+    * points from its lower (degree, id) endpoint to the higher — then
+    * each triangle is enumerated exactly once as a wedge at its
+    * lowest-ordered corner closed by one edge lookup. This is the
+    * standard distributed triangle shape: wedge fan-out at a node is its
+    * ORIENTED out-degree, which the degree ordering bounds by O(√m)
+    * regardless of raw hub degree, so a celebrity part with a million
+    * co-purchases generates √-bounded wedges instead of degree² (the
+    * skew argument that makes this survive 100 TB; both joins are plain
+    * equi-joins on node keys). The clustering coefficient is reported as
+    * the exact integer pair (cc_num = 2·triangles,
+    * cc_den = deg·(deg−1)) rather than a float division — downstream
+    * consumers divide once if they want the ratio; the oracle compare
+    * stays pure BIGINT.
+    */
+  def triangleCc(s: SparkSession, d: String): DataFrame = {
+    val edges = copurchaseEdges(s, d)
+    // undirected degree: the edge list is symmetric, so out-neighbors
+    // count it; one row per node, AQE broadcasts it into the joins
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val once = edges.filter(col("src") < col("dst"))
+      .join(deg.withColumnRenamed("node", "src")
+        .withColumnRenamed("deg", "sdeg"), Seq("src"))
+      .join(deg.withColumnRenamed("node", "dst")
+        .withColumnRenamed("deg", "ddeg"), Seq("dst"))
+    val fwd = col("sdeg") < col("ddeg") ||
+      (col("sdeg") === col("ddeg") && col("src") < col("dst"))
+    val eo = once.select(
+      when(fwd, col("src")).otherwise(col("dst")).as("u"),
+      when(fwd, col("dst")).otherwise(col("src")).as("v"),
+      when(fwd, col("ddeg")).otherwise(col("sdeg")).as("vdeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wedge = eo.as("ab").join(eo.as("ac"),
+      col("ab.u") === col("ac.u") &&
+        (col("ab.vdeg") < col("ac.vdeg") ||
+          (col("ab.vdeg") === col("ac.vdeg") &&
+            col("ab.v") < col("ac.v"))))
+    val tris = wedge.join(eo.as("bc"),
+        col("bc.u") === col("ab.v") && col("bc.v") === col("ac.v"))
+      .select(col("ab.u").as("a"), col("ab.v").as("b"), col("ac.v").as("c"))
+    val perNode = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node").as("p_partkey"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        (coalesce(col("triangles"), lit(0L)) * 2).as("cc_num"),
+        (col("deg") * (col("deg") - 1)).as("cc_den"))
+      .orderBy("p_partkey")
+  }
+
+  /** DuckDB twin of [[triangleCc]] — same orientation CASE, same wedge
+    * comparison, pure integer output.
+    */
+  private val triangleOracle: String = s"""
+WITH $edgeCtes,
+deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        FROM e GROUP BY 1),
+eo AS (
+  SELECT CASE WHEN da.deg < db.deg
+           OR (da.deg = db.deg AND e.src < e.dst)
+         THEN e.src ELSE e.dst END AS u,
+         CASE WHEN da.deg < db.deg
+           OR (da.deg = db.deg AND e.src < e.dst)
+         THEN e.dst ELSE e.src END AS v,
+         CASE WHEN da.deg < db.deg
+           OR (da.deg = db.deg AND e.src < e.dst)
+         THEN db.deg ELSE da.deg END AS vdeg
+  FROM e JOIN deg da ON e.src = da.node JOIN deg db ON e.dst = db.node
+  WHERE e.src < e.dst
+),
+tri AS (
+  SELECT ab.u AS a, ab.v AS b, ac.v AS c
+  FROM eo ab JOIN eo ac ON ab.u = ac.u
+    AND (ab.vdeg < ac.vdeg OR (ab.vdeg = ac.vdeg AND ab.v < ac.v))
+  JOIN eo bc ON bc.u = ab.v AND bc.v = ac.v
+),
+corners AS (
+  SELECT unnest([a, b, c]) AS node FROM tri
+),
+pn AS (SELECT node, CAST(count(*) AS BIGINT) AS triangles
+       FROM corners GROUP BY node)
+SELECT deg.node AS p_partkey, deg.deg,
+  coalesce(pn.triangles, 0) AS triangles,
+  coalesce(pn.triangles, 0) * 2 AS cc_num,
+  deg.deg * (deg.deg - 1) AS cc_den
+FROM deg LEFT JOIN pn USING (node)
+ORDER BY p_partkey"""
+
   def defs: Map[String, QueryDef] = Map(
     "x46_part_pagerank" -> QueryDef(
       partPagerank,
@@ -223,6 +320,10 @@ FROM l$LpRounds ORDER BY p_partkey"""
     "x61_label_communities" -> QueryDef(
       labelPropagation,
       Some(labelPropOracle),
-      "synchronous label-propagation communities over the co-purchase graph")
+      "synchronous label-propagation communities over the co-purchase graph"),
+    "x71_triangle_cc" -> QueryDef(
+      triangleCc,
+      Some(triangleOracle),
+      "degree-ordered triangle count + exact clustering coefficient per part")
   )
 }
