@@ -217,6 +217,103 @@ SELECT event_id, user_id, ts, next_order, next_orderdate FROM (
 WHERE rn = 1 ORDER BY event_id"""),
       "forward as-of join (first order at/after each event)"),
 
+    // ── Interpolation join: each event estimates the user's order value
+    // AT its timestamp by linear interpolation between the bracketing
+    // orders (last at-or-before, first strictly-after) — the timeseries
+    // enrichment one step past as-of (sensor gap-filling, price curves).
+    // ONE user-keyed equi-join + ONE per-event aggregation: both
+    // bracket picks are conditional min/max over struct, so the order
+    // fan-out collapses map-side (partial aggregation) exactly like j14.
+    // Parity: interpolation runs in exact integer space — cents
+    // (floor(x*100+0.5)) × epoch SECONDS — with the numerator sign
+    // case-split so every `div`/`//` sees positive operands (the engines
+    // disagree on negative integer division); products are bounded by
+    // 5e7 cents × 1.3e8 s ≈ 6e15, far under BIGINT overflow. Ends clamp
+    // (one-sided brackets take that side's value), eventless users NULL.
+    "j19_interp_join" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val ord = Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_orderdate").cast("timestamp_ntz").as("od"),
+            expr("CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)")
+              .as("cents"))
+        ev.join(ord, col("user_id") === col("o_custkey"), "left")
+          .groupBy(col("event_id"), col("user_id"), col("ts"))
+          .agg(
+            max(when(col("od") <= col("ts"),
+              struct(col("od"), col("o_orderkey"), col("cents"))))
+              .as("pv"),
+            min(when(col("od") > col("ts"),
+              struct(col("od"), col("o_orderkey"), col("cents"))))
+              .as("nx"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("pv.o_orderkey").as("prev_order"),
+            col("nx.o_orderkey").as("next_order"),
+            expr("""CAST(CASE
+              WHEN pv IS NOT NULL AND nx IS NOT NULL THEN
+                CASE WHEN nx.cents >= pv.cents
+                THEN pv.cents + ((nx.cents - pv.cents)
+                       * (unix_micros(CAST(ts AS TIMESTAMP)) div 1000000
+                          - unix_micros(CAST(pv.od AS TIMESTAMP))
+                            div 1000000))
+                     div (unix_micros(CAST(nx.od AS TIMESTAMP)) div 1000000
+                          - unix_micros(CAST(pv.od AS TIMESTAMP))
+                            div 1000000)
+                ELSE pv.cents - ((pv.cents - nx.cents)
+                       * (unix_micros(CAST(ts AS TIMESTAMP)) div 1000000
+                          - unix_micros(CAST(pv.od AS TIMESTAMP))
+                            div 1000000))
+                     div (unix_micros(CAST(nx.od AS TIMESTAMP)) div 1000000
+                          - unix_micros(CAST(pv.od AS TIMESTAMP))
+                            div 1000000)
+                END
+              WHEN pv IS NOT NULL THEN pv.cents
+              ELSE nx.cents END AS BIGINT)""").as("interp_cents"))
+          .orderBy("event_id")
+      },
+      Some("""
+WITH pv AS (
+  SELECT event_id, pd, pk, pc FROM (
+    SELECT e.event_id, o.o_orderdate AS pd, o.o_orderkey AS pk,
+      CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) AS pc,
+      row_number() OVER (PARTITION BY e.event_id
+        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+    FROM events e JOIN orders o ON e.user_id = o.o_custkey
+      AND CAST(o.o_orderdate AS TIMESTAMP) <= e.ts)
+  WHERE rn = 1),
+nx AS (
+  SELECT event_id, nd, nk, nc FROM (
+    SELECT e.event_id, o.o_orderdate AS nd, o.o_orderkey AS nk,
+      CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) AS nc,
+      row_number() OVER (PARTITION BY e.event_id
+        ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+    FROM events e JOIN orders o ON e.user_id = o.o_custkey
+      AND CAST(o.o_orderdate AS TIMESTAMP) > e.ts)
+  WHERE rn = 1)
+SELECT e.event_id, e.user_id, e.ts,
+  pv.pk AS prev_order, nx.nk AS next_order,
+  CAST(CASE
+    WHEN pv.pc IS NOT NULL AND nx.nc IS NOT NULL THEN
+      CASE WHEN nx.nc >= pv.pc
+      THEN pv.pc + ((nx.nc - pv.pc)
+             * (epoch_us(e.ts) // 1000000
+                - epoch_us(CAST(pv.pd AS TIMESTAMP)) // 1000000))
+           // (epoch_us(CAST(nx.nd AS TIMESTAMP)) // 1000000
+              - epoch_us(CAST(pv.pd AS TIMESTAMP)) // 1000000)
+      ELSE pv.pc - ((pv.pc - nx.nc)
+             * (epoch_us(e.ts) // 1000000
+                - epoch_us(CAST(pv.pd AS TIMESTAMP)) // 1000000))
+           // (epoch_us(CAST(nx.nd AS TIMESTAMP)) // 1000000
+              - epoch_us(CAST(pv.pd AS TIMESTAMP)) // 1000000)
+      END
+    WHEN pv.pc IS NOT NULL THEN pv.pc
+    ELSE nx.nc END AS BIGINT) AS interp_cents
+FROM events e LEFT JOIN pv USING (event_id) LEFT JOIN nx USING (event_id)
+ORDER BY event_id"""),
+      "linear-interpolation join between bracketing orders, integer-exact"),
+
     // ── Staged funnel: per user, the first signup, the first click AT OR
     // AFTER that signup, and the first purchase at or after that click —
     // ordered-stage conversion, the standard product-analytics ask. Three
