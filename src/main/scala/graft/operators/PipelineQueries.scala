@@ -1609,6 +1609,149 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
 FROM scored GROUP BY doc_id ORDER BY doc_id"""),
       "add-one-smoothed bigram LM per-doc mean log-prob, exact integers"),
 
+    // ── Within-doc token entropy: Shannon entropy of each document's own
+    // token distribution — the self-information complement of x36 (which
+    // scores docs under the CORPUS LM). Low entropy = repetitive/
+    // degenerate text (the keyboard-mash and template classes quality
+    // filters drop), high = diverse vocabulary. Exact cross-engine via
+    // the x36 micro-nat discipline: H = Σ c·(L(n) − L(c)) / n with
+    // L(x) = floor(ln(x)·1e6 + 0.5) — each ln is fixed-pointed alone,
+    // all sums and the final `div` are pure BIGINT (terms are ≥ 0 since
+    // c ≤ n, so `div`/`//` agree). One (doc, token) aggregation + one
+    // doc-keyed window — both partition by doc at any scale.
+    "x72_doc_entropy" -> QueryDef(
+      (s, d) => {
+        val w = Window.partitionBy("doc_id")
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(split(col("text"), " ")).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+          .withColumn("n", sum(col("c")).over(w))
+          .withColumn("term", expr(
+            s"""c * (CAST(floor(ln(CAST(n AS DOUBLE)) * $LpScale + 0.5d)
+                          AS BIGINT)
+                     - CAST(floor(ln(CAST(c AS DOUBLE)) * $LpScale + 0.5d)
+                            AS BIGINT))"""))
+          .groupBy("doc_id")
+          .agg(max(col("n")).as("n_tokens"),
+            count(lit(1)).as("distinct_tokens"),
+            sum(col("term")).as("ent_num"))
+          .select(col("doc_id"), col("n_tokens"), col("distinct_tokens"),
+            expr("ent_num div n_tokens").as("entropy_unat"),
+            (col("ent_num").cast("double") /
+              (col("n_tokens").cast("double") * LpScale.toDouble))
+              .as("entropy_nats"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+WITH cnt AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents)
+  GROUP BY doc_id, token
+),
+wn AS (
+  SELECT doc_id, token, c,
+    CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+  FROM cnt
+),
+terms AS (
+  SELECT doc_id, n,
+    c * (CAST(floor(ln(CAST(n AS DOUBLE)) * $LpScale + 0.5) AS BIGINT)
+         - CAST(floor(ln(CAST(c AS DOUBLE)) * $LpScale + 0.5) AS BIGINT))
+      AS term
+  FROM wn
+)
+SELECT doc_id, max(n) AS n_tokens,
+  CAST(count(*) AS BIGINT) AS distinct_tokens,
+  CAST(sum(term) AS BIGINT) // max(n) AS entropy_unat,
+  CAST(sum(term) AS DOUBLE) / (CAST(max(n) AS DOUBLE) * $LpScale)
+    AS entropy_nats
+FROM terms GROUP BY doc_id ORDER BY doc_id"""),
+      "within-doc Shannon entropy in exact micro-nats (self-info audit)"),
+
+    // ── LM-based source attribution: classify each document to the
+    // source whose add-one-smoothed unigram LM scores it highest, then
+    // report the actual×predicted confusion matrix — the provenance
+    // audit of a mixed corpus (a source whose docs systematically
+    // attribute elsewhere is mislabeled or contaminated; x35's lang
+    // twin, but driven by learned LMs instead of stopword heuristics).
+    // The per-source LM is DENSE over the vocabulary (zero counts
+    // smoothed to 1/(n_s+V)), built as vocab × sources — the LM table is
+    // bounded by vocabulary size, the classic small side a 100 TB run
+    // still broadcasts. Scoring is one (doc, token)-count join + one
+    // (doc, source) aggregation; the argmax is min(struct(-score,
+    // source)) — partial-aggregable, no window. Micro-nat fixed-point
+    // per (token, source), integer sums (the x36 discipline).
+    "x73_source_attribution" -> QueryDef(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            explode(split(col("text"), " ")).as("token"))
+        val dt = toks.groupBy(col("doc_id"), col("source").as("actual"),
+          col("token")).agg(count(lit(1)).as("k"))
+        val cnt = toks.groupBy(col("source"), col("token"))
+          .agg(count(lit(1)).as("c"))
+        val tot = toks.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        val vocab = toks.select("token").distinct()
+        val v = vocab.agg(count(lit(1)).as("v"))
+        val lm = vocab.crossJoin(tot)
+          .join(cnt, Seq("source", "token"), "left")
+          .crossJoin(broadcast(v))
+          .select(col("source").as("lm_source"), col("token"),
+            expr(s"""CAST(floor(ln(CAST(coalesce(c, 0) + 1 AS DOUBLE)
+                       / CAST(n + v AS DOUBLE)) * $LpScale + 0.5d)
+                     AS BIGINT)""").as("lp"))
+        dt.join(broadcast(lm), Seq("token"))
+          .groupBy(col("doc_id"), col("actual"), col("lm_source"))
+          .agg(sum(col("k") * col("lp")).as("score"))
+          .groupBy(col("doc_id"), col("actual"))
+          .agg(min(struct((-col("score")).as("ns"),
+            col("lm_source").as("src"))).as("top"))
+          .groupBy(col("actual"), col("top.src").as("predicted"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("actual", "predicted")
+      },
+      Some(s"""
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+dt AS (SELECT doc_id, source AS actual, token,
+         CAST(count(*) AS BIGINT) AS k
+       FROM toks GROUP BY 1, 2, 3),
+cnt AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY 1, 2),
+tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        FROM toks GROUP BY 1),
+vocab AS (SELECT DISTINCT token FROM toks),
+v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+lm AS (
+  SELECT tot.source AS lm_source, vocab.token,
+    CAST(floor(ln(CAST(coalesce(cnt.c, 0) + 1 AS DOUBLE)
+      / CAST(tot.n + v.v AS DOUBLE)) * $LpScale + 0.5) AS BIGINT) AS lp
+  FROM vocab CROSS JOIN tot
+  LEFT JOIN cnt ON cnt.source = tot.source AND cnt.token = vocab.token
+  CROSS JOIN v
+),
+scored AS (
+  SELECT dt.doc_id, dt.actual, lm.lm_source,
+    CAST(sum(dt.k * lm.lp) AS BIGINT) AS score
+  FROM dt JOIN lm USING (token)
+  GROUP BY 1, 2, 3
+),
+top AS (
+  SELECT doc_id, actual, lm_source AS predicted FROM (
+    SELECT doc_id, actual, lm_source,
+      row_number() OVER (PARTITION BY doc_id
+        ORDER BY score DESC, lm_source ASC) AS rn
+    FROM scored)
+  WHERE rn = 1
+)
+SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n_docs
+FROM top GROUP BY actual, predicted ORDER BY actual, predicted"""),
+      "unigram-LM argmax source attribution + confusion matrix"),
+
     // ── CUBE: all grouping-set combinations of (year, status) with a
     // grouping_id level marker — the full-lattice sibling of a10's
     // ROLLUP. One pass; Spark expands the sets map-side before the
