@@ -359,7 +359,156 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
       s.read.parquet(s"$indexPath/assignment"))
   }
 
+  /** Truncate-toward-zero integer division for a possibly-negative
+    * numerator over a positive denominator — Spark `div` truncates but
+    * DuckDB `//` floors, so every signed division in x74 goes through
+    * this sign-split spelling (identical text both engines modulo the
+    * operator token).
+    */
+  private def tdiv(a: String, b: String, op: String): String =
+    s"(CASE WHEN ($a) >= 0 THEN ($a) $op ($b) ELSE -((-($a)) $op ($b)) END)"
+
+  /** floor(sqrt(x)) over a DECIMAL(38,0)/HUGEINT sum: both engines
+    * convert the same exact integer to the same IEEE double
+    * (round-to-nearest), sqrt is correctly rounded, floor is exact —
+    * bit-identical cross-engine.
+    */
+  private def isqrt(x: String): String =
+    s"CAST(floor(sqrt(CAST(($x) AS DOUBLE))) AS BIGINT)"
+
+  /** Micro-unit fixed-point scale shared by the x74 pipeline. */
+  private val PcaScale = 1000000L
+
+  /** Top principal component of the embedding corpus by two unrolled
+    * power-iteration rounds (the declared `x74_pca_power`), exact
+    * integers end-to-end — the whitening/PCA primitive a corpus pipeline
+    * runs before dimensionality reduction or decorrelated quantization.
+    *
+    * Shape per round: ONE vec-keyed aggregation (dot products, the
+    * matvec x·v collapsing map-side) + ONE dim-keyed aggregation
+    * (w = Σᵢ xᵢ·dotᵢ) — the classic distributed power-iteration layout:
+    * the d-long vector state is driver-held between rounds and re-enters
+    * as a literal array (MLlib's own shape; the x14 convergence-scalar
+    * argument), so the data is scanned once per round with no
+    * broadcast-join chain. Determinism: components quantize to micro-units
+    * (x59), v₀ is the constant all-ones vector, every signed division is
+    * sign-split truncating ([[tdiv]]), norms go through DECIMAL(38,0)/
+    * HUGEINT squares ([[isqrt]]) — both engines walk identical integer
+    * states, so the round count is a fixed constant exactly like x46's
+    * PageRank. BIGINT bounds: |Σ xf·dot| ≤ d·maxXf²·n ≈ 3.6e16 at sf0.1
+    * — exact to ~10⁵-vector shards at these magnitudes; beyond that,
+    * shard the w-accumulation per the x59 DECIMAL rule and merge (or
+    * accept per-shard components merged by averaging).
+    *
+    * Output: one row per dimension with the normalized component after
+    * round 2 (`v_fp`, 1e6-scaled unit vector), the un-normalized
+    * accumulator (`w_fp`), and both round norms (`norm1`, `norm2` —
+    * norm2 approximates the top eigenvalue × 1e6 in micro² units since
+    * ‖v₁‖ = 1e6).
+    */
+  def pcaPower(s: SparkSession, d: String): DataFrame = {
+    // The VECTOR state (d longs) lives on the driver between rounds —
+    // the classic distributed power-iteration layout (MLlib does the
+    // same): per round the corpus is scanned ONCE for the dim-keyed
+    // accumulation, the d-row result collects (d ≪ corpus, the x14
+    // convergence-scalar argument), and the next round's vector enters
+    // as a literal array so the matvec is pure map-side expression —
+    // no broadcast-join chain, two Spark jobs total.
+    val xq = Tables.embeddingsSpread(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("dim"),
+        expr(s"CAST(floor(CAST(x AS DOUBLE) * $PcaScale + 0.5d) AS BIGINT)")
+          .as("xf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def tdivJvm(a: Long, b: Long): Long = a / b // Long / truncates = div
+    def isqrtJvm(sq: BigInt): Long =
+      math.floor(math.sqrt(sq.toDouble)).toLong // same dbl path as SQL
+    // one round: w = Σᵢ xᵢ·dotᵢ per dim (collected), then wr/norm/v on
+    // the driver in the same integer arithmetic the oracle spells
+    def round(dots: DataFrame): (Array[Long], Array[Long], Long) = {
+      val wr = xq.join(dots, Seq("vec_id"))
+        .groupBy("dim").agg(sum(col("xf") * col("dt")).as("w"))
+        .select(col("dim"), expr(tdiv("w", PcaScale.toString, "div"))
+          .as("wr"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1))
+        .sortBy(_._1).map(_._2)
+      val nrm = isqrtJvm(wr.map(x => BigInt(x) * BigInt(x)).sum)
+      val v = wr.map(x => if (nrm == 0L) 0L
+                          else tdivJvm(x * PcaScale, nrm))
+      (v, wr, nrm)
+    }
+    // round 1 against v0 = (1e6, …, 1e6): (xf·1e6) div 1e6 = xf exactly,
+    // so dot0 is just the component sum
+    val dot0 = xq.groupBy("vec_id").agg(sum(col("xf")).as("dt"))
+    val (v1, _, n1) = round(dot0)
+    val dot1 = xq
+      .withColumn("v", element_at(typedLit(v1.toSeq), col("dim")))
+      .groupBy("vec_id")
+      .agg(expr(tdiv("sum(xf * v)", PcaScale.toString, "div")).as("dt"))
+    val (v2, wr2, n2) = round(dot1)
+    import s.implicits._
+    v2.indices.map(j =>
+        ((j + 1).toLong, v2(j), wr2(j), n1, n2))
+      .toDF("dim", "v_fp", "w_fp", "norm1", "norm2")
+      .orderBy("dim")
+  }
+
+  /** DuckDB twin of [[pcaPower]]: same constants, same sign-split
+    * truncating divisions (`//` token), same DECIMAL→HUGEINT norms.
+    */
+  private def pcaOracle: String = {
+    def w(dots: String) = s"""
+  SELECT xq.dim,
+    CAST(${tdiv(s"sum(xq.xf * $dots.dt)", PcaScale.toString, "//")}
+         AS BIGINT) AS wr
+  FROM xq JOIN $dots ON xq.vec_id = $dots.vec_id
+  GROUP BY xq.dim"""
+    s"""
+WITH xq AS (
+  SELECT vec_id, CAST(i AS BIGINT) AS dim,
+    CAST(floor(CAST(embedding[i] AS DOUBLE) * $PcaScale + 0.5) AS BIGINT)
+      AS xf
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+),
+dot0 AS (SELECT vec_id, CAST(sum(xf) AS BIGINT) AS dt
+         FROM xq GROUP BY vec_id),
+w1 AS (${w("dot0")}),
+n1 AS (SELECT ${isqrt(
+      "sum(CAST(wr AS HUGEINT) * CAST(wr AS HUGEINT))")} AS nrm FROM w1),
+v1 AS (
+  SELECT dim, wr,
+    CAST(CASE WHEN n1.nrm = 0 THEN 0
+    ELSE ${tdiv(s"wr * $PcaScale", "n1.nrm", "//")} END AS BIGINT) AS v
+  FROM w1 CROSS JOIN n1
+),
+dot1 AS (
+  SELECT xq.vec_id,
+    CAST(${tdiv("sum(xq.xf * v1.v)", PcaScale.toString, "//")}
+         AS BIGINT) AS dt
+  FROM xq JOIN v1 ON xq.dim = v1.dim
+  GROUP BY xq.vec_id
+),
+w2 AS (${w("dot1")}),
+n2 AS (SELECT ${isqrt(
+      "sum(CAST(wr AS HUGEINT) * CAST(wr AS HUGEINT))")} AS nrm FROM w2),
+v2 AS (
+  SELECT dim, wr,
+    CAST(CASE WHEN n2.nrm = 0 THEN 0
+    ELSE ${tdiv(s"wr * $PcaScale", "n2.nrm", "//")} END AS BIGINT) AS v
+  FROM w2 CROSS JOIN n2
+)
+SELECT v2.dim, v2.v AS v_fp, v2.wr AS w_fp,
+  n1.nrm AS norm1, n2.nrm AS norm2
+FROM v2 CROSS JOIN n1 CROSS JOIN n2
+ORDER BY dim"""
+  }
+
   def defs: Map[String, QueryDef] = Map(
+
+    "x74_pca_power" -> QueryDef(
+      pcaPower,
+      Some(pcaOracle),
+      "top principal component by 2 integer power-iteration rounds"),
 
     // ── Brute-force cosine top-k: exact baseline; probe set broadcast,
     // one pass over the corpus, per-query heap via window rank.
