@@ -512,6 +512,45 @@ object RelationalQueries {
               count(*) AS n_lines
               FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
 
+    // ── Skew-salted JOIN (a09's twin for joins): the fact side carries a
+    // deterministic salt derived from its own non-key attributes
+    // (pmod(l_partkey + l_linenumber, 8) — never rand(), the oracle
+    // must replay it), the dimension side is replicated once per salt
+    // value, and the join key becomes (key, salt) — so one hot orderkey's
+    // rows land on 8 reducers instead of one. The declared result is the
+    // plain join's rollup and the oracle IS the plain join: salting
+    // changes WHERE rows meet, never WHAT matches. At 100 TB this is the
+    // manual fallback when AQE's skew split can't see the skew (e.g.
+    // pre-aggregated inputs); the dimension replication cost is
+    // |dim| × R — the side you salt is always the big one.
+    "j20_salted_join" -> QueryDef(
+      (s, d) => {
+        val R = 8
+        val fact = li(s, d)
+          .select(col("l_orderkey"), col("l_returnflag"),
+            col("l_extendedprice"),
+            pmod(col("l_partkey") + col("l_linenumber"), lit(R))
+              .cast("int").as("salt"))
+        val dim = ord(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .withColumn("salt",
+            explode(expr(s"transform(sequence(0, ${R - 1}), i -> CAST(i AS INT))")))
+        fact.join(dim,
+            col("l_orderkey") === col("o_orderkey") &&
+              fact("salt") === dim("salt"))
+          .groupBy(col("o_orderpriority"), col("l_returnflag"))
+          .agg(count(lit(1)).as("n_lines"),
+            moneySum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("o_orderpriority", "l_returnflag")
+      },
+      Some(s"""SELECT o.o_orderpriority, l.l_returnflag,
+              count(*) AS n_lines,
+              ${sqlSum("l.l_extendedprice")} AS sum_price
+              FROM lineitem l JOIN orders o
+                ON l.l_orderkey = o.o_orderkey
+              GROUP BY 1, 2 ORDER BY o_orderpriority, l_returnflag"""),
+      "deterministically salted join == plain join (hot-key spreading)"),
+
     // ── A5/A6: monthly money rollup incl. NULL-key group semantics
     // (load_accounting_data.py:112-127)
     "a05_monthly_rollup" -> QueryDef(
@@ -1115,6 +1154,105 @@ WHERE (CASE WHEN k_old IS NULL THEN 'added'
        ELSE 'same' END) != 'same'
 ORDER BY o_orderkey"""),
       "snapshot reconciliation: added/removed/changed via full-outer join"),
+
+    // ── Incremental view maintenance: a per-customer aggregate view is
+    // refreshed by MERGING a delta batch's partial aggregate states into
+    // the base snapshot's — count adds, money merges as exact
+    // DECIMAL(18,2) partial sums, the recency column takes a null-safe
+    // greatest — and the merged view equals the full recompute (the
+    // oracle IS the full recompute). This is the warehouse pattern that
+    // replaces the reference's nightly full rebuilds
+    // (cron_jobs/run_etl.sh): at 100 TB the refresh cost is
+    // delta-scan + state-sized merge, never a history rescan; every
+    // aggregate here is chosen mergeable (count/sum/max monoids), which
+    // is exactly the property that makes the pattern legal.
+    "o21_ivm_merge" -> QueryDef(
+      (s, d) => {
+        def state(df: DataFrame): DataFrame = df
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(moneyRound(col("o_totalprice")).cast(DecimalType(18, 2)))
+              .as("amt"),
+            max(col("o_orderdate").cast("timestamp_ntz")).as("last"))
+        // base snapshot vs the arriving delta batch (key % 10 == 0)
+        val base = state(ord(s, d).filter(pmod(col("o_orderkey"), lit(10))
+          =!= 0))
+        val delta = state(ord(s, d).filter(pmod(col("o_orderkey"), lit(10))
+          === 0))
+        base.as("b").join(delta.as("dl"), Seq("o_custkey"), "full_outer")
+          .select(col("o_custkey"),
+            (coalesce(col("b.n"), lit(0L)) + coalesce(col("dl.n"), lit(0L)))
+              .as("n_orders"),
+            (coalesce(col("b.amt"), lit(0).cast(DecimalType(18, 2)))
+              + coalesce(col("dl.amt"), lit(0).cast(DecimalType(18, 2))))
+              .cast("double").as("amount"),
+            // null-safe max across the two states
+            greatest(coalesce(col("b.last"), col("dl.last")),
+              coalesce(col("dl.last"), col("b.last"))).as("last_order"))
+          .orderBy("o_custkey")
+      },
+      Some(s"""SELECT o_custkey, count(*) AS n_orders,
+              ${sqlSum("o_totalprice")} AS amount,
+              max(o_orderdate) AS last_order
+              FROM orders GROUP BY 1 ORDER BY o_custkey"""),
+      "incremental view refresh: delta agg states merged == full recompute"),
+
+    // ── Cross-table money reconciliation: every order's header total
+    // audited against the recomputed sum of its line items, banded by
+    // relative mismatch — the dq-family check accountants actually run
+    // (the reference's load_accounting_data.py trusts headers blindly).
+    // Exact integer cents on both sides; the 1% band test is the
+    // integer inequality diff*100 <= total_cents (no float thresholds).
+    // One lineitem aggregation + one orders-keyed left join; both keyed
+    // by o_orderkey, the natural 100 TB partitioning.
+    "dq07_order_reconcile" -> QueryDef(
+      (s, d) => {
+        val liTot = li(s, d)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(expr(
+            """CAST(floor(l_extendedprice * (1 - l_discount)
+                 * (1 + l_tax) * 100 + 0.5d) AS BIGINT)"""))
+            .as("li_cents"))
+        ord(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            expr("CAST(floor(o_totalprice * 100 + 0.5d) AS BIGINT)")
+              .as("hdr_cents"))
+          .join(liTot, col("o_orderkey") === col("l_orderkey"), "left")
+          .withColumn("band",
+            when(col("li_cents").isNull, "no_lines")
+              .when(col("hdr_cents") === col("li_cents"), "exact")
+              .when(abs(col("hdr_cents") - col("li_cents")) * 100
+                <= col("hdr_cents"), "le_1pct")
+              .otherwise("gt_1pct"))
+          .groupBy(col("o_orderstatus"), col("band"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(coalesce(abs(col("hdr_cents") - col("li_cents")), lit(0L)))
+              .as("total_diff_cents"))
+          .orderBy("o_orderstatus", "band")
+      },
+      Some("""
+WITH lt AS (
+  SELECT l_orderkey,
+    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+      * (1 + l_tax) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS li_cents
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT o.o_orderstatus,
+    CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS hdr_cents,
+    lt.li_cents
+  FROM orders o LEFT JOIN lt ON o.o_orderkey = lt.l_orderkey
+)
+SELECT o_orderstatus,
+  CASE WHEN li_cents IS NULL THEN 'no_lines'
+       WHEN hdr_cents = li_cents THEN 'exact'
+       WHEN abs(hdr_cents - li_cents) * 100 <= hdr_cents THEN 'le_1pct'
+       ELSE 'gt_1pct' END AS band,
+  count(*) AS n_orders,
+  CAST(sum(coalesce(abs(hdr_cents - li_cents), 0)) AS BIGINT)
+    AS total_diff_cents
+FROM j GROUP BY 1, 2 ORDER BY o_orderstatus, band"""),
+      "order header vs line-item totals, banded by integer-exact mismatch"),
 
     // ── J16: bloom-prefiltered join — the fact side (lineitem) is
     // pruned by a bloom filter built over the small filtered dimension
