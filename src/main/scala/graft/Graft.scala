@@ -124,6 +124,19 @@ object Graft {
     def minhashCandidates(spark: SparkSession, dir: String,
         bandCap: Option[Int] = None): DataFrame =
       operators.DedupQueries.minhashCandidates(spark, dir, bandCap)
+
+    /** Span-level exact-substring dedup audit: duplicated 5-gram
+      * windows coalesced into maximal per-doc spans (Lee-et-al-style
+      * sub-document dedup).
+      */
+    def dupSpans(spark: SparkSession, dir: String): DataFrame =
+      run("x69_dup_spans", spark, dir)
+
+    /** PPJoin-style prefix-filtered exact Jaccard >= 1/2 pair join —
+      * the high-threshold scale path next to [[ngramJaccard]].
+      */
+    def prefixJaccard(spark: SparkSession, dir: String): DataFrame =
+      run("x70_prefix_jaccard", spark, dir)
   }
 
   /** Connected components over any undirected edge list — contracted
@@ -171,6 +184,9 @@ object Graft {
       operators.SimilarityQueries.searchIndex(spark, dir, indexPath)
 
     /** Exact per-dimension moments (whitening/normalization input). */
+    /** Top principal component by integer power iteration (x74). */
+    def pcaPower(spark: SparkSession, dir: String): DataFrame =
+      run("x74_pca_power", spark, dir)
     def dimStats(spark: SparkSession, dir: String): DataFrame =
       run("x59_embed_dim_stats", spark, dir)
   }
@@ -205,6 +221,12 @@ object Graft {
     /** Per-language top adjacent token pairs (one BPE-trainer round). */
     def bpePairStats(spark: SparkSession, dir: String): DataFrame =
       run("x38_bpe_pair_stats", spark, dir)
+    /** Within-doc Shannon entropy in exact micro-nats (x72). */
+    def docEntropy(spark: SparkSession, dir: String): DataFrame =
+      run("x72_doc_entropy", spark, dir)
+    /** Unigram-LM argmax source attribution + confusion matrix (x73). */
+    def sourceAttribution(spark: SparkSession, dir: String): DataFrame =
+      run("x73_source_attribution", spark, dir)
   }
 
   /** Corpus assembly: packing, sampling, splits over `documents`. */
@@ -254,6 +276,9 @@ object Graft {
     /** Synchronous label-propagation communities over the same graph. */
     def labelCommunities(spark: SparkSession, dir: String): DataFrame =
       run("x61_label_communities", spark, dir)
+    /** Degree-ordered triangle counts + exact clustering coefficient. */
+    def triangleCc(spark: SparkSession, dir: String): DataFrame =
+      run("x71_triangle_cc", spark, dir)
   }
 
   /** Multimodal binary-column plumbing (stubbed codecs, real plumbing). */

@@ -512,32 +512,26 @@ object RelationalQueries {
               count(*) AS n_lines
               FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
 
-    // ── Skew-salted JOIN (a09's twin for joins): the fact side carries a
-    // deterministic salt derived from its own non-key attributes
-    // (pmod(l_partkey + l_linenumber, 8) — never rand(), the oracle
-    // must replay it), the dimension side is replicated once per salt
-    // value, and the join key becomes (key, salt) — so one hot orderkey's
+    // ── Skew-salted JOIN (a09's twin for joins): the declared
+    // instantiation of the [[Joins.saltedJoin]] combinator — the fact
+    // side gets a salt, the dimension side replicates once per salt
+    // value, and the join key becomes (key, salt), so one hot orderkey's
     // rows land on 8 reducers instead of one. The declared result is the
     // plain join's rollup and the oracle IS the plain join: salting
-    // changes WHERE rows meet, never WHAT matches. At 100 TB this is the
-    // manual fallback when AQE's skew split can't see the skew (e.g.
-    // pre-aggregated inputs); the dimension replication cost is
-    // |dim| × R — the side you salt is always the big one.
+    // changes WHERE rows meet, never WHAT matches (any salt assignment
+    // yields the identical join result, which is why the combinator's
+    // monotonically_increasing_id salt is legal under a hash-compared
+    // oracle). At 100 TB this is the manual fallback when AQE's skew
+    // split can't see the skew (e.g. pre-aggregated inputs); the
+    // replication cost is |dim| × R — the side you salt is the big one.
     "j20_salted_join" -> QueryDef(
       (s, d) => {
-        val R = 8
         val fact = li(s, d)
           .select(col("l_orderkey"), col("l_returnflag"),
-            col("l_extendedprice"),
-            pmod(col("l_partkey") + col("l_linenumber"), lit(R))
-              .cast("int").as("salt"))
+            col("l_extendedprice"))
         val dim = ord(s, d)
           .select(col("o_orderkey"), col("o_orderpriority"))
-          .withColumn("salt",
-            explode(expr(s"transform(sequence(0, ${R - 1}), i -> CAST(i AS INT))")))
-        fact.join(dim,
-            col("l_orderkey") === col("o_orderkey") &&
-              fact("salt") === dim("salt"))
+        Joins.saltedJoin(fact, dim, "l_orderkey", "o_orderkey", 8)
           .groupBy(col("o_orderpriority"), col("l_returnflag"))
           .agg(count(lit(1)).as("n_lines"),
             moneySum(col("l_extendedprice")).as("sum_price"))
