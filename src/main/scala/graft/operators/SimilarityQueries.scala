@@ -365,7 +365,7 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
     * this sign-split spelling (identical text both engines modulo the
     * operator token).
     */
-  private def tdiv(a: String, b: String, op: String): String =
+  private[graft] def tdiv(a: String, b: String, op: String): String =
     s"(CASE WHEN ($a) >= 0 THEN ($a) $op ($b) ELSE -((-($a)) $op ($b)) END)"
 
   /** floor(sqrt(x)) over a DECIMAL(38,0)/HUGEINT sum: both engines
@@ -373,11 +373,11 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
     * (round-to-nearest), sqrt is correctly rounded, floor is exact —
     * bit-identical cross-engine.
     */
-  private def isqrt(x: String): String =
+  private[graft] def isqrt(x: String): String =
     s"CAST(floor(sqrt(CAST(($x) AS DOUBLE))) AS BIGINT)"
 
   /** Micro-unit fixed-point scale shared by the x74 pipeline. */
-  private val PcaScale = 1000000L
+  private[graft] val PcaScale = 1000000L
 
   /** Top principal component of the embedding corpus by two unrolled
     * power-iteration rounds (the declared `x74_pca_power`), exact

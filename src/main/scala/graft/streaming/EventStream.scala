@@ -49,6 +49,20 @@ object EventStream {
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
 
+  /** The `embeddings` table as a file stream — vectors arriving from an
+    * embedding service, consumed by the st14 linear-algebra accumulator.
+    */
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  def readEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(embSchema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // probe the physical ts spelling (bigint nanos vs native timestamp);

@@ -417,7 +417,74 @@ SELECT e.source AS source, di.docs_in,
               / CAST(e.hk AS DOUBLE) END AS uniq_est
 FROM est e JOIN di ON e.source = di.source
 ORDER BY source"""),
-      "streaming KMV sketch per source: unique-content rate at ingest, O(K) state"))
+      "streaming KMV sketch per source: unique-content rate at ingest, O(K) state"),
+
+    // ── Streaming PCA matvec accumulator: x74's first power-iteration
+    // round maintained AT INGEST — each arriving vector contributes
+    // xf·(Σⱼ xfⱼ) to the per-dimension accumulator map-side, and the
+    // streaming aggregation holds exactly d rows of state (a per-dim
+    // BIGINT sum is a monoid, so the drained state is byte-identical to
+    // the batch round regardless of arrival order or batch chunking —
+    // the st11/st13 argument applied to linear algebra). The
+    // normalization (truncating div, DECIMAL-squared norm, floor-sqrt)
+    // runs on the drained d-row frame; the oracle is the round-1 prefix
+    // of x74's, same constants, same sign-split divisions.
+    "st14_stream_pca_matvec" -> QueryDef(
+      (s, d) => {
+        import graft.operators.SimilarityQueries.{tdiv, isqrt, PcaScale}
+        val acc = EventStream.readEmbeddings(s, d)
+          .select(expr(
+            s"""transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * $PcaScale + 0.5d)
+                            AS BIGINT))""").as("xq"))
+          .withColumn("dt",
+            expr("aggregate(xq, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+          .select(posexplode(col("xq")).as(Seq("pos", "xf")), col("dt"))
+          .groupBy((col("pos") + 1).cast("bigint").as("dim"))
+          .agg(sum(col("xf") * col("dt")).as("w"))
+        val drained = EventStream.runToMemory(s, acc,
+          s"st14_sink_${System.nanoTime}")
+        val wr = drained.select(col("dim"),
+          expr(tdiv("w", PcaScale.toString, "div")).as("wr"))
+        val nrm = wr.agg(expr(isqrt(
+          "sum(CAST(wr AS DECIMAL(38,0)) * CAST(wr AS DECIMAL(38,0)))"))
+          .as("nrm"))
+        wr.crossJoin(broadcast(nrm))
+          .select(col("dim"), col("wr"),
+            expr("CAST(CASE WHEN nrm = 0 THEN 0 ELSE " +
+              tdiv(s"wr * $PcaScale", "nrm", "div") +
+              " END AS BIGINT)").as("v_fp"),
+            col("nrm").as("norm1"))
+          .orderBy("dim")
+      },
+      Some({
+        import graft.operators.SimilarityQueries.{tdiv, isqrt}
+        val S = graft.operators.SimilarityQueries.PcaScale
+        s"""
+WITH xq AS (
+  SELECT vec_id, CAST(i AS BIGINT) AS dim,
+    CAST(floor(CAST(embedding[i] AS DOUBLE) * $S + 0.5) AS BIGINT) AS xf
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+),
+dot0 AS (SELECT vec_id, CAST(sum(xf) AS BIGINT) AS dt
+         FROM xq GROUP BY vec_id),
+w1 AS (
+  SELECT xq.dim,
+    CAST(${tdiv("sum(xq.xf * dot0.dt)", "1000000", "//")} AS BIGINT) AS wr
+  FROM xq JOIN dot0 ON xq.vec_id = dot0.vec_id
+  GROUP BY xq.dim
+),
+n1 AS (SELECT ${isqrt(
+          "sum(CAST(wr AS HUGEINT) * CAST(wr AS HUGEINT))")} AS nrm
+       FROM w1)
+SELECT dim, wr,
+  CAST(CASE WHEN n1.nrm = 0 THEN 0
+       ELSE ${tdiv(s"wr * $S", "n1.nrm", "//")} END AS BIGINT) AS v_fp,
+  n1.nrm AS norm1
+FROM w1 CROSS JOIN n1
+ORDER BY dim"""
+      }),
+      "streaming matvec accumulator: drained per-dim state == x74 round 1"))
 
   /** st13's sketch size — small enough that every SF's per-source
     * fingerprint count (≥ 24) exercises the estimator branch, not the
