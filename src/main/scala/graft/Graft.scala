@@ -302,6 +302,18 @@ object Graft {
     operators.Joins.asOf(left, right, leftKey, rightKey, leftTime,
       rightTime, tieBreak, direction)
 
+  /** Linear-interpolation time join: each left row estimates the right
+    * value at its timestamp between the bracketing right rows, exact
+    * BIGINT arithmetic; see [[operators.Joins.interpJoin]]. The declared
+    * `j19_interp_join` is its oracle-checked instantiation.
+    */
+  def interpJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTimeSec: String, rightTimeSec: String,
+      valueCol: String, tieBreak: Seq[String] = Nil): DataFrame =
+    operators.Joins.interpJoin(left, right, leftKey, rightKey,
+      leftTimeSec, rightTimeSec, valueCol, tieBreak)
+
   /** Salted skew-safe equi-join: exactly a plain inner join, with the
     * hot key's work spread `salt` ways; see [[operators.Joins.saltedJoin]].
     */

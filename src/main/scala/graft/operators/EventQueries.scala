@@ -232,45 +232,25 @@ WHERE rn = 1 ORDER BY event_id"""),
     // (one-sided brackets take that side's value), eventless users NULL.
     "j19_interp_join" -> QueryDef(
       (s, d) => {
+        // the declared instantiation of [[Joins.interpJoin]]: timestamps
+        // quantize to epoch seconds, money to cents, both BIGINT —
+        // the combinator's exactness contract
         val ev = Tables.events(s, d)
           .select(col("event_id"), col("user_id"), col("ts"))
+          .withColumn("ts_sec",
+            expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000"))
         val ord = Tables.orders(s, d)
           .select(col("o_custkey"), col("o_orderkey"),
-            col("o_orderdate").cast("timestamp_ntz").as("od"),
+            expr("""unix_micros(CAST(CAST(o_orderdate AS TIMESTAMP_NTZ)
+                    AS TIMESTAMP)) div 1000000""").as("od_sec"),
             expr("CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)")
               .as("cents"))
-        ev.join(ord, col("user_id") === col("o_custkey"), "left")
-          .groupBy(col("event_id"), col("user_id"), col("ts"))
-          .agg(
-            max(when(col("od") <= col("ts"),
-              struct(col("od"), col("o_orderkey"), col("cents"))))
-              .as("pv"),
-            min(when(col("od") > col("ts"),
-              struct(col("od"), col("o_orderkey"), col("cents"))))
-              .as("nx"))
+        Joins.interpJoin(ev, ord, "user_id", "o_custkey",
+            "ts_sec", "od_sec", "cents", Seq("o_orderkey"))
           .select(col("event_id"), col("user_id"), col("ts"),
-            col("pv.o_orderkey").as("prev_order"),
-            col("nx.o_orderkey").as("next_order"),
-            expr("""CAST(CASE
-              WHEN pv IS NOT NULL AND nx IS NOT NULL THEN
-                CASE WHEN nx.cents >= pv.cents
-                THEN pv.cents + ((nx.cents - pv.cents)
-                       * (unix_micros(CAST(ts AS TIMESTAMP)) div 1000000
-                          - unix_micros(CAST(pv.od AS TIMESTAMP))
-                            div 1000000))
-                     div (unix_micros(CAST(nx.od AS TIMESTAMP)) div 1000000
-                          - unix_micros(CAST(pv.od AS TIMESTAMP))
-                            div 1000000)
-                ELSE pv.cents - ((pv.cents - nx.cents)
-                       * (unix_micros(CAST(ts AS TIMESTAMP)) div 1000000
-                          - unix_micros(CAST(pv.od AS TIMESTAMP))
-                            div 1000000))
-                     div (unix_micros(CAST(nx.od AS TIMESTAMP)) div 1000000
-                          - unix_micros(CAST(pv.od AS TIMESTAMP))
-                            div 1000000)
-                END
-              WHEN pv IS NOT NULL THEN pv.cents
-              ELSE nx.cents END AS BIGINT)""").as("interp_cents"))
+            col("prev.o_orderkey").as("prev_order"),
+            col("next.o_orderkey").as("next_order"),
+            col("interp").as("interp_cents"))
           .orderBy("event_id")
       },
       Some("""

@@ -104,6 +104,64 @@ object Joins {
         publicRight.map(c => col("__asof_pick")(c).as(c)): _*)
   }
 
+  /** Linear-interpolation time join (the generic form of the declared
+    * `j19_interp_join`): for each left row, estimate the right table's
+    * value at the left timestamp by interpolating between the bracketing
+    * right rows per key — last at-or-before and first strictly-after,
+    * each picked deterministically by (time, tieBreak…).
+    *
+    * Exactness contract: `leftTimeSec`/`rightTimeSec` are NON-NEGATIVE
+    * epoch-second (or any monotone integer) columns and `valueCol` is an
+    * integer column (quantize money to cents, readings to micro-units,
+    * …) — interpolation then runs in pure BIGINT with the numerator
+    * sign-split so truncating division is engine-independent. One-sided
+    * brackets clamp to that side's value; keyless left rows stay NULL.
+    * Caller owns overflow headroom: |Δvalue·Δt| must stay under 2⁶³.
+    *
+    * Shape: ONE key equi-join + ONE per-left-row aggregation whose
+    * bracket picks are conditional min/max over structs — partial-
+    * aggregable, so the right-side fan-out collapses map-side (the as-of
+    * combinator's argument, doubled).
+    *
+    * @return left.* + `prev`/`next` structs (fields `t`, tieBreak…, `v`)
+    *         + `interp` (BIGINT)
+    */
+  def interpJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTimeSec: String, rightTimeSec: String,
+      valueCol: String, tieBreak: Seq[String] = Nil): DataFrame = {
+    val rowId = "__interp_row_id"
+    val tagged = left.withColumn(rowId, monotonically_increasing_id())
+    val payload = struct(
+      (col(rightTimeSec).as("t") +: tieBreak.map(col)) :+
+        col(valueCol).as("v"): _*)
+    val proj = right.select(col(rightKey).as("__interp_rkey"),
+      col(rightTimeSec).as("__interp_rt"), payload.as("__interp_pay"))
+    val joined = tagged.join(proj,
+      tagged(leftKey) === proj("__interp_rkey"), "left")
+    val leftThrough = left.columns.map(c => first(col(c)).as(c))
+    val lt = first(col(leftTimeSec))
+    val picks = Seq(
+      max(when(col("__interp_rt") <= col(leftTimeSec),
+        col("__interp_pay"))).as("prev"),
+      min(when(col("__interp_rt") > col(leftTimeSec),
+        col("__interp_pay"))).as("next"))
+    def seg(hi: String, lo: String) =
+      s"(($hi - $lo) * (__interp_lt - prev.t)) div (next.t - prev.t)"
+    joined.groupBy(col(rowId))
+      .agg(leftThrough.head,
+        (leftThrough.tail ++ (lt.as("__interp_lt") +: picks)): _*)
+      .withColumn("interp", expr(s"""CAST(CASE
+        WHEN prev IS NOT NULL AND next IS NOT NULL THEN
+          CASE WHEN next.v >= prev.v
+               THEN prev.v + ${seg("next.v", "prev.v")}
+               ELSE prev.v - ${seg("prev.v", "next.v")} END
+        WHEN prev IS NOT NULL THEN prev.v
+        ELSE next.v END AS BIGINT)"""))
+      .select(left.columns.map(col) ++
+        Seq(col("prev"), col("next"), col("interp")): _*)
+  }
+
   /** Salted equi-join for skewed keys: when one join key holds a large
     * share of the left side, a plain hash join sends that whole key to
     * one reducer. Salting splits each left key across `salt` partitions
