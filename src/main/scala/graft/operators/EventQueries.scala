@@ -294,6 +294,77 @@ FROM events e LEFT JOIN pv USING (event_id) LEFT JOIN nx USING (event_id)
 ORDER BY event_id"""),
       "linear-interpolation join between bracketing orders, integer-exact"),
 
+    // ── Resample + forward-fill: each user's event history re-expressed
+    // on a regular DAILY grid between their first and last active day,
+    // with gap days carrying the last observed value forward — the
+    // standard timeseries densification (sensor gap-fill, daily feature
+    // snapshots) that pandas spells `resample('D').ffill()`. Built from
+    // pieces this engine already declares: a per-(user, day) rollup
+    // (last value picked by max_by over (ts, event_id) — exact, no
+    // arithmetic), a bounded grid explode (span ≤ observed days, never
+    // unbounded), and ONE backward as-of join ([[Joins.asOf]]) for the
+    // carry. Same-day stats come from the carried struct itself: if the
+    // grid day had events, the as-of pick IS that day — no second join.
+    "e14_resample_ffill" -> QueryDef(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("day",
+            expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"))
+        val daily = ev.groupBy(col("user_id"), col("day"))
+          .agg(count(lit(1)).as("n_ev"),
+            max_by(col("value"), struct(col("ts"), col("event_id")))
+              .as("last_value"))
+        val grid = daily.groupBy(col("user_id"))
+          .agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+          .select(col("user_id"),
+            explode(expr("sequence(dmin, dmax)")).as("g_day"))
+        Joins.asOf(grid,
+            daily.select(col("user_id"), col("day").as("ev_day"),
+              col("n_ev"), col("last_value")),
+            "user_id", "user_id", "g_day", "ev_day", Nil, "backward")
+          .select(col("user_id"),
+            expr("""CAST(date_add(DATE'1970-01-01', CAST(g_day AS INT))
+                    AS TIMESTAMP_NTZ)""").as("day"),
+            when(col("ev_day") === col("g_day"), col("n_ev"))
+              .otherwise(0L).cast("bigint").as("n_events"),
+            col("last_value").as("value_ffill"))
+          .orderBy("user_id", "day")
+      },
+      Some("""
+WITH ev AS (
+  SELECT user_id, ts, event_id, value,
+    epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+daily AS (
+  SELECT user_id, day, n_ev, last_value FROM (
+    SELECT user_id, day, value AS last_value,
+      row_number() OVER (PARTITION BY user_id, day
+        ORDER BY ts DESC, event_id DESC) AS rn,
+      CAST(count(*) OVER (PARTITION BY user_id, day) AS BIGINT) AS n_ev
+    FROM ev)
+  WHERE rn = 1
+),
+b AS (SELECT user_id, min(day) AS dmin, max(day) AS dmax
+      FROM daily GROUP BY 1),
+grid AS (SELECT user_id, unnest(generate_series(dmin, dmax)) AS g_day
+         FROM b),
+ff AS (
+  SELECT g.user_id, g.g_day, d.day AS ev_day, d.n_ev, d.last_value,
+    row_number() OVER (PARTITION BY g.user_id, g.g_day
+      ORDER BY d.day DESC) AS rn
+  FROM grid g JOIN daily d
+    ON g.user_id = d.user_id AND d.day <= g.g_day
+)
+SELECT user_id, CAST(DATE '1970-01-01' + CAST(g_day AS INT) AS TIMESTAMP) AS day,
+  CAST(CASE WHEN ev_day = g_day THEN n_ev ELSE 0 END AS BIGINT)
+    AS n_events,
+  last_value AS value_ffill
+FROM ff WHERE rn = 1
+ORDER BY user_id, day"""),
+      "daily resample + forward-fill per user via one backward as-of"),
+
     // ── Staged funnel: per user, the first signup, the first click AT OR
     // AFTER that signup, and the first purchase at or after that click —
     // ordered-stage conversion, the standard product-analytics ask. Three
