@@ -1248,6 +1248,55 @@ SELECT o_orderstatus,
 FROM j GROUP BY 1, 2 ORDER BY o_orderstatus, band"""),
       "order header vs line-item totals, banded by integer-exact mismatch"),
 
+    // ── Benford first-digit audit: the distribution of leading digits of
+    // order totals vs Benford's law — the classic forensic-accounting
+    // anomaly screen (fabricated or systematically generated amounts
+    // don't follow it; this synthetic corpus visibly deviates, which IS
+    // the audit's finding). Digit extraction goes through the CENTS
+    // INTEGER rendered as a string — floats format differently across
+    // engines, exact integers don't. Shares and the Benford reference
+    // are fixed-pointed to ppm (the x36 discipline: one multiply + one
+    // divide of exact inputs per scalar, ln per-scalar); the deviation
+    // column is a pure integer difference. One aggregation, 9 rows.
+    "dq08_benford" -> QueryDef(
+      (s, d) => {
+        val digits = ord(s, d)
+          .filter(col("o_totalprice") > 0d)
+          .select(expr(
+            """CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5d)
+                 AS BIGINT) AS STRING), 1, 1) AS BIGINT)""").as("d"))
+        val tot = digits.agg(count(lit(1)).as("n"))
+        digits.groupBy("d").agg(count(lit(1)).as("n_orders"))
+          .crossJoin(broadcast(tot))
+          .select(col("d"), col("n_orders"),
+            expr("""CAST(floor(CAST(n_orders AS DOUBLE) * 1000000
+                    / CAST(n AS DOUBLE) + 0.5d) AS BIGINT)""")
+              .as("share_ppm"),
+            expr("""CAST(floor(ln(1.0d + 1.0d / CAST(d AS DOUBLE))
+                    / ln(10.0d) * 1000000 + 0.5d) AS BIGINT)""")
+              .as("benford_ppm"))
+          .withColumn("dev_ppm", col("share_ppm") - col("benford_ppm"))
+          .orderBy("d")
+      },
+      Some("""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d
+  FROM orders WHERE o_totalprice > 0
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM digits)
+SELECT d, CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(floor(CAST(count(*) AS DOUBLE) * 1000000
+    / CAST(tot.n AS DOUBLE) + 0.5) AS BIGINT) AS share_ppm,
+  CAST(floor(ln(1.0 + 1.0 / CAST(d AS DOUBLE)) / ln(10.0) * 1000000
+    + 0.5) AS BIGINT) AS benford_ppm,
+  CAST(floor(CAST(count(*) AS DOUBLE) * 1000000
+    / CAST(tot.n AS DOUBLE) + 0.5) AS BIGINT)
+  - CAST(floor(ln(1.0 + 1.0 / CAST(d AS DOUBLE)) / ln(10.0) * 1000000
+    + 0.5) AS BIGINT) AS dev_ppm
+FROM digits CROSS JOIN tot GROUP BY d, tot.n ORDER BY d"""),
+      "Benford first-digit screen over order totals, ppm fixed-point"),
+
     // ── J16: bloom-prefiltered join — the fact side (lineitem) is
     // pruned by a bloom filter built over the small filtered dimension
     // BEFORE the join shuffle ([[Joins.bloomPrefilter]]). The declared

@@ -48,4 +48,17 @@ class WarehouseOpsSpec extends SparkSpec {
       .foreach(r => assert(r.getLong(3) == 0L))
     spark.catalog.clearCache()
   }
+
+  test("dq08: shares sum to ~1e6 ppm and benford reference is fixed") {
+    val rows = operators.RelationalQueries.defs("dq08_benford")
+      .fn(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 9L))
+    val shares = rows.map(_.getLong(2)).sum
+    assert(math.abs(shares - 1000000L) <= 9L, s"shares sum $shares")
+    // the Benford constants are data-independent
+    val bf = rows.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(bf(1L) == 301030L && bf(9L) == 45757L)
+    rows.foreach(r => assert(r.getLong(4) == r.getLong(2) - r.getLong(3)))
+    spark.catalog.clearCache()
+  }
 }
