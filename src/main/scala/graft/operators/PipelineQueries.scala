@@ -1752,6 +1752,83 @@ SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n_docs
 FROM top GROUP BY actual, predicted ORDER BY actual, predicted"""),
       "unigram-LM argmax source attribution + confusion matrix"),
 
+    // ── Windowed PMI collocations: top token pairs by pointwise mutual
+    // information within a 5-token window — the word2vec-era association
+    // statistic one step past x38's ADJACENT pairs (PMI normalizes the
+    // pair count by both marginals, so frequent-but-independent pairs
+    // sink and true collocations surface; corpus linguists and tokenizer
+    // teams both read this table). PMI = ln Cab − ln P − ln Ca − ln Cb
+    // + 2·ln T with every ln fixed-pointed alone (micro-nats, the x36
+    // discipline) and all sums pure BIGINT. The window fan-out is ≤ 4
+    // pairs per token position — map-side, linear in corpus size; the
+    // pair aggregation is the only wide shuffle, keyed by the unordered
+    // (least, greatest) pair. Min support 20 kills the noise tail before
+    // the marginal joins; top 50 by (PMI desc, pair) total order.
+    "x75_pmi_collocations" -> QueryDef(
+      (s, d) => {
+        def L(x: String) =
+          s"CAST(floor(ln(CAST($x AS DOUBLE)) * $LpScale + 0.5d) AS BIGINT)"
+        val t = Tables.documentsSpread(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pairs = t.filter(size(col("w")) >= 2)
+          .select(explode(expr(
+            """flatten(transform(sequence(1, size(w) - 1),
+                 i -> transform(sequence(1, least(4, size(w) - i)),
+                   o -> struct(
+                     least(element_at(w, i), element_at(w, i + o)) AS a,
+                     greatest(element_at(w, i), element_at(w, i + o))
+                       AS b))))""")).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+        val cab = pairs.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val uni = t.select(explode(col("w")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+        val tot = uni.agg(sum(col("c")).as("t"))
+        val ptot = cab.agg(sum(col("cab")).as("p"))
+        cab.filter(col("cab") >= 20)
+          .join(uni.select(col("tok").as("a"), col("c").as("ca")), Seq("a"))
+          .join(uni.select(col("tok").as("b"), col("c").as("cb")), Seq("b"))
+          .crossJoin(broadcast(tot)).crossJoin(broadcast(ptot))
+          .select(col("a"), col("b"), col("cab"),
+            expr(s"""${L("cab")} - ${L("p")} - ${L("ca")} - ${L("cb")}
+                     + 2 * ${L("t")}""").as("pmi_micro"))
+          .orderBy(col("pmi_micro").desc, col("a"), col("b"))
+          .limit(50)
+      },
+      Some(s"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+pos AS (
+  SELECT doc_id, w, i.i
+  FROM t, LATERAL unnest(generate_series(1, len(w) - 1)) AS i(i)
+),
+pairs AS (
+  SELECT least(w[i], w[i + o.o]) AS a, greatest(w[i], w[i + o.o]) AS b
+  FROM pos, LATERAL unnest(generate_series(1, least(4, len(w) - i)))
+    AS o(o)
+),
+cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cab
+        FROM pairs GROUP BY 1, 2),
+uni AS (SELECT u.tok, CAST(count(*) AS BIGINT) AS c
+        FROM t, LATERAL unnest(w) AS u(tok) GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM uni),
+ptot AS (SELECT CAST(sum(cab) AS BIGINT) AS p FROM cab),
+scored AS (
+  SELECT cab.a, cab.b, cab.cab,
+    CAST(floor(ln(CAST(cab.cab AS DOUBLE)) * $LpScale + 0.5) AS BIGINT)
+    - CAST(floor(ln(CAST(ptot.p AS DOUBLE)) * $LpScale + 0.5) AS BIGINT)
+    - CAST(floor(ln(CAST(ua.c AS DOUBLE)) * $LpScale + 0.5) AS BIGINT)
+    - CAST(floor(ln(CAST(ub.c AS DOUBLE)) * $LpScale + 0.5) AS BIGINT)
+    + 2 * CAST(floor(ln(CAST(tot.t AS DOUBLE)) * $LpScale + 0.5)
+               AS BIGINT) AS pmi_micro
+  FROM cab JOIN uni ua ON cab.a = ua.tok JOIN uni ub ON cab.b = ub.tok
+  CROSS JOIN tot CROSS JOIN ptot
+  WHERE cab.cab >= 20
+)
+SELECT a, b, cab, pmi_micro FROM scored
+ORDER BY pmi_micro DESC, a, b LIMIT 50"""),
+      "top windowed-PMI collocations, micro-nat fixed-point"),
+
     // ── CUBE: all grouping-set combinations of (year, status) with a
     // grouping_id level marker — the full-lattice sibling of a10's
     // ROLLUP. One pass; Spark expands the sets map-side before the
