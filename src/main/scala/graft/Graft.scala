@@ -184,6 +184,19 @@ object Graft {
       operators.SimilarityQueries.searchIndex(spark, dir, indexPath)
 
     /** Exact per-dimension moments (whitening/normalization input). */
+    /** Derive + persist the x41 semantic-dedup clusters once (the
+      * train-once/serve-many path mirroring buildIndex/searchIndex).
+      */
+    def buildClusters(spark: SparkSession, dir: String,
+        path: String): Unit =
+      operators.SimilarityQueries.buildClusters(spark, dir, path)
+    /** Persisted clusters as a frame — identical to the in-query x41. */
+    def clustersFrom(spark: SparkSession, path: String): DataFrame =
+      operators.SimilarityQueries.clustersFrom(spark, path)
+    /** x64's purity audit served from persisted clusters. */
+    def purityFrom(spark: SparkSession, dir: String,
+        path: String): DataFrame =
+      operators.SimilarityQueries.purityFrom(spark, dir, path)
     /** Top principal component by integer power iteration (x74). */
     def pcaPower(spark: SparkSession, dir: String): DataFrame =
       run("x74_pca_power", spark, dir)

@@ -345,6 +345,54 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
       .parquet(s"$indexPath/assignment")
   }
 
+  /** Purity reduction over any (vec_id, cluster_id) × (vec_id, label)
+    * frames — factored so the declared x64 and the persisted-cluster
+    * serve path share ONE spelling. Majority label via the
+    * partial-aggregable max(struct) argmax; purity as one exact-integer
+    * division.
+    */
+  private[graft] def purityOf(clusters: DataFrame,
+      labels: DataFrame): DataFrame =
+    clusters.join(labels, "vec_id")
+      .groupBy("cluster_id", "label")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("cluster_id")
+      .agg(sum(col("cnt")).as("cluster_size"),
+        count(lit(1)).as("n_labels"),
+        max(struct(col("cnt"), (-col("label")).as("neg"),
+          col("label").as("lbl"))).as("mj"))
+      .select(col("cluster_id"),
+        col("cluster_size"), col("n_labels"),
+        col("mj.lbl").as("majority_label"),
+        col("mj.cnt").as("majority_cnt"),
+        (col("mj.cnt").cast("double") /
+          col("cluster_size").cast("double")).as("purity"))
+      .orderBy("cluster_id")
+
+  /** Derive the x41 semantic-dedup clusters ONCE and persist them — the
+    * serve path for every downstream consumer (canonical collapse,
+    * purity QC, joins back to content) that would otherwise re-pay
+    * k-means + the bucket pair join + connected components per query
+    * (the bench's per-query isolation documents exactly that re-payment
+    * on x64/x42; an application derives clusters once per corpus
+    * version). Mirrors [[buildIndex]]/[[searchIndex]].
+    */
+  def buildClusters(s: SparkSession, dir: String, path: String): Unit =
+    embClusterAssignment(s, dir).write.mode("overwrite").parquet(path)
+
+  /** Persisted clusters back as a frame — identical rows to the
+    * in-query x41 derivation (ClusterIndexSpec pins it).
+    */
+  def clustersFrom(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
+  /** x64's purity audit served from persisted clusters — zero
+    * re-derivation; same reduction as the declared query.
+    */
+  def purityFrom(s: SparkSession, dir: String, path: String): DataFrame =
+    purityOf(clustersFrom(s, path),
+      Tables.embeddings(s, dir).select(col("vec_id"), col("label")))
+
   /** Serve nprobe top-k for `dir`'s probe set from a persisted index —
     * zero training, bucket-pruned scans; results identical to the
     * self-contained `x12_ann_ivf_search` (IvfIndexSpec pins this).
@@ -926,25 +974,8 @@ ORDER BY a.vec_id"""),
     // combinable), purity as ONE exact-integer division. Post-CC rows
     // are |V| at worst, the per-cluster state is one struct.
     "x64_cluster_purity" -> QueryDef(
-      (s, d) => {
-        val cl = embClusterAssignment(s, d)
-          .join(Tables.embeddings(s, d).select(col("vec_id"), col("label")),
-            "vec_id")
-        cl.groupBy("cluster_id", "label")
-          .agg(count(lit(1)).as("cnt"))
-          .groupBy("cluster_id")
-          .agg(sum(col("cnt")).as("cluster_size"),
-            count(lit(1)).as("n_labels"),
-            max(struct(col("cnt"), (-col("label")).as("neg"),
-              col("label").as("lbl"))).as("mj"))
-          .select(col("cluster_id"),
-            col("cluster_size"), col("n_labels"),
-            col("mj.lbl").as("majority_label"),
-            col("mj.cnt").as("majority_cnt"),
-            (col("mj.cnt").cast("double") /
-              col("cluster_size").cast("double")).as("purity"))
-          .orderBy("cluster_id")
-      },
+      (s, d) => purityOf(embClusterAssignment(s, d),
+        Tables.embeddings(s, d).select(col("vec_id"), col("label"))),
       Some(s"""
 WITH $duckEmbClusterCtes,
 cl AS (
