@@ -1829,6 +1829,78 @@ SELECT a, b, cab, pmi_micro FROM scored
 ORDER BY pmi_micro DESC, a, b LIMIT 50"""),
       "top windowed-PMI collocations, micro-nat fixed-point"),
 
+    // ── CCNet-style perplexity terciles: each document binned into
+    // head/middle/tail by its SOURCE-RELATIVE LM score — the canonical
+    // CCNet corpus partitioning (head = most in-domain by the corpus
+    // unigram LM; downstream recipes keep head+middle and resample
+    // tail). Built on x36's micro-nat per-doc logprob; the per-source
+    // ranking key is the exact integer `tdiv(lp_sum·1000, n_tokens)`
+    // (sign-split — lp sums are negative and the engines disagree on
+    // negative division), tie-broken by doc_id, and ntile(3) splits
+    // identically on both engines given the identical total order. One
+    // token aggregation + one source-keyed window; output is the
+    // (source × tercile) budget table a mixture recipe consumes.
+    "x76_ccnet_terciles" -> QueryDef(
+      (s, d) => {
+        val tdiv = "(CASE WHEN lp_sum >= 0 THEN (lp_sum * 1000)" +
+          " div n_tokens ELSE -(((-lp_sum) * 1000) div n_tokens) END)"
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(split(col("text"), " ")).as("token"))
+        val counts = toks.groupBy("token").agg(count(lit(1)).as("c"))
+        val total = counts.agg(sum(col("c")).as("n_total"))
+        val doclp = toks.join(counts, "token")
+          .crossJoin(broadcast(total))
+          .withColumn("lp_micro", expr(
+            s"CAST(floor(ln(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE))" +
+              s" * $LpScale + 0.5d) AS BIGINT)"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("lp_micro")).as("lp_sum"))
+        doclp
+          .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+            "doc_id")
+          .withColumn("tercile", ntile(3).over(
+            Window.partitionBy("source")
+              .orderBy(expr(tdiv).desc, col("doc_id"))))
+          .groupBy(col("source"), col("tercile").cast("bigint")
+            .as("tercile"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"))
+          .orderBy("source", "tercile")
+      },
+      Some(s"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM cnt),
+scored AS (
+  SELECT t.doc_id,
+    CAST(floor(ln(CAST(c.c AS DOUBLE) / CAST(tot.n_total AS DOUBLE))
+      * $LpScale + 0.5) AS BIGINT) AS lp_micro
+  FROM toks t JOIN cnt c USING (token) CROSS JOIN tot
+),
+doclp AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+    CAST(sum(lp_micro) AS BIGINT) AS lp_sum
+  FROM scored GROUP BY doc_id
+),
+ranked AS (
+  SELECT d.doc_id, docs.source, d.n_tokens,
+    ntile(3) OVER (PARTITION BY docs.source
+      ORDER BY (CASE WHEN d.lp_sum >= 0
+                THEN (d.lp_sum * 1000) // d.n_tokens
+                ELSE -(((-d.lp_sum) * 1000) // d.n_tokens) END) DESC,
+        d.doc_id) AS tercile
+  FROM doclp d JOIN documents docs USING (doc_id)
+)
+SELECT source, CAST(tercile AS BIGINT) AS tercile,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM ranked GROUP BY 1, 2 ORDER BY source, tercile"""),
+      "CCNet head/middle/tail terciles by source-relative LM score"),
+
     // ── CUBE: all grouping-set combinations of (year, status) with a
     // grouping_id level marker — the full-lattice sibling of a10's
     // ROLLUP. One pass; Spark expands the sets map-side before the

@@ -71,4 +71,21 @@ class EntropyAttributionSpec extends SparkSpec {
     assert(total == docs)
     spark.catalog.clearCache()
   }
+
+  test("x76: terciles balanced per source and conserve the corpus") {
+    val rows = graft.operators.PipelineQueries.defs("x76_ccnet_terciles")
+      .fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val bySource = rows.keys.groupBy(_._1)
+    bySource.foreach { case (src, ks) =>
+      assert(ks.map(_._2).toSet.subsetOf(Set(1L, 2L, 3L)), src)
+      val counts = ks.toSeq.map(k => rows(k)._1)
+      assert(counts.max - counts.min <= 1L,
+        s"$src terciles unbalanced: $counts")
+    }
+    val total = rows.values.map(_._1).sum
+    assert(total == Tables.documents(spark, sf).count())
+    spark.catalog.clearCache()
+  }
 }
