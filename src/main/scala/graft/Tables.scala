@@ -38,12 +38,34 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
-    val ts = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
-      case _ => col("ts").cast("timestamp_ntz")
-    }
-    raw.withColumn("ts", ts)
+    raw.withColumn("ts", normalizedTs(s, raw.schema("ts").dataType))
+  }
+
+  /** Normalize any generator vintage of a parquet timestamp column named
+    * `ts` to TIMESTAMP_NTZ carrying the STORED wall clock, independent of
+    * `spark.sql.session.timeZone`:
+    *   - BIGINT (legacy NANOS read as raw longs): exact integer
+    *     nanos→micros division, matching DuckDB's truncation;
+    *   - TIMESTAMP_NTZ: already the stored wall clock — identity;
+    *   - TIMESTAMP (MICROS with isAdjustedToUTC=true reads as
+    *     session-zone LTZ): a bare NTZ cast would take the SESSION-zone
+    *     wall clock and silently shift events relative to the DuckDB
+    *     oracle (which reads parquet timestamps naively) whenever the
+    *     session zone isn't UTC. Re-render the instant's UTC wall clock
+    *     first (`to_utc_timestamp(ts, sessionZone)`), THEN cast — a
+    *     no-op under the UTC sessions Verify/Bench build, and correct
+    *     under any other.
+    */
+  private def normalizedTs(s: SparkSession,
+      dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = dt match {
+    case org.apache.spark.sql.types.LongType =>
+      timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+    case org.apache.spark.sql.types.TimestampNTZType => col("ts")
+    case org.apache.spark.sql.types.TimestampType =>
+      to_utc_timestamp(col("ts"),
+        s.conf.get("spark.sql.session.timeZone")).cast("timestamp_ntz")
+    case _ => col("ts").cast("timestamp_ntz")
   }
   /** Table by name, routed through any table-specific reader (`events`
     * needs the nanos workaround below). The single dispatch point for

@@ -20,6 +20,17 @@ object EventQueries {
 
   private val Gap = 30 * 60 * 1000000L // 30 min session gap, in micros
 
+  /** FLOOR division of an integer SQL expression by a positive constant,
+    * via the e01 positive-mod spelling (`x - pmod(x, n)` is the exact
+    * floor multiple, so the `div` is exact). Spark's `div` truncates
+    * toward zero while the DuckDB oracles' `//` floors — the two
+    * disagree on every pre-1970 timestamp, so epoch-bucket derivations
+    * (j19's seconds, e14's days) must go through this spelling instead
+    * of a bare `div` for the parity to be timestamp-sign-independent.
+    */
+  private def floorDivSql(x: String, n: Long): String =
+    s"(($x - pmod($x, ${n}L)) div ${n}L)"
+
   /** Shared oracle for the 6 h / 2 h hopping window (e06 batch, st08
     * streaming — the same aggregation by design). Each event belongs to
     * the 3 windows starting at floor_2h(ts) - k*2h, k ∈ 0..2; the floor
@@ -238,11 +249,13 @@ WHERE rn = 1 ORDER BY event_id"""),
         val ev = Tables.events(s, d)
           .select(col("event_id"), col("user_id"), col("ts"))
           .withColumn("ts_sec",
-            expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000"))
+            expr(floorDivSql("unix_micros(CAST(ts AS TIMESTAMP))",
+              1000000L)))
         val ord = Tables.orders(s, d)
           .select(col("o_custkey"), col("o_orderkey"),
-            expr("""unix_micros(CAST(CAST(o_orderdate AS TIMESTAMP_NTZ)
-                    AS TIMESTAMP)) div 1000000""").as("od_sec"),
+            expr(floorDivSql(
+              """unix_micros(CAST(CAST(o_orderdate AS TIMESTAMP_NTZ)
+                 AS TIMESTAMP))""", 1000000L)).as("od_sec"),
             expr("CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)")
               .as("cents"))
         Joins.interpJoin(ev, ord, "user_id", "o_custkey",
@@ -310,7 +323,8 @@ ORDER BY event_id"""),
         val ev = Tables.events(s, d)
           .select(col("user_id"), col("ts"), col("event_id"), col("value"))
           .withColumn("day",
-            expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"))
+            expr(floorDivSql("unix_micros(CAST(ts AS TIMESTAMP))",
+              86400000000L)))
         val daily = ev.groupBy(col("user_id"), col("day"))
           .agg(count(lit(1)).as("n_ev"),
             max_by(col("value"), struct(col("ts"), col("event_id")))

@@ -1676,11 +1676,18 @@ FROM terms GROUP BY doc_id ORDER BY doc_id"""),
     // audit of a mixed corpus (a source whose docs systematically
     // attribute elsewhere is mislabeled or contaminated; x35's lang
     // twin, but driven by learned LMs instead of stopword heuristics).
-    // The per-source LM is DENSE over the vocabulary (zero counts
-    // smoothed to 1/(n_s+V)), built as vocab × sources — the LM table is
-    // bounded by vocabulary size, the classic small side a 100 TB run
-    // still broadcasts. Scoring is one (doc, token)-count join + one
-    // (doc, source) aggregation; the argmax is min(struct(-score,
+    // The per-source LM is SPARSE: only observed (source, token) rows
+    // materialize (the oracle keeps the equivalent dense vocab × sources
+    // spelling, fine at oracle scale). The add-one-smoothed score
+    // decomposes exactly in integer arithmetic as
+    //   score(doc, s) = ktot(doc)·lp_miss(s)
+    //                 + Σ_{t ∈ doc ∩ obs(s)} k_t·(lp_obs(t,s) − lp_miss(s))
+    // where lp_miss(s) = the rounded micro-nat of ln(1/(n_s+V)) — the
+    // same per-cell rounded values the dense form sums, regrouped, so
+    // the BIGINT score is bit-identical. At corpus scale this is the
+    // difference between |obs| rows (bounded by total token mass) and
+    // |vocab|·|sources| rows (millions × sources, un-broadcastable —
+    // the r4 ADVICE finding). The argmax stays min(struct(-score,
     // source)) — partial-aggregable, no window. Micro-nat fixed-point
     // per (token, source), integer sums (the x36 discipline).
     "x73_source_attribution" -> QueryDef(
@@ -1693,18 +1700,35 @@ FROM terms GROUP BY doc_id ORDER BY doc_id"""),
         val cnt = toks.groupBy(col("source"), col("token"))
           .agg(count(lit(1)).as("c"))
         val tot = toks.groupBy(col("source")).agg(count(lit(1)).as("n"))
-        val vocab = toks.select("token").distinct()
-        val v = vocab.agg(count(lit(1)).as("v"))
-        val lm = vocab.crossJoin(tot)
-          .join(cnt, Seq("source", "token"), "left")
-          .crossJoin(broadcast(v))
-          .select(col("source").as("lm_source"), col("token"),
-            expr(s"""CAST(floor(ln(CAST(coalesce(c, 0) + 1 AS DOUBLE)
+        val v = toks.select("token").distinct()
+          .agg(count(lit(1)).as("v"))
+        // per-source missing-token log-prob: ln(1/(n_s+V)) rounded the
+        // same way the dense cell with c=0 rounds (numerator 0+1)
+        val miss = tot.crossJoin(broadcast(v))
+          .select(col("source").as("lm_source"),
+            expr(s"""CAST(floor(ln(CAST(1 AS DOUBLE)
                        / CAST(n + v AS DOUBLE)) * $LpScale + 0.5d)
-                     AS BIGINT)""").as("lp"))
-        dt.join(broadcast(lm), Seq("token"))
+                     AS BIGINT)""").as("lp_miss"))
+        // observed cells only, carrying both the cell's lp and the
+        // source's lp_miss so the delta needs no second join
+        val obs = cnt.join(tot, Seq("source")).crossJoin(broadcast(v))
+          .select(col("source").as("lm_source"), col("token"),
+            expr(s"""CAST(floor(ln(CAST(c + 1 AS DOUBLE)
+                       / CAST(n + v AS DOUBLE)) * $LpScale + 0.5d)
+                     AS BIGINT)""").as("lp"),
+            expr(s"""CAST(floor(ln(CAST(1 AS DOUBLE)
+                       / CAST(n + v AS DOUBLE)) * $LpScale + 0.5d)
+                     AS BIGINT)""").as("lp_miss"))
+        val docTot = dt.groupBy(col("doc_id"), col("actual"))
+          .agg(sum(col("k")).as("ktot"))
+        val base = docTot.crossJoin(broadcast(miss))
+        val delta = dt.join(obs, Seq("token"))
           .groupBy(col("doc_id"), col("actual"), col("lm_source"))
-          .agg(sum(col("k") * col("lp")).as("score"))
+          .agg(sum(col("k") * (col("lp") - col("lp_miss"))).as("dscore"))
+        base.join(delta, Seq("doc_id", "actual", "lm_source"), "left")
+          .select(col("doc_id"), col("actual"), col("lm_source"),
+            (col("ktot") * col("lp_miss") +
+              coalesce(col("dscore"), lit(0L))).as("score"))
           .groupBy(col("doc_id"), col("actual"))
           .agg(min(struct((-col("score")).as("ns"),
             col("lm_source").as("src"))).as("top"))

