@@ -953,27 +953,31 @@ FROM sh ORDER BY doc_id"""),
     // only pairs ever materialized are band collisions, never all-pairs.
     "x13_simhash_neardup" -> QueryDef(
       (s, d) => {
-        val sigs = simhashes(s, d)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val bands = sigs.select(col("doc_id"), expr(
-          """stack(4, 0, simhash & 255,
-                      1, shiftright(simhash, 8) & 255,
-                      2, shiftright(simhash, 16) & 255,
-                      3, shiftright(simhash, 24) & 255) AS (band, bval)"""))
+        // The simhash rides WITH each band row, so the Hamming verify is
+        // computed inside the band join's output iterator and the ≤3
+        // filter runs BEFORE anything is shuffled again: the band
+        // collisions (millions at a skewed band value — the sf0.1 data
+        // has one 1338-doc bucket) exist only as codegen'd join-output
+        // rows that die at the filter, and the distinct/orderBy shuffles
+        // only carry true pairs (≤ 4 band-dups each). The old spelling
+        // shuffled the full collision set through a distinct plus two
+        // signature re-joins — 3 extra corpus-squared-shaped exchanges.
+        val bands = simhashes(s, d)
+          .select(col("doc_id"), col("simhash"), expr(
+            """stack(4, 0, simhash & 255,
+                        1, shiftright(simhash, 8) & 255,
+                        2, shiftright(simhash, 16) & 255,
+                        3, shiftright(simhash, 24) & 255) AS (band, bval)"""))
         bands.as("a").join(bands.as("b"),
             col("a.band") === col("b.band") &&
               col("a.bval") === col("b.bval") &&
               col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-          .join(sigs.select(col("doc_id").as("doc_a"),
-            col("simhash").as("sim_a")), "doc_a")
-          .join(sigs.select(col("doc_id").as("doc_b"),
-            col("simhash").as("sim_b")), "doc_b")
           .withColumn("hamming",
-            expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
+            expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)"))
           .filter(col("hamming") <= 3)
-          .select(col("doc_a"), col("doc_b"), col("hamming"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            col("hamming"))
+          .distinct()
           .orderBy("doc_a", "doc_b")
       },
       Some(s"""

@@ -60,14 +60,20 @@ object GraphQueries {
     * "order" would need a pre-cap upstream. Persisted: each iterative
     * round re-scans the cache, not the build.
     */
-  private def copurchaseEdges(s: SparkSession, d: String): DataFrame =
+  private def orderSets(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .groupBy("ok").agg(collect_set(col("pk")).as("pks"))
+
+  private def pairsFrom(sets: DataFrame): DataFrame =
+    sets
       .select(explode(col("pks")).as("src"), col("pks"))
       .select(col("src"), explode(col("pks")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+
+  private def copurchaseEdges(s: SparkSession, d: String): DataFrame =
+    pairsFrom(orderSets(s, d))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** The DuckDB spelling of [[copurchaseEdges]] (CTEs `li`, `e`). */
@@ -81,13 +87,24 @@ e AS (
 )"""
 
   def partPagerank(s: SparkSession, d: String): DataFrame = {
-    val edges = copurchaseEdges(s, d)
-    // wout reads the edge CACHE (groupBy → ~|nodes| rows, AQE broadcasts
-    // it back); the joined transition table is persisted too so every
-    // PageRank round scans IT directly instead of re-paying the
-    // wout aggregation+join — persist-once beats PrRounds rebuilds
-    val ew = edges
-      .join(edges.groupBy("src").agg(sum(col("w")).as("wout")), Seq("src"))
+    // wout comes from the per-order sets, NOT from a second pass over the
+    // edge list: Σ_dst w(src,dst) counts (order, dst) co-occurrences, so
+    // wout(src) = Σ_{orders ∋ src} (|pks| − 1) — one cheap aggregation on
+    // the pre-pair 150k-row frame instead of re-aggregating and
+    // shuffle-joining the 2.4M-row edge table. The sets frame is
+    // persisted because two branches (pairs, wout) read it; the edge
+    // list itself is consumed exactly once into `ew`, so only the joined
+    // transition table is edge-sized and persisted — every PageRank
+    // round scans IT directly. wout is |nodes| rows → explicit broadcast
+    // keeps the edge side exchange-free.
+    val sets = orderSets(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wout = sets
+      .select(explode(col("pks")).as("src"),
+        (size(col("pks")) - 1).cast("bigint").as("k"))
+      .groupBy("src").agg(sum(col("k")).as("wout"))
+    val ew = pairsFrom(sets)
+      .join(broadcast(wout), Seq("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = ew.select(col("src").as("node")).distinct()
     val base = s"(CAST($PrScale AS BIGINT) div n)"
@@ -95,8 +112,15 @@ e AS (
       .crossJoin(broadcast(nodes.agg(count(lit(1)).as("n"))))
       .select(col("node"), expr(s"$base").as("rank"), col("n"))
     for (_ <- 1 to PrRounds) {
+      // the rank table is one row per node — explicitly broadcast so each
+      // round is a map-side join over the cached edge partitions (AQE
+      // can't see through the lazily nested round plans to pick this on
+      // its own: measured 6.9 s for 3 shuffle-join rounds vs ~2 s
+      // broadcast at sf0.1). At node counts past broadcast size the
+      // documented flip is a one-time repartition of ew on src — then
+      // only the rank table exchanges per round.
       rank = ew
-        .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+        .join(broadcast(rank.withColumnRenamed("node", "src")), Seq("src"))
         .select(col("dst").as("node"),
           expr("(rank * w) div wout").as("c"), col("n"))
         .groupBy("node", "n").agg(sum(col("c")).as("contrib"))
@@ -175,7 +199,7 @@ LIMIT 100"""
       // map-side, so each round pays combiner-reduced exchanges instead
       // of a sort-based row_number window over every (node, label) pair
       labels = edges
-        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .join(broadcast(labels.withColumnRenamed("node", "src")), Seq("src"))
         .groupBy(col("dst"), col("label"))
         .agg(sum(col("w")).as("mass"))
         .groupBy(col("dst").as("node"))
