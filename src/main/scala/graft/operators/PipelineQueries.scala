@@ -183,6 +183,26 @@ est AS (
     * rounded to integer MICRO-nats before summing, so the cross-engine
     * aggregation is exact integer arithmetic (a raw double sum of logs
     * would drift by ulps between JVM and C libm implementations of ln).
+    *
+    * RESIDUAL PARITY RISK (the log-boundary case): the fixed-pointing
+    * itself still evaluates `ln` once per scalar, and the two engines'
+    * `ln` may differ in the last ulp. `floor(ln(x)·1e6 + 0.5)` maps
+    * that 1-ulp band to the SAME integer except when `ln(x)·1e6 + 0.5`
+    * lands within the ~2e-9 drift band of an exact integer.
+    * LogBoundarySpec scans every count ratio formable at test scale
+    * (all c/n, n ≤ 2000): the closest approach is 3.4e-8 — 17× the
+    * band — and a 1-ulp `ln` perturbation never flips any floor on a
+    * dense probe set; the driver's tri-SF hash gate would catch a flip
+    * at data scale. So the risk is measured-absent for this data — but
+    * it is NOT zero for an arbitrary corpus. The engine-independent fallback, if a corpus
+    * ever trips it: compute `ln(c/n)·1e6` in software arithmetic —
+    * `BigDecimal` argument reduction (x = m·2^k, so ln x = ln m +
+    * k·ln 2 with m ∈ [1,2)) plus the atanh series
+    * ln m = 2·Σ z^(2i+1)/(2i+1), z = (m−1)/(m+1), carried to ~30
+    * digits — as a deterministic UDF/macro on BOTH engines; identical
+    * digit-by-digit rounding makes the boundary exact at the cost of
+    * leaving codegen'd `ln`. Not shipped: it would slow every row to
+    * guard a ulp-band this data never enters.
     */
   private val LpScale = 1000000L
 
