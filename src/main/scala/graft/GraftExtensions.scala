@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotLong, KmvSketch, MinHashSigs, MinKSample, Shingles3, SimHashBits}
+import graft.functions.{DotLong, KmvSketch, LocalComponents, MinHashSigs, MinKSample, Shingles3, SimHashBits}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -37,6 +37,10 @@ object GraftExtensions {
     (FunctionIdentifier("shingles3"),
       new ExpressionInfo(classOf[Shingles3].getName, "shingles3"),
       (args: Seq[Expression]) => Shingles3(args(0))),
+    (FunctionIdentifier("local_components"),
+      new ExpressionInfo(classOf[LocalComponents].getName,
+        "local_components"),
+      (args: Seq[Expression]) => LocalComponents(args(0))),
     (FunctionIdentifier("mink_sample"),
       new ExpressionInfo(classOf[MinKSample].getName, "mink_sample"),
       (args: Seq[Expression]) => args match {

@@ -276,30 +276,46 @@ assigned AS (
 
   /** x41's cluster assignment (vec_id → cluster_id), factored out so the
     * purity audit (x64) recomposes the SAME clusters — one spelling, no
-    * drift between the dedup query and its QC twin. Shape: bucket-local
-    * near-dup pairs (the x11 join) into contracted early-stopped BSP
-    * connected components.
+    * drift between the dedup query and its QC twin.
+    *
+    * Shape: bucket-local near-dup pairs (the x11 join) solved by
+    * HIERARCHICAL connected components — every candidate edge lives
+    * inside one IVF bucket by construction (the pair join's equality on
+    * `bucket`), so each bucket's component structure is independent and
+    * one `collect_list` aggregation + the `local_components` union-find
+    * expression labels it in a single key-partitioned shuffle. This
+    * replaces the global BSP loop (4-5 rounds of join + checkpoint +
+    * convergence probe at sf0.1) that [[Components]] still runs for
+    * graphs whose edges DO cross partition keys (x14's LSH band graph).
+    * Per-bucket work is bounded by the √n centroid budget and the
+    * `bucketCap` lever, so the local solve never sees a
+    * corpus-proportional edge list. The oracle keeps the unrolled
+    * pointer-jumping SQL — both compute the same fixpoint (min
+    * reachable vec_id per component).
     */
   private def embClusterAssignment(s: SparkSession, d: String,
       bucketCap: Option[Int] = None): DataFrame = {
     val e = quantizedCached(s, d)
     val full = assignedBuckets(e, trainedCentroids(e))
       .select(col("vec_id"), col("qe"), col("qn"), col("bucket"))
-    // capped-out vectors generate no pairs → they come back from the CC
-    // vertex union as singleton clusters (the documented cap contract)
+    // capped-out vectors generate no pairs → they fall through the final
+    // left join as singleton clusters (the documented cap contract)
     val assigned = cappedByBucket(full, bucketCap)
-    val pairs = assigned.as("a").join(assigned.as("b"),
+    val comp = assigned.as("a").join(assigned.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .filter((expr(s"CAST(${sparkDot("a.qe", "b.qe")} AS DOUBLE)") /
         (sqrt(col("a.qn").cast("double")) *
           sqrt(col("b.qn").cast("double")))) >= NearDupTau)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Components.connectedComponents(pairs, "vec_a", "vec_b",
-        Tables.embeddings(s, d).select(col("vec_id")), "vec_id",
-        EmbCcRounds)
-      .select(col("vec_id"), col("component").as("cluster_id"))
+      .groupBy(col("a.bucket"))
+      .agg(collect_list(struct(col("a.vec_id"), col("b.vec_id")))
+        .as("es"))
+      .select(explode(expr("local_components(es)")).as("ic"))
+      .select(col("ic.id").as("vec_id"), col("ic.comp").as("cluster_id"))
+    Tables.embeddings(s, d).select(col("vec_id"))
+      .join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
   }
 
   /** DuckDB CTE chain ending in `clusters(vec_id, cluster_id)` — the
@@ -735,7 +751,10 @@ ORDER BY p.cluster_id"""
     * identity (path + mtime + size): the driver regenerates testdata
     * between rounds, and a root keyed on the path alone would serve a
     * STALE index over the new data — the hash forces a rebuild whenever
-    * the underlying parquet changes.
+    * the underlying parquet changes. The key does NOT cover the builder
+    * CODE version: after changing buildIndex/buildClusters logic in
+    * dev, delete `$TMPDIR/graft_serve` or the serve rows replay the old
+    * algorithm's artifacts.
     */
   private[graft] def serveRoot(dir: String): String = {
     val f = new java.io.File(s"$dir/embeddings.parquet")
@@ -898,14 +917,14 @@ ORDER BY vec_a, vec_b"""),
 
     // ── SEMANTIC dedup clusters: the x11 embedding near-dup pairs
     // assembled into connected components — the "keep one canonical doc
-    // per embedding cluster" step of an LLM corpus pipeline. Same
-    // contract as x14: Spark runs the contracted, early-stopped BSP
-    // ([[Components.connectedComponents]]); the oracle unrolls a FIXED
-    // EmbCcRounds over the full vertex set — the two are identical
-    // round-by-round (isolated vectors are inert, post-fixpoint rounds
-    // are identities), so the hash matches at any cap. Components can
-    // never span buckets (a vector has exactly one IVF bucket and pairs
-    // are intra-bucket), which also bounds cluster size by bucket size.
+    // per embedding cluster" step of an LLM corpus pipeline. Spark
+    // solves them hierarchically (bucket-local union-find in ONE
+    // aggregation — see [[embClusterAssignment]]); the oracle unrolls a
+    // FIXED EmbCcRounds of pointer-jumping over the full vertex set —
+    // both compute the same fixpoint (min reachable vec_id), so the
+    // hash matches at any unroll length. Components can never span
+    // buckets (a vector has exactly one IVF bucket and pairs are
+    // intra-bucket), which also bounds cluster size by bucket size.
     "x41_embed_dedup_clusters" -> QueryDef(
       (s, d) => embClusterAssignment(s, d)
         .withColumn("cluster_size", count(lit(1)).over(
