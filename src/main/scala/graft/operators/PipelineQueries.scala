@@ -2392,5 +2392,56 @@ SELECT cp AS checkpoint, cp_doc, docs_seen, tokens_seen, vocab_size,
   CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
     AS heaps_slope
 FROM curve CROSS JOIN ols ORDER BY checkpoint"""),
-      "Heaps-law vocab growth curve + exponent (closed-vocabulary detection)"))
+      "Heaps-law vocab growth curve + exponent (closed-vocabulary detection)"),
+
+    // ── Good-Turing frequency-of-frequencies: N_r = how many token
+    // types occur exactly r times, plus the Good-Turing adjusted count
+    // r* = (r+1)·N_{r+1}/N_r — the smoothing table every count-based LM
+    // and the "probability mass of unseen tokens" estimate (N_1/N)
+    // derive from. All exact integers: the adjusted count is reported
+    // as the (gt_num, n_types) pair with r_star one IEEE division, and
+    // p1_mass_num/total_tokens give the unseen-mass fraction without a
+    // float chain. Shape: token count (map-side partial agg on the
+    // token key), count-of-counts rollup (input is vocab-sized, output
+    // at most ~√N distinct frequencies), a self-join on r+1 over that
+    // tiny table, one broadcast 1-row total. Every stage after the
+    // first is bounded by the frequency-spectrum size, not the corpus.
+    "x78_good_turing" -> QueryDef(
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("r"))
+        val cc = counts.groupBy("r")
+          .agg(count(lit(1)).as("n_types"))
+        val tot = cc.agg(sum(col("r") * col("n_types")).as("total_tokens"))
+        cc.join(cc.select(col("r").as("r1"), col("n_types").as("n_types1")),
+            col("r1") === col("r") + 1, "left")
+          .crossJoin(broadcast(tot))
+          .select(col("r"), col("n_types"),
+            ((col("r") + 1) * coalesce(col("n_types1"), lit(0L)))
+              .as("gt_num"),
+            when(coalesce(col("n_types1"), lit(0L)) > 0,
+              ((col("r") + 1) * col("n_types1")).cast("double")
+                / col("n_types").cast("double")).as("r_star"),
+            col("total_tokens"))
+          .orderBy("r")
+      },
+      Some("""
+WITH counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS r
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY 1
+),
+cc AS (SELECT r, CAST(count(*) AS BIGINT) AS n_types
+       FROM counts GROUP BY 1),
+tot AS (SELECT CAST(sum(r * n_types) AS BIGINT) AS total_tokens FROM cc)
+SELECT cc.r, cc.n_types,
+  (cc.r + 1) * coalesce(n1.n_types, 0) AS gt_num,
+  CASE WHEN coalesce(n1.n_types, 0) > 0
+    THEN CAST((cc.r + 1) * n1.n_types AS DOUBLE) / CAST(cc.n_types AS DOUBLE)
+  END AS r_star,
+  tot.total_tokens
+FROM cc LEFT JOIN cc n1 ON n1.r = cc.r + 1 CROSS JOIN tot
+ORDER BY cc.r"""),
+      "Good-Turing frequency spectrum + adjusted counts + unseen-mass inputs"))
 }

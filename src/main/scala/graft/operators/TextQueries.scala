@@ -621,7 +621,91 @@ SELECT source, g, CAST(sum(c) AS BIGINT) AS total_grams,
   CAST(max(c) AS BIGINT) AS top_gram_count,
   CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS diversity
 FROM c GROUP BY 1, 2 ORDER BY 1, 2"""),
-      "per-source 1/2/3-gram diversity (template/model-generated source audit)"))
+      "per-source 1/2/3-gram diversity (template/model-generated source audit)"),
+
+    // ── Quality-score calibration AUC per source: how well does the x02
+    // heuristic score separate English from non-English documents in
+    // each corpus slice? (The blend leans on English stopwords, so
+    // AUC-vs-is-English is the natural calibration probe; swap the
+    // label column to calibrate against any weak signal.) AUC is the
+    // Mann-Whitney rank statistic, computed EXACTLY in integers: scores
+    // are 2-decimal by construction (moneyRound), so cents are exact
+    // BIGINTs; grouping by (source, cents) bounds every downstream
+    // stage at ≤ 10 001 distinct scores per source regardless of corpus
+    // size; tie handling is mid-rank, and 2·midrank = 2·cum_before +
+    // cnt + 1 stays integral. auc_num2 = 2·Σ_pos midrank − n_pos·
+    // (n_pos+1) = 2·U, so auc = auc_num2 / (2·n_pos·n_neg) is ONE IEEE
+    // division of exact integers — bit-identical cross-engine. Shuffle
+    // inventory: one (source, cents) partial-agg, one source-keyed
+    // window over the tiny distinct-score table, one source rollup.
+    "x77_quality_auc" -> QueryDef(
+      (s, d) => aucBySlice(
+        qualityScored(s, d)
+          .withColumn("cents",
+            expr("CAST(floor(quality_score * 100 + 0.5d) AS BIGINT)"))
+          .withColumn("pos", (col("lang") === "en").cast("bigint")),
+        slice = "source", score = "cents", pos = "pos"),
+      Some(s"""
+WITH $duckQualityCtes,
+sc AS (
+  SELECT source, CAST(floor(quality_score * 100 + 0.5) AS BIGINT) AS cents,
+    CAST(count(*) AS BIGINT) AS cnt,
+    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos_cnt
+  FROM q GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, cents, cnt, pos_cnt,
+    CAST(coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY cents
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS cum_before
+  FROM sc
+),
+agg AS (
+  SELECT source,
+    CAST(sum(pos_cnt) AS BIGINT) AS n_pos,
+    CAST(sum(cnt) - sum(pos_cnt) AS BIGINT) AS n_neg,
+    CAST(sum(pos_cnt * (2 * cum_before + cnt + 1)) AS BIGINT) AS u2
+  FROM cum GROUP BY 1
+)
+SELECT source, n_pos, n_neg,
+  u2 - n_pos * (n_pos + 1) AS auc_num2,
+  CASE WHEN n_pos > 0 AND n_neg > 0
+    THEN CAST(u2 - n_pos * (n_pos + 1) AS DOUBLE) / (2.0 * n_pos * n_neg)
+  END AS auc
+FROM agg ORDER BY source"""),
+      "per-source Mann-Whitney AUC of the quality score vs is-English, exact integers"))
+
+  /** The exact Mann-Whitney AUC core behind x77: `score` an integer
+    * column, `pos` a 0/1 BIGINT label, `slice` the grouping key. Ties
+    * use mid-ranks (2·midrank = 2·cum_before + cnt + 1 stays integral);
+    * `auc_num2` = 2·U, `auc` = auc_num2 / (2·n_pos·n_neg) — NULL when a
+    * slice is single-class. Factored so AucSpec can pin it against the
+    * O(n²) pair-counting definition on constructed inputs.
+    */
+  private[graft] def aucBySlice(df: org.apache.spark.sql.DataFrame,
+      slice: String, score: String, pos: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = df.groupBy(col(slice), col(score).as("__sc"))
+      .agg(count(lit(1)).as("cnt"), sum(col(pos)).as("pos_cnt"))
+    val w = Window.partitionBy(slice).orderBy("__sc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sc.withColumn("cum_before",
+        coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("u2_part",
+        col("pos_cnt") * (lit(2) * col("cum_before") + col("cnt") + 1))
+      .groupBy(slice)
+      .agg(sum(col("pos_cnt")).as("n_pos"),
+        (sum(col("cnt")) - sum(col("pos_cnt"))).as("n_neg"),
+        sum(col("u2_part")).as("u2"))
+      .select(col(slice), col("n_pos"), col("n_neg"),
+        (col("u2") - col("n_pos") * (col("n_pos") + 1)).as("auc_num2"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          (col("u2") - col("n_pos") * (col("n_pos") + 1)).cast("double")
+            / (lit(2d) * col("n_pos") * col("n_neg")))
+          .as("auc"))
+      .orderBy(slice)
+  }
 
   /** Per-doc curation flags over the documents table — the single
     * source of truth for the funnel (x58) AND the composed
