@@ -282,25 +282,62 @@ sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t)"""
   private[graft] def lshCandidates(
       sigs: org.apache.spark.sql.DataFrame,
       bandCap: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    val bands = bandKeys(sigs, bandCap)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.sigval") === col("b.sigval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** (doc_id, band, sigval) band-key rows shared by the pair join and
+    * the star-edge build, with the optional hot-bucket cap applied.
+    * The hot-bucket set is small by construction (only keys over the
+    * cap), so AQE broadcasts the anti-join — one extra agg on the key
+    * space the consumers shuffle on anyway.
+    */
+  private def bandKeys(sigs: org.apache.spark.sql.DataFrame,
+      bandCap: Option[Int]): org.apache.spark.sql.DataFrame = {
     val stackExpr = (0 until K)
       .map(i => s"$i, sig$i").mkString(s"stack($K, ", ", ", ")")
     val allBands = sigs.select(col("doc_id"),
       expr(s"$stackExpr AS (band, sigval)"))
-    // hot-bucket set is small by construction (only keys over the cap),
-    // so AQE broadcasts the anti-join — one extra agg on the key space
-    // the pair join shuffles on anyway
-    val bands = bandCap.fold(allBands) { cap =>
+    bandCap.fold(allBands) { cap =>
       val hot = allBands.groupBy(col("band"), col("sigval"))
         .agg(count(lit(1)).as("df"))
         .filter(col("df") > cap)
         .select("band", "sigval")
       allBands.join(hot, Seq("band", "sigval"), "left_anti")
     }
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.sigval") === col("b.sigval") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  }
+
+  /** Star edges with the SAME connectivity as [[lshCandidates]]: every
+    * (band, sigval) bucket is a CLIQUE in the candidate graph (all
+    * members collide pairwise), so for CLUSTERING — where only
+    * connectivity matters, not the pair list — each bucket contributes
+    * k−1 hub edges (bucket-min doc → member) instead of k(k−1)/2
+    * pairs. Connected components are identical (every clique edge is
+    * implied through the hub; star edges are a subset of clique
+    * edges), but the edge build is LINEAR in bucket size: the
+    * quadratic band fan-out — THE classic LSH blowup when a
+    * boilerplate signature puts 1M docs in one bucket (10¹² pairs vs
+    * 10⁶ star edges) — never materializes on the clustering path. The
+    * pair-output consumers (x06 verify, x43 leakage, x47 recall) keep
+    * the pair join + `bandCap`. One window over the band keys, no
+    * self-join; `bandCap` drops capped buckets before the hub pick,
+    * matching [[lshCandidates]]' cap semantics (no edges from capped
+    * buckets).
+    */
+  private[graft] def lshStarEdges(
+      sigs: org.apache.spark.sql.DataFrame,
+      bandCap: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    bandKeys(sigs, bandCap)
+      .withColumn("hub", min(col("doc_id")).over(
+        Window.partitionBy("band", "sigval")))
+      .filter(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
       .distinct()
   }
 
@@ -665,7 +702,9 @@ ORDER BY doc_a, doc_b"""
     "x14_dedup_clusters" -> QueryDef(
       (s, d) => {
         val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val cand = lshCandidates(lshSigs(s, d)).persist(disk)
+        // star edges, not the pair list: identical components, linear
+        // (not quadratic) in band-bucket size — see [[lshStarEdges]]
+        val cand = lshStarEdges(lshSigs(s, d)).persist(disk)
         Components.connectedComponents(cand, "doc_a", "doc_b",
             Tables.documents(s, d).select(col("doc_id")), "doc_id",
             CcRounds)
@@ -693,7 +732,7 @@ FROM s$CcRounds ORDER BY doc_id"""),
     "x42_cluster_canonical" -> QueryDef(
       (s, d) => {
         val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val cand = lshCandidates(lshSigs(s, d)).persist(disk)
+        val cand = lshStarEdges(lshSigs(s, d)).persist(disk)
         val clusters = Components.connectedComponents(cand, "doc_a",
             "doc_b", Tables.documents(s, d).select(col("doc_id")),
             "doc_id", CcRounds)
