@@ -106,11 +106,16 @@ e AS (
     val ew = pairsFrom(sets)
       .join(broadcast(wout), Seq("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // node table materialized once (localCheckpoint truncates the edge
+    // lineage under it) and |nodes| read off the materialized blocks —
+    // the scalar lands in the plan as a LITERAL, which is exactly what
+    // the oracle's scalar subquery evaluates to; no crossJoin carries an
+    // `n` column through every round anymore.
     val nodes = ew.select(col("src").as("node")).distinct()
-    val base = s"(CAST($PrScale AS BIGINT) div n)"
-    var rank = nodes
-      .crossJoin(broadcast(nodes.agg(count(lit(1)).as("n"))))
-      .select(col("node"), expr(s"$base").as("rank"), col("n"))
+      .localCheckpoint(true)
+    val n = nodes.count()
+    val base = s"(CAST($PrScale AS BIGINT) div ${n}L)"
+    var rank = nodes.select(col("node"), expr(base).as("rank"))
     for (_ <- 1 to PrRounds) {
       // the rank table is one row per node — explicitly broadcast so each
       // round is a map-side join over the cached edge partitions (AQE
@@ -118,16 +123,21 @@ e AS (
       // its own: measured 6.9 s for 3 shuffle-join rounds vs ~2 s
       // broadcast at sf0.1). At node counts past broadcast size the
       // documented flip is a one-time repartition of ew on src — then
-      // only the rank table exchanges per round.
+      // only the rank table exchanges per round. Each round is
+      // MATERIALIZED (eager localCheckpoint, the Components discipline):
+      // the broadcast build then collects 20k finished rows instead of
+      // re-planning the whole nested round chain, and lineage stays
+      // constant-depth. On a cluster, swap for reliable checkpoints as
+      // in Components.
       rank = ew
         .join(broadcast(rank.withColumnRenamed("node", "src")), Seq("src"))
         .select(col("dst").as("node"),
-          expr("(rank * w) div wout").as("c"), col("n"))
-        .groupBy("node", "n").agg(sum(col("c")).as("contrib"))
+          expr("(rank * w) div wout").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("contrib"))
         .select(col("node"),
           expr(s"($base * 15) div 100 + (85 * contrib) div 100")
-            .as("rank"),
-          col("n"))
+            .as("rank"))
+        .localCheckpoint(true)
     }
     rank.select(col("node").as("p_partkey"), col("rank").as("rank_fp"))
       .orderBy(col("rank_fp").desc, col("p_partkey"))
@@ -197,7 +207,12 @@ LIMIT 100"""
       // argmax spelled as max(struct(mass, -label)) — lexicographic max
       // = (mass DESC, label ASC) exactly, but partial-aggregable
       // map-side, so each round pays combiner-reduced exchanges instead
-      // of a sort-based row_number window over every (node, label) pair
+      // of a sort-based row_number window over every (node, label) pair.
+      // NOT per-round-checkpointed like partPagerank: at LpRounds = 2
+      // the nesting is shallow and the checkpoint jobs cost more than
+      // the re-planning they save (A/B measured 3.1 s plain vs 4.3-5.2 s
+      // checkpointed at sf0.1); past ~3 rounds flip to the
+      // partPagerank discipline.
       labels = edges
         .join(broadcast(labels.withColumnRenamed("node", "src")), Seq("src"))
         .groupBy(col("dst"), col("label"))
