@@ -673,7 +673,67 @@ SELECT source, n_pos, n_neg,
     THEN CAST(u2 - n_pos * (n_pos + 1) AS DOUBLE) / (2.0 * n_pos * n_neg)
   END AS auc
 FROM agg ORDER BY source"""),
-      "per-source Mann-Whitney AUC of the quality score vs is-English, exact integers"))
+      "per-source Mann-Whitney AUC of the quality score vs is-English, exact integers"),
+
+    // ── Tokenizer fertility per (lang, source): subword-ish regex tokens
+    // per whitespace word — THE number a multilingual-tokenizer owner
+    // checks before committing a vocab (a language whose fertility runs
+    // 2× the corpus mean pays 2× the compute per sentence and starves in
+    // a token-budgeted mixture). Reuses x01's two tokenizer spellings
+    // verbatim so the ratio audits exactly the tokenizations the
+    // standalone query reports. One partial-aggregated rollup over
+    // per-doc exact integer counts; fertility is ONE IEEE division of
+    // the summed integers. Corpus-mean comparison rides in as the same
+    // two integers summed globally (a 1-row broadcast), so the
+    // `vs_corpus` ratio is division of exact integers too.
+    "x79_tokenizer_fertility" -> QueryDef(
+      (s, d) => {
+        val t = Tables.documents(s, d).select(
+          col("lang"), col("source"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("ws"),
+          expr("CAST(size(regexp_extract_all(text, " +
+            "'[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)").as("re"))
+        val tot = t.agg(sum(col("ws")).as("tws"), sum(col("re")).as("tre"))
+        t.groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ws")).as("ws_tokens"),
+            sum(col("re")).as("re_tokens"))
+          .crossJoin(broadcast(tot))
+          .select(col("lang"), col("source"), col("n_docs"),
+            col("ws_tokens"), col("re_tokens"),
+            (col("re_tokens").cast("double") /
+              col("ws_tokens").cast("double")).as("fertility"),
+            // ratio of the two exact divisions, NOT of integer products:
+            // products overflow BIGINT near 1e19 token-pairs (DuckDB
+            // would widen to HUGEINT, Spark would wrap — a divergence);
+            // chained IEEE division of identical doubles is correctly
+            // rounded per-op, so both engines agree at any scale
+            ((col("re_tokens").cast("double") /
+              col("ws_tokens").cast("double")) /
+              (col("tre").cast("double") / col("tws").cast("double")))
+              .as("vs_corpus"))
+          .orderBy("lang", "source")
+      },
+      Some("""
+WITH t AS (
+  SELECT lang, source,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+      AS BIGINT) AS re
+  FROM documents
+),
+tot AS (SELECT CAST(sum(ws) AS BIGINT) AS tws,
+               CAST(sum(re) AS BIGINT) AS tre FROM t)
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+  CAST(sum(re) AS BIGINT) AS re_tokens,
+  CAST(sum(re) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) AS fertility,
+  (CAST(sum(re) AS DOUBLE) / CAST(sum(ws) AS DOUBLE))
+    / (CAST(tot.tre AS DOUBLE) / CAST(tot.tws AS DOUBLE)) AS vs_corpus
+FROM t CROSS JOIN tot
+GROUP BY lang, source, tot.tws, tot.tre
+ORDER BY lang, source"""),
+      "subword-per-word fertility per (lang, source) vs the corpus mean"))
 
   /** The exact Mann-Whitney AUC core behind x77: `score` an integer
     * column, `pos` a 0/1 BIGINT label, `slice` the grouping key. Ties

@@ -174,6 +174,29 @@ class PlanSpec extends SparkSpec {
       s"might_contain at $mc, shuffle at $lastShuffle:\n${plan.take(1500)}")
   }
 
+  test("x41: clusters solve through local_components, not a BSP loop") {
+    // the hierarchical path is the scale design (one aggregation per
+    // bucket); if the expression ever fell out of the plan the query
+    // would still be correct via some other spelling but quadratically
+    // more expensive in rounds
+    val plan = q("x41_embed_dedup_clusters")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("local_components"), plan.take(1200))
+  }
+
+  test("x13: Hamming verify runs below the distinct's exchange") {
+    // the ≤3-bit filter must kill band collisions INSIDE the join output
+    // (deeper than the pair distinct's shuffle) — if it migrated above,
+    // the full collision set (millions at a skewed band value) would
+    // cross the wire again. Parents print first, so deeper = later.
+    val plan = executedPlan("x13_simhash_neardup")
+    val bc = plan.indexOf("bit_count")
+    val distinctEx = plan.indexOf("Exchange hashpartitioning(doc_a")
+    assert(bc >= 0 && distinctEx >= 0, plan.take(1500))
+    assert(bc > distinctEx,
+      s"bit_count at $bc, distinct exchange at $distinctEx:\n${plan.take(1500)}")
+  }
+
   test("registry sweep: no unintended cartesian product in any plan") {
     // similarity scans intentionally crossJoin a BROADCAST probe/centroid
     // side (bounded, small); streaming queries execute on construction so
