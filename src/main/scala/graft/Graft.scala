@@ -240,6 +240,17 @@ object Graft {
     /** Unigram-LM argmax source attribution + confusion matrix (x73). */
     def sourceAttribution(spark: SparkSession, dir: String): DataFrame =
       run("x73_source_attribution", spark, dir)
+    /** Per-source Mann-Whitney AUC of the quality score vs is-English —
+      * exact integer rank-sum with mid-rank ties (x77).
+      */
+    def qualityAuc(spark: SparkSession, dir: String): DataFrame =
+      run("x77_quality_auc", spark, dir)
+    /** Good-Turing frequency-of-frequencies + adjusted counts (x78). */
+    def goodTuring(spark: SparkSession, dir: String): DataFrame =
+      run("x78_good_turing", spark, dir)
+    /** Subword-per-word tokenizer fertility per (lang, source) (x79). */
+    def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+      run("x79_tokenizer_fertility", spark, dir)
   }
 
   /** Corpus assembly: packing, sampling, splits over `documents`. */

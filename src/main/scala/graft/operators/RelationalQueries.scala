@@ -1304,6 +1304,72 @@ SELECT d, CAST(count(*) AS BIGINT) AS n_orders,
 FROM digits CROSS JOIN tot GROUP BY d, tot.n ORDER BY d"""),
       "Benford first-digit screen over order totals, ppm fixed-point"),
 
+    // ── Functional-dependency audit: for declared candidate FDs X → Y,
+    // how many X-keys map to MORE than one distinct Y — the
+    // denormalization-drift screen a warehouse runs after every load
+    // (a "should-be-determined" column acquiring second values is how
+    // silent fan-out bugs and bad upserts surface). One key-partitioned
+    // countDistinct per FD (map-side partial agg); the violation rate is
+    // one IEEE division of exact integers. FDs audited: does an order
+    // keep one return status; does a part come from one supplier; does
+    // a customer stick to one order priority — all EXPECTED to have
+    // violations in TPC-H-shaped data, which is the point: the audit
+    // measures, the owner decides the threshold.
+    "dq09_fd_audit" -> QueryDef(
+      (s, d) => {
+        def fd(df: org.apache.spark.sql.DataFrame, name: String,
+            x: String, y: String) =
+          df.groupBy(col(x)).agg(countDistinct(col(y)).as("dy"))
+            .agg(lit(name).as("fd"),
+              count(lit(1)).as("n_keys"),
+              sum(when(col("dy") > 1, 1L).otherwise(0L))
+                .as("violating_keys"),
+              max(col("dy")).as("max_distinct"))
+        fd(li(s, d), "l_orderkey->l_returnflag", "l_orderkey",
+            "l_returnflag")
+          .unionByName(fd(li(s, d), "l_partkey->l_suppkey", "l_partkey",
+            "l_suppkey"))
+          .unionByName(fd(ord(s, d), "o_custkey->o_orderpriority",
+            "o_custkey", "o_orderpriority"))
+          .withColumn("violation_rate",
+            col("violating_keys").cast("double") /
+              col("n_keys").cast("double"))
+          .orderBy("fd")
+      },
+      Some("""
+WITH f1 AS (
+  SELECT 'l_orderkey->l_returnflag' AS fd,
+    CAST(count(*) AS BIGINT) AS n_keys,
+    CAST(sum(CASE WHEN dy > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      AS violating_keys,
+    CAST(max(dy) AS BIGINT) AS max_distinct
+  FROM (SELECT l_orderkey, count(DISTINCT l_returnflag) AS dy
+        FROM lineitem GROUP BY 1)
+),
+f2 AS (
+  SELECT 'l_partkey->l_suppkey',
+    CAST(count(*) AS BIGINT),
+    CAST(sum(CASE WHEN dy > 1 THEN 1 ELSE 0 END) AS BIGINT),
+    CAST(max(dy) AS BIGINT)
+  FROM (SELECT l_partkey, count(DISTINCT l_suppkey) AS dy
+        FROM lineitem GROUP BY 1)
+),
+f3 AS (
+  SELECT 'o_custkey->o_orderpriority',
+    CAST(count(*) AS BIGINT),
+    CAST(sum(CASE WHEN dy > 1 THEN 1 ELSE 0 END) AS BIGINT),
+    CAST(max(dy) AS BIGINT)
+  FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS dy
+        FROM orders GROUP BY 1)
+),
+u AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+      UNION ALL SELECT * FROM f3)
+SELECT fd, n_keys, violating_keys, max_distinct,
+  CAST(violating_keys AS DOUBLE) / CAST(n_keys AS DOUBLE)
+    AS violation_rate
+FROM u ORDER BY fd"""),
+      "candidate-FD violation screen (denormalization-drift audit)"),
+
     // ── J16: bloom-prefiltered join — the fact side (lineitem) is
     // pruned by a bloom filter built over the small filtered dimension
     // BEFORE the join shuffle ([[Joins.bloomPrefilter]]). The declared
