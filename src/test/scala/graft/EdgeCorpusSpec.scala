@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Degenerate-corpus robustness: the text/dedup family must survive the
+  * documents a 100 TB crawl actually contains — empty strings, one-token
+  * docs, exact-duplicate floods, unicode, and a doc far longer than its
+  * neighbors — without crashing or emitting nulls in key columns. The
+  * driver's synthetic corpus never exercises these, so this spec builds
+  * its own parquet dir.
+  */
+class EdgeCorpusSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("edgecorpus").toString
+    val docs = Seq(
+      (0L, "", "en", "src0"),                       // empty text
+      (1L, "x", "en", "src0"),                      // single token
+      (2L, "the the the the the the the the", "en", "src0"), // degenerate repeat
+      (3L, "café naïve 世界 tokens here", "fr", "src1"), // unicode
+      (4L, ("token " * 5000).trim, "en", "src1"),   // long doc
+      (5L, "the quick brown fox jumps over the lazy dog", "en", "src2"),
+      (6L, "the quick brown fox jumps over the lazy dog", "en", "src2"), // exact dup
+      (7L, "the quick brown fox jumps over the lazy dog", "en", "src3"), // cross-source dup
+      (8L, "el rápido zorro marrón", "es", "src3"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private val docQueries = Seq(
+    "x01_text_tokens", "x02_text_quality", "x03_lang_id",
+    "x04_fingerprint", "x05_dedup_exact", "x06_dedup_minhash_lsh",
+    "x07_dedup_simhash", "x08_ngram_jaccard", "x13_simhash_neardup",
+    "x14_dedup_clusters", "x18_repetition_3gram", "x29_containment",
+    "x36_unigram_logprob", "x69_dup_spans", "x70_prefix_jaccard",
+    "x72_doc_entropy", "x77_quality_auc", "x78_good_turing",
+    "x79_tokenizer_fertility")
+
+  test("document-family queries survive a degenerate corpus") {
+    for (name <- docQueries) {
+      val rows =
+        try SparkEntry.queries(name)(spark, dir).collect()
+        catch { case e: Throwable =>
+          fail(s"$name crashed on the edge corpus: ${e.getMessage}")
+        }
+      spark.catalog.clearCache()
+      assert(rows != null, name)
+    }
+  }
+
+  test("edge-corpus invariants: dup detection, entropy, fingerprints") {
+    // exact dedup must fold the three identical docs into one group:
+    // canonical = min id (5), n_copies = 3
+    val exact = SparkEntry.queries("x05_dedup_exact")(spark, dir)
+    val g = exact.filter(col("canonical_id") === 5L)
+      .select(col("n_copies")).collect().map(_.getLong(0))
+    assert(g.toSeq == Seq(3L), s"expected one 3-copy group, got ${g.toSeq}")
+    spark.catalog.clearCache()
+    // the all-"the" doc has zero entropy; the mixed doc has more
+    val ent = SparkEntry.queries("x72_doc_entropy")(spark, dir)
+      .select(col("doc_id"), col("entropy_unat")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ent(2L) == 0L, s"repeat doc entropy ${ent(2L)}")
+    assert(ent(5L) > 0L)
+    spark.catalog.clearCache()
+    // clusters: the three dups land in one cluster
+    val cl = SparkEntry.queries("x14_dedup_clusters")(spark, dir)
+      .filter(col("doc_id").isin(5L, 6L, 7L))
+      .select(col("cluster_id")).distinct().count()
+    assert(cl == 1L, "identical docs must share one near-dup cluster")
+    spark.catalog.clearCache()
+  }
+}
