@@ -121,17 +121,34 @@ bands AS (
     * first. Factored out so ContainmentSpec can drive it on
     * constructed corpora (the small-inside-big case) while x29 stays
     * its oracle-checked instantiation over `documents`.
+    *
+    * `dfCap` is the hot-shingle skew lever, x08's [[ngramJaccard]]
+    * twin: a shingle in more than `dfCap` same-language documents is
+    * dropped from the posting list BEFORE the pair join, bounding the
+    * worst key's fan-out to dfCap². Documented semantics change, same
+    * contract as x08's: dropped shingles stop voting in |A∩B| while
+    * sizes keep the full |A|/|B|, so containment is underestimated for
+    * pairs whose overlap is mostly boilerplate — the direction a corpus
+    * pipeline wants. `None` (the oracle-checked default) is exact.
     */
   def containmentPairs(docs0: org.apache.spark.sql.DataFrame,
-      tau: Double): org.apache.spark.sql.DataFrame = {
+      tau: Double,
+      dfCap: Option[Int] = None): org.apache.spark.sql.DataFrame = {
     graft.GraftExtensions.install(docs0.sparkSession)
     val docs = docs0
       .withColumn("sh", expr("shingles3(text)"))
       .select(col("doc_id"), col("lang"), col("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
-    val posting = docs.select(col("doc_id"), col("lang"),
+    val fullPosting = docs.select(col("doc_id"), col("lang"),
       explode(col("sh")).as("shingle"))
+    val posting = dfCap.fold(fullPosting) { cap =>
+      val hot = fullPosting.groupBy(col("shingle"), col("lang"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap)
+        .select("shingle", "lang")
+      fullPosting.join(hot, Seq("shingle", "lang"), "left_anti")
+    }
     posting.as("a").join(posting.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.lang") === col("b.lang") &&
