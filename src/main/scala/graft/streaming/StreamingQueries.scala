@@ -490,7 +490,48 @@ SELECT dim, wr,
 FROM w1 CROSS JOIN n1
 ORDER BY dim"""
       }),
-      "streaming matvec accumulator: drained per-dim state == x74 round 1"))
+      "streaming matvec accumulator: drained per-dim state == x74 round 1"),
+
+    // ── Streaming corpus-composition monitor: x79's tokenizer-fertility
+    // integers maintained AT INGEST as one streaming aggregation with
+    // |langs| rows of state — the dashboard a mixture owner watches to
+    // catch a language's fertility (and so its per-sentence compute
+    // cost) drifting as new crawl slices land. Both tokenizer spellings
+    // are the exact x01/x79 exprs; sums are exact integers so the
+    // drained state equals the batch rollup bit-for-bit, and the one
+    // IEEE division happens post-drain.
+    "st15_stream_fertility" -> QueryDef(
+      (s, d) => {
+        val agg = EventStream.readDocuments(s, d)
+          .withColumn("ws",
+            expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+          .withColumn("re",
+            expr("CAST(size(regexp_extract_all(text, " +
+              "'[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ws")).as("ws_tokens"),
+            sum(col("re")).as("re_tokens"))
+        EventStream.runToMemory(s, agg, s"st15_sink_${System.nanoTime}")
+          .withColumn("fertility",
+            col("re_tokens").cast("double") /
+              col("ws_tokens").cast("double"))
+          .orderBy("lang")
+      },
+      Some("""
+WITH t AS (
+  SELECT lang,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+      AS BIGINT) AS re
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+  CAST(sum(re) AS BIGINT) AS re_tokens,
+  CAST(sum(re) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) AS fertility
+FROM t GROUP BY lang ORDER BY lang"""),
+      "per-language fertility maintained at ingest == x79's batch rollup"))
 
   /** st13's sketch size — small enough that every SF's per-source
     * fingerprint count (≥ 24) exercises the estimator branch, not the
