@@ -240,34 +240,31 @@ est AS (
   private val PairListDuck =
     "list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])"
 
-  def defs: Map[String, QueryDef] = Map(
+  /** x17's packed-bin rollup (lang, bin_id, n_docs, total_tokens,
+    * first/last doc), factored so the x80 efficiency audit measures
+    * EXACTLY the bins the packing query emits — a drifted copy would
+    * audit a different packing. One window shuffle per shard + one tiny
+    * aggregation; exact integers end-to-end.
+    */
+  private def packedBins(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .withColumn("n_tokens",
+        expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+      .withColumn("offset",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin_id", expr(s"offset div $PackTarget"))
+      .groupBy(col("lang"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
 
-    // ── Sequence packing: assign docs (in stable doc_id order, per
-    // language shard) to fixed-token-budget bins by prefix-sum division —
-    // the step that turns a filtered corpus into training sequences.
-    // One window shuffle per shard + one tiny aggregation; exact integer
-    // arithmetic end-to-end, so the oracle replays it bit-for-bit. At
-    // 100 TB the shard key is (lang, shard_id) so no partition exceeds a
-    // worker; the prefix sum never leaves the shard.
-    "x17_pack_sequences" -> QueryDef(
-      (s, d) => {
-        val w = Window.partitionBy("lang").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        Tables.documents(s, d)
-          .withColumn("n_tokens",
-            expr("CAST(size(split(text, ' ')) AS BIGINT)"))
-          .withColumn("offset",
-            coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-          .withColumn("bin_id", expr(s"offset div $PackTarget"))
-          .groupBy(col("lang"), col("bin_id"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(col("n_tokens")).as("total_tokens"),
-            min(col("doc_id")).as("first_doc"),
-            max(col("doc_id")).as("last_doc"))
-          .orderBy("lang", "bin_id")
-      },
-      Some(s"""
-WITH t AS (
+  /** DuckDB twin of [[packedBins]] (CTEs `t` → `packed` → `bins`). */
+  private def duckPackedBinsCtes: String = s"""t AS (
   SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
     AS n_tokens
   FROM documents
@@ -278,12 +275,63 @@ packed AS (
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
       // $PackTarget AS BIGINT) AS bin_id
   FROM t
-)
-SELECT lang, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
-  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-FROM packed GROUP BY 1, 2 ORDER BY lang, bin_id"""),
+),
+bins AS (
+  SELECT lang, bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+    min(doc_id) AS first_doc, max(doc_id) AS last_doc
+  FROM packed GROUP BY 1, 2
+)"""
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // ── Sequence packing: assign docs (in stable doc_id order, per
+    // language shard) to fixed-token-budget bins by prefix-sum division —
+    // the step that turns a filtered corpus into training sequences.
+    // One window shuffle per shard + one tiny aggregation; exact integer
+    // arithmetic end-to-end, so the oracle replays it bit-for-bit. At
+    // 100 TB the shard key is (lang, shard_id) so no partition exceeds a
+    // worker; the prefix sum never leaves the shard.
+    "x17_pack_sequences" -> QueryDef(
+      (s, d) => packedBins(s, d).orderBy("lang", "bin_id"),
+      Some(s"""
+WITH $duckPackedBinsCtes
+SELECT lang, bin_id, n_docs, total_tokens, first_doc, last_doc
+FROM bins ORDER BY lang, bin_id"""),
       "greedy sequence packing: per-shard prefix sum div token budget"),
+
+    // ── Packing-efficiency audit over EXACTLY the x17 bins: per
+    // language, how full do the training sequences run and how much
+    // compute is padding? utilization = total/(bins·budget) and the
+    // per-bin min/max spread are one tiny rollup over the bin table
+    // (|bins| rows, never corpus-sized); utilization is one IEEE
+    // division of exact integers. The last (partial) bin is counted —
+    // that is real padding a trainer pays.
+    "x80_pack_efficiency" -> QueryDef(
+      (s, d) => packedBins(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_bins"),
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("total_tokens")).as("total_tokens"),
+          min(col("total_tokens")).as("min_bin_tokens"),
+          max(col("total_tokens")).as("max_bin_tokens"))
+        .withColumn("capacity", col("n_bins") * lit(PackTarget))
+        .withColumn("utilization",
+          col("total_tokens").cast("double") /
+            col("capacity").cast("double"))
+        .orderBy("lang"),
+      Some(s"""
+WITH $duckPackedBinsCtes
+SELECT lang, CAST(count(*) AS BIGINT) AS n_bins,
+  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+  CAST(sum(total_tokens) AS BIGINT) AS total_tokens,
+  CAST(min(total_tokens) AS BIGINT) AS min_bin_tokens,
+  CAST(max(total_tokens) AS BIGINT) AS max_bin_tokens,
+  CAST(count(*) * $PackTarget AS BIGINT) AS capacity,
+  CAST(sum(total_tokens) AS DOUBLE)
+    / CAST(count(*) * $PackTarget AS DOUBLE) AS utilization
+FROM bins GROUP BY lang ORDER BY lang"""),
+      "per-language packing utilization + bin-fill spread over the x17 bins"),
 
     // ── Negative sampling for contrastive/embedding training: k = 3
     // deterministic pseudo-random negatives per document, derived from
