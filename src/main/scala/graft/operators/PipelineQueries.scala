@@ -2174,9 +2174,13 @@ FROM a ORDER BY lang"""),
     "x65_bm25_rank" -> QueryDef(
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // three plan branches (dl, probe counts, tf) read the exploded
+        // corpus — cache-once beats 3× re-explode (MEMORY_AND_DISK
+        // spills; Bench/Verify clear caches between queries)
         val toks = Tables.documentsSpread(s, d)
           .select(col("lang"), col("doc_id"),
             explode(split(col("text"), " ")).as("token"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val dl = toks.groupBy("lang", "doc_id")
           .agg(count(lit(1)).as("dl"))
         val lstats = dl.groupBy("lang")
