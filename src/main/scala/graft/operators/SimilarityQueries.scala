@@ -55,6 +55,31 @@ object SimilarityQueries {
   private def duckDot(a: String, b: String): String =
     s"CAST(list_sum(list_transform(list_zip($a, $b), p -> p[1] * p[2])) AS BIGINT)"
 
+  /** Quantized cosine with the ZERO-VECTOR GUARD, one spelling per
+    * engine: cos(x, y) := 0 when either squared norm is 0. A 100 TB
+    * corpus always contains dead rows from a failed encoder, and the
+    * raw division is a cross-engine DIVERGENCE there — Spark 4 (ANSI
+    * on) throws DIVIDE_BY_ZERO, DuckDB yields NULL. Defining the
+    * cosine as 0 puts zero vectors below every positive similarity
+    * threshold (no near-dup pairs, no kNN edges) and routes bucket
+    * assignment to the argmax tie-break (lowest centroid id) —
+    * deterministic and identical on both engines
+    * (`EdgeEmbeddingsSpec`). Every cosine in this module MUST go
+    * through these two helpers.
+    */
+  private def sparkCos(av: String, an: String,
+      bv: String, bn: String): String =
+    s"""(CASE WHEN $an = 0 OR $bn = 0 THEN CAST(0.0d AS DOUBLE)
+        ELSE CAST(${sparkDot(av, bv)} AS DOUBLE)
+          / (sqrt(CAST($an AS DOUBLE)) * sqrt(CAST($bn AS DOUBLE)))
+        END)""".replace('\n', ' ')
+  private def duckCos(av: String, an: String,
+      bv: String, bn: String): String =
+    s"""(CASE WHEN $an = 0 OR $bn = 0 THEN CAST(0.0 AS DOUBLE)
+        ELSE CAST(${duckDot(av, bv)} AS DOUBLE)
+          / (sqrt(CAST($an AS DOUBLE)) * sqrt(CAST($bn AS DOUBLE)))
+        END)""".replace('\n', ' ')
+
   private def quantized(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.install(s)
     Tables.embeddingsSpread(s, d)
@@ -162,8 +187,7 @@ object SimilarityQueries {
       .withColumn("best", expr(s"""
         aggregate(
           transform(cents, c -> named_struct('id', c.c_id, 'cos',
-            CAST(${sparkDot("c.c_qe", vec)} AS DOUBLE)
-              / (sqrt(CAST(c.c_qn AS DOUBLE)) * sqrt(CAST($nrm AS DOUBLE))))),
+            ${sparkCos("c.c_qe", "c.c_qn", vec, nrm)})),
           named_struct('id', CAST(-1 AS BIGINT),
             'cos', CAST('-Infinity' AS DOUBLE)),
           (acc, x) -> CASE WHEN x.cos > acc.cos
@@ -218,8 +242,7 @@ object SimilarityQueries {
     */
   private def duckKmeansCtes: String = {
     def cosDesc(c: String, v: String, cn: String, vn: String) =
-      s"""CAST(${duckDot(c, v)} AS DOUBLE)
-              / (sqrt(CAST($cn AS DOUBLE)) * sqrt(CAST($vn AS DOUBLE))) DESC"""
+      s"${duckCos(c, cn, v, vn)} DESC"
     // same √n centroid budget as [[initCentroids]], as a scalar subquery
     val init =
       s"""c0 AS (SELECT vec_id AS c_id, qe AS c_qe, qn AS c_qn FROM e
@@ -256,8 +279,7 @@ c$i AS (
     */
   private def duckAssignedCtes: String = s"""scored AS (
   SELECT e.vec_id, e.qe, e.qn, c.c_id,
-    CAST(${duckDot("c.c_qe", "e.qe")} AS DOUBLE)
-      / (sqrt(CAST(c.c_qn AS DOUBLE)) * sqrt(CAST(e.qn AS DOUBLE))) AS ccos
+    ${duckCos("c.c_qe", "c.c_qn", "e.qe", "e.qn")} AS ccos
   FROM e CROSS JOIN c
 ),
 assigned AS (
@@ -304,9 +326,7 @@ assigned AS (
     val comp = assigned.as("a").join(assigned.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .filter((expr(s"CAST(${sparkDot("a.qe", "b.qe")} AS DOUBLE)") /
-        (sqrt(col("a.qn").cast("double")) *
-          sqrt(col("b.qn").cast("double")))) >= NearDupTau)
+      .filter(expr(sparkCos("a.qe", "a.qn", "b.qe", "b.qn")) >= NearDupTau)
       .groupBy(col("a.bucket"))
       .agg(collect_list(struct(col("a.vec_id"), col("b.vec_id")))
         .as("es"))
@@ -343,9 +363,7 @@ cand AS MATERIALIZED (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM assigned a JOIN assigned b
     ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-  WHERE CAST(${duckDot("a.qe", "b.qe")} AS DOUBLE)
-      / (sqrt(CAST(a.qn AS DOUBLE)) * sqrt(CAST(b.qn AS DOUBLE)))
-    >= $NearDupTau
+  WHERE ${duckCos("a.qe", "a.qn", "b.qe", "b.qn")} >= $NearDupTau
 ),
 sym AS MATERIALIZED (
   SELECT vec_a AS src, vec_b AS dst FROM cand
@@ -372,10 +390,7 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
     assigned.as("a").join(assigned.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos",
-        expr(s"CAST(${sparkDot("a.qe", "b.qe")} AS DOUBLE)") /
-          (sqrt(col("a.qn").cast("double")) *
-            sqrt(col("b.qn").cast("double"))))
+      .withColumn("cos", expr(sparkCos("a.qe", "a.qn", "b.qe", "b.qn")))
       .filter(col("cos") >= NearDupTau)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("cos"))
@@ -413,9 +428,7 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
       .withColumn("topb", expr(s"""
         slice(array_sort(
           transform(cents, c -> named_struct('id', c.c_id, 'cos',
-            CAST(${sparkDot("c.c_qe", "q_qe")} AS DOUBLE)
-              / (sqrt(CAST(c.c_qn AS DOUBLE))
-                 * sqrt(CAST(q_qn AS DOUBLE))))),
+            ${sparkCos("c.c_qe", "c.c_qn", "q_qe", "q_qn")})),
           (l, r) -> CASE WHEN l.cos > r.cos THEN -1
                          WHEN l.cos < r.cos THEN 1
                          WHEN l.id < r.id THEN -1
@@ -426,10 +439,7 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
     val wk = Window.partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
     probeBuckets.join(assigned, "bucket")
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos",
-        expr(s"CAST(${sparkDot("q_qe", "qe")} AS DOUBLE)") /
-          (sqrt(col("q_qn").cast("double")) *
-            sqrt(col("qn").cast("double"))))
+      .withColumn("cos", expr(sparkCos("q_qe", "q_qn", "qe", "qn")))
       .withColumn("rank", row_number().over(wk).cast("bigint"))
       .filter(col("rank") <= K)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
@@ -690,8 +700,7 @@ assigned AS (
   SELECT vec_id, qe, qn, c_id AS bucket
   FROM (SELECT e.vec_id, e.qe, e.qn, c.c_id,
           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-            CAST(${duckDot("c.c_qe", "e.qe")} AS DOUBLE)
-              / (sqrt(CAST(c.c_qn AS DOUBLE)) * sqrt(CAST(e.qn AS DOUBLE)))
+            ${duckCos("c.c_qe", "c.c_qn", "e.qe", "e.qn")}
             DESC, c.c_id) AS rn
         FROM e CROSS JOIN c)
   WHERE rn = 1
@@ -700,16 +709,14 @@ pb AS (
   SELECT q_id, q_qe, q_qn, c_id AS bucket
   FROM (SELECT p.vec_id AS q_id, p.qe AS q_qe, p.qn AS q_qn, c.c_id,
           row_number() OVER (PARTITION BY p.vec_id ORDER BY
-            CAST(${duckDot("c.c_qe", "p.qe")} AS DOUBLE)
-              / (sqrt(CAST(c.c_qn AS DOUBLE)) * sqrt(CAST(p.qn AS DOUBLE)))
+            ${duckCos("c.c_qe", "c.c_qn", "p.qe", "p.qn")}
             DESC, c.c_id) AS rn
         FROM e p CROSS JOIN c WHERE p.vec_id < $NQueries)
   WHERE rn <= $NProbe
 ),
 scored AS (
   SELECT pb.q_id, a.vec_id AS neighbor_id, a.bucket,
-    CAST(${duckDot("pb.q_qe", "a.qe")} AS DOUBLE)
-      / (sqrt(CAST(pb.q_qn AS DOUBLE)) * sqrt(CAST(a.qn AS DOUBLE))) AS cos
+    ${duckCos("pb.q_qe", "pb.q_qn", "a.qe", "a.qn")} AS cos
   FROM pb JOIN assigned a USING (bucket)
   WHERE a.vec_id != pb.q_id
 )
@@ -800,10 +807,7 @@ ORDER BY p.cluster_id"""
     val knn = assigned.as("a").join(assigned.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
-      .withColumn("cos",
-        expr(s"CAST(${sparkDot("a.qe", "b.qe")} AS DOUBLE)") /
-          (sqrt(col("a.qn").cast("double")) *
-            sqrt(col("b.qn").cast("double"))))
+      .withColumn("cos", expr(sparkCos("a.qe", "a.qn", "b.qe", "b.qn")))
       .withColumn("rn", row_number().over(wk))
       .filter(col("rn") <= K)
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
@@ -839,10 +843,7 @@ ORDER BY p.cluster_id"""
           .orderBy(desc("cos"), col("vec_id"))
         e.crossJoin(broadcast(q))
           .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("cos",
-            expr(s"CAST(${sparkDot("q_qe", "qe")} AS DOUBLE)") /
-              (sqrt(col("q_qn").cast("double")) *
-                sqrt(col("qn").cast("double"))))
+          .withColumn("cos", expr(sparkCos("q_qe", "q_qn", "qe", "qn")))
           .withColumn("rank", row_number().over(w).cast("bigint"))
           .filter(col("rank") <= K)
           .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
@@ -855,8 +856,7 @@ q AS (SELECT vec_id AS q_id, qe AS q_qe, qn AS q_qn FROM e
       WHERE vec_id < $NQueries),
 p AS (
   SELECT q.q_id, e.vec_id AS neighbor_id,
-    CAST(${duckDot("q.q_qe", "e.qe")} AS DOUBLE)
-      / (sqrt(CAST(q.q_qn AS DOUBLE)) * sqrt(CAST(e.qn AS DOUBLE))) AS cos
+    ${duckCos("q.q_qe", "q.q_qn", "e.qe", "e.qn")} AS cos
   FROM q JOIN e ON e.vec_id != q.q_id
 )
 SELECT q_id, CAST(rn AS BIGINT) AS rank, neighbor_id, cos
@@ -881,8 +881,7 @@ WITH $duckQuantizedCte,
 $duckKmeansCtes,
 scored AS (
   SELECT e.vec_id, c.c_id,
-    CAST(${duckDot("c.c_qe", "e.qe")} AS DOUBLE)
-      / (sqrt(CAST(c.c_qn AS DOUBLE)) * sqrt(CAST(e.qn AS DOUBLE))) AS cos
+    ${duckCos("c.c_qe", "c.c_qn", "e.qe", "e.qn")} AS cos
   FROM e CROSS JOIN c
 ),
 assigned AS (
@@ -905,12 +904,10 @@ WITH $duckQuantizedCte,
 $duckKmeansCtes,
 $duckAssignedCtes
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-  CAST(${duckDot("a.qe", "b.qe")} AS DOUBLE)
-    / (sqrt(CAST(a.qn AS DOUBLE)) * sqrt(CAST(b.qn AS DOUBLE))) AS cos
+  ${duckCos("a.qe", "a.qn", "b.qe", "b.qn")} AS cos
 FROM assigned a JOIN assigned b
   ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE CAST(${duckDot("a.qe", "b.qe")} AS DOUBLE)
-    / (sqrt(CAST(a.qn AS DOUBLE)) * sqrt(CAST(b.qn AS DOUBLE)))
+WHERE ${duckCos("a.qe", "a.qn", "b.qe", "b.qn")}
   >= $NearDupTau
 ORDER BY vec_a, vec_b"""),
       "bucket-local near-dup scan over IVF assignment"),
@@ -1164,8 +1161,7 @@ knn AS (
   SELECT src, dst FROM (
     SELECT a.vec_id AS src, b.vec_id AS dst,
       row_number() OVER (PARTITION BY a.vec_id ORDER BY
-        CAST(${duckDot("a.qe", "b.qe")} AS DOUBLE)
-          / (sqrt(CAST(a.qn AS DOUBLE)) * sqrt(CAST(b.qn AS DOUBLE)))
+        ${duckCos("a.qe", "a.qn", "b.qe", "b.qn")}
         DESC, b.vec_id) AS rn
     FROM assigned a JOIN assigned b
       ON a.bucket = b.bucket AND a.vec_id != b.vec_id)
