@@ -1063,15 +1063,23 @@ ORDER BY type_a, type_b"""),
     // ── JSON property extraction (extension of the schema-sniffing JSON
     // reads, `utils/gsheets_utils.py:183-184`).
     "e03_json_props" -> QueryDef(
+      // try_cast, not cast: a firehose's props column always contains
+      // garbage JSON and non-numeric values somewhere — the lenient
+      // NULL-on-malformed contract (the F3 parse philosophy) instead of
+      // an ANSI CAST_INVALID_INPUT crash killing the whole scan. Both
+      // engines' TRY_CAST yield NULL identically (EdgeEventsSpec drives
+      // the degenerate props).
       (s, d) => Tables.events(s, d)
         .select(col("event_id"),
-          get_json_object(col("props"), "$.k").cast("bigint").as("prop_k"),
-          (get_json_object(col("props"), "$.k").cast("bigint") % 10)
+          expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
+            .as("prop_k"),
+          expr("try_cast(get_json_object(props, '$.k') AS BIGINT) % 10")
             .as("k_bucket"))
         .orderBy("event_id"),
       Some("""SELECT event_id,
-              CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
-              CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+              TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                AS prop_k,
+              TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
                 AS k_bucket
               FROM events ORDER BY event_id""")))
 }
