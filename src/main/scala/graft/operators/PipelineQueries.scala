@@ -1760,11 +1760,15 @@ FROM terms GROUP BY doc_id ORDER BY doc_id"""),
     // per (token, source), integer sums (the x36 discipline).
     "x73_source_attribution" -> QueryDef(
       (s, d) => {
+        // four plan branches (dt, cnt, tot, v) read the exploded corpus
+        // and two more read dt — cache each once (the x65 discipline)
         val toks = Tables.documents(s, d)
           .select(col("doc_id"), col("source"),
             explode(split(col("text"), " ")).as("token"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val dt = toks.groupBy(col("doc_id"), col("source").as("actual"),
           col("token")).agg(count(lit(1)).as("k"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cnt = toks.groupBy(col("source"), col("token"))
           .agg(count(lit(1)).as("c"))
         val tot = toks.groupBy(col("source")).agg(count(lit(1)).as("n"))
