@@ -40,6 +40,19 @@ object GraphQueries {
   /** Fixed-point scale for ranks: 1e12 per unit of probability mass. */
   private val PrScale = 1000000000000L
 
+  /** Node count above which the iterative rounds stop broadcasting the
+    * per-node state table (rank / label) and instead pre-partition the
+    * edge table on `src` once, so each round exchanges ONLY the
+    * node-sized state. A (bigint, bigint) state row costs ~50 bytes in a
+    * broadcast hash relation, so 4M nodes ≈ 200 MB per round-broadcast
+    * plus a driver collect of every node's state — past this the
+    * broadcast is the bottleneck AND an OOM risk, while the one-time
+    * edge repartition amortizes over all rounds. Both paths compute
+    * identical per-round states (GraphFlipSpec pins this); the flip is
+    * automatic because `n` is already measured before round 1.
+    */
+  private[graft] val BroadcastNodeLimit = 4000000L
+
   /** Co-purchase PageRank over parts: edge (a, b) with weight = number
     * of orders whose line items contain both parts; 5 damped rounds
     * (d = 0.85 spelled as integer 85/15 over 100); top 100 parts.
@@ -65,6 +78,22 @@ object GraphQueries {
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .groupBy("ok").agg(collect_set(col("pk")).as("pks"))
 
+  /** Opt-in hot-order skew lever (the graph twin of x08's `dfCap` /
+    * x06's `bandCap` / x11's `bucketCap`): an order whose distinct-item
+    * set exceeds `orderCap` is dropped BEFORE the (items-per-order)²
+    * pair explosion, bounding the per-order fan-out to orderCap². On
+    * this data order size is ~7 so the default (None) is exact; a
+    * pathological million-item "order" (a merged cart, a bot session)
+    * would otherwise emit 10¹² pairs from one group. Dropping the whole
+    * order (not sampling within it) keeps the capped semantics
+    * hand-derivable: the capped graph IS the exact graph of the
+    * filtered order set, so wout/edges stay mutually consistent.
+    * Pinned by GraphOrderCapSpec on a synthetic hot order.
+    */
+  private[graft] def cappedSets(sets: DataFrame,
+      orderCap: Option[Int]): DataFrame =
+    orderCap.fold(sets)(k => sets.filter(size(col("pks")) <= k))
+
   private def pairsFrom(sets: DataFrame): DataFrame =
     sets
       .select(explode(col("pks")).as("src"), col("pks"))
@@ -72,8 +101,9 @@ object GraphQueries {
       .filter(col("src") =!= col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
 
-  private def copurchaseEdges(s: SparkSession, d: String): DataFrame =
-    pairsFrom(orderSets(s, d))
+  private def copurchaseEdges(s: SparkSession, d: String,
+      orderCap: Option[Int] = None): DataFrame =
+    pairsFrom(cappedSets(orderSets(s, d), orderCap))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** The DuckDB spelling of [[copurchaseEdges]] (CTEs `li`, `e`). */
@@ -86,7 +116,11 @@ e AS (
   GROUP BY 1, 2
 )"""
 
-  def partPagerank(s: SparkSession, d: String): DataFrame = {
+  def partPagerank(s: SparkSession, d: String): DataFrame =
+    partPagerank(s, d, BroadcastNodeLimit, None)
+
+  private[graft] def partPagerank(s: SparkSession, d: String,
+      flipAt: Long, orderCap: Option[Int]): DataFrame = {
     // wout comes from the per-order sets, NOT from a second pass over the
     // edge list: Σ_dst w(src,dst) counts (order, dst) co-occurrences, so
     // wout(src) = Σ_{orders ∋ src} (|pks| − 1) — one cheap aggregation on
@@ -95,16 +129,30 @@ e AS (
     // persisted because two branches (pairs, wout) read it; the edge
     // list itself is consumed exactly once into `ew`, so only the joined
     // transition table is edge-sized and persisted — every PageRank
-    // round scans IT directly. wout is |nodes| rows → explicit broadcast
-    // keeps the edge side exchange-free.
-    val sets = orderSets(s, d)
+    // round scans IT directly.
+    val sets = cappedSets(orderSets(s, d), orderCap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wout = sets
       .select(explode(col("pks")).as("src"),
         (size(col("pks")) - 1).cast("bigint").as("k"))
       .groupBy("src").agg(sum(col("k")).as("wout"))
+    // AUTOMATIC broadcast→shuffle flip, decided BEFORE the transition
+    // table is built so the |nodes|-row wout hint flips along with the
+    // per-round rank hint. wout.count() bounds |nodes| from above (a
+    // node with edges always has wout > 0) at the cost of one cheap agg
+    // job over the persisted sets. Below the limit each round broadcasts
+    // the rank table (AQE can't see through the lazily nested round
+    // plans to pick this on its own: measured 6.9 s for 3 shuffle-join
+    // rounds vs ~2 s broadcast at sf0.1). Past the limit a
+    // round-broadcast would collect every node's rank to the driver
+    // every round — so the transition table is built with a plain
+    // src-keyed shuffle join, whose OUTPUT is already hash-partitioned
+    // on src; the persisted cache keeps that partitioning, and each
+    // round exchanges only the node-sized rank table against it. Both
+    // paths compute identical integer states (GraphFlipSpec).
+    val useBroadcast = wout.count() < flipAt
     val ew = pairsFrom(sets)
-      .join(broadcast(wout), Seq("src"))
+      .join(if (useBroadcast) broadcast(wout) else wout, Seq("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // node table materialized once (localCheckpoint truncates the edge
     // lineage under it) and |nodes| read off the materialized blocks —
@@ -117,20 +165,14 @@ e AS (
     val base = s"(CAST($PrScale AS BIGINT) div ${n}L)"
     var rank = nodes.select(col("node"), expr(base).as("rank"))
     for (_ <- 1 to PrRounds) {
-      // the rank table is one row per node — explicitly broadcast so each
-      // round is a map-side join over the cached edge partitions (AQE
-      // can't see through the lazily nested round plans to pick this on
-      // its own: measured 6.9 s for 3 shuffle-join rounds vs ~2 s
-      // broadcast at sf0.1). At node counts past broadcast size the
-      // documented flip is a one-time repartition of ew on src — then
-      // only the rank table exchanges per round. Each round is
-      // MATERIALIZED (eager localCheckpoint, the Components discipline):
-      // the broadcast build then collects 20k finished rows instead of
-      // re-planning the whole nested round chain, and lineage stays
-      // constant-depth. On a cluster, swap for reliable checkpoints as
-      // in Components.
+      // Each round is MATERIALIZED (eager localCheckpoint, the
+      // Components discipline): the small-side build then collects 20k
+      // finished rows instead of re-planning the whole nested round
+      // chain, and lineage stays constant-depth. On a cluster, swap for
+      // reliable checkpoints as in Components.
+      val rsrc = rank.withColumnRenamed("node", "src")
       rank = ew
-        .join(broadcast(rank.withColumnRenamed("node", "src")), Seq("src"))
+        .join(if (useBroadcast) broadcast(rsrc) else rsrc, Seq("src"))
         .select(col("dst").as("node"),
           expr("(rank * w) div wout").as("c"))
         .groupBy("node").agg(sum(col("c")).as("contrib"))
@@ -198,11 +240,22 @@ LIMIT 100"""
     * window — label state is one row per node, so rounds scale with the
     * edge list, never node² (the x14 Components argument).
     */
-  def labelPropagation(s: SparkSession, d: String): DataFrame = {
+  def labelPropagation(s: SparkSession, d: String): DataFrame =
+    labelPropagation(s, d, BroadcastNodeLimit, None)
+
+  private[graft] def labelPropagation(s: SparkSession, d: String,
+      flipAt: Long, orderCap: Option[Int]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val edges = copurchaseEdges(s, d)
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
+    val edges = copurchaseEdges(s, d, orderCap)
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    // same automatic flip as partPagerank: below the limit each round
+    // broadcasts the |nodes|-row label table; past it the label join
+    // runs as a src-keyed shuffle join (the persisted edge cache is the
+    // big stable side, the label table the small per-round one). The
+    // count doubles as eager materialization of the node checkpoint.
+    val useBroadcast = nodes.count() < flipAt
+    var labels = nodes.select(col("node"), col("node").as("label"))
     for (_ <- 1 to LpRounds) {
       // argmax spelled as max(struct(mass, -label)) — lexicographic max
       // = (mass DESC, label ASC) exactly, but partial-aggregable
@@ -213,8 +266,9 @@ LIMIT 100"""
       // the re-planning they save (A/B measured 3.1 s plain vs 4.3-5.2 s
       // checkpointed at sf0.1); past ~3 rounds flip to the
       // partPagerank discipline.
+      val lsrc = labels.withColumnRenamed("node", "src")
       labels = edges
-        .join(broadcast(labels.withColumnRenamed("node", "src")), Seq("src"))
+        .join(if (useBroadcast) broadcast(lsrc) else lsrc, Seq("src"))
         .groupBy(col("dst"), col("label"))
         .agg(sum(col("w")).as("mass"))
         .groupBy(col("dst").as("node"))

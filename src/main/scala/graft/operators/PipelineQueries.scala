@@ -2304,7 +2304,13 @@ WHERE rn <= $BmTopDocs ORDER BY lang, term, rank"""),
         val ns = st.groupBy("source").agg(sum("c_st").as("n_src"),
           count(lit(1)).as("n_terms"))
         val n = ct.agg(sum("c_t").as("n_all"))
-        st.join(broadcast(ct), "token")
+        // ct is |vocab| rows — at realistic corpus scale (10⁷-10⁸ tokens)
+        // a forced broadcast OOMs the driver, so the join shape is left to
+        // AQE: when vocab is genuinely small it broadcasts at runtime;
+        // otherwise st⋈ct is a token-keyed shuffle join, the natural shape
+        // since st is already (source, token)-hashed from its groupBy.
+        // ns (one row per source) and n (one row) stay hinted.
+        st.join(ct, "token")
           .join(broadcast(ns), "source")
           .crossJoin(broadcast(n))
           .withColumn("lr_micro", expr(
