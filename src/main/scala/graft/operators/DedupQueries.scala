@@ -51,6 +51,16 @@ object DedupQueries {
 
   private val K = 6 // minhash signature length; 6 bands of 1 row for LSH
 
+  /** Cap constants for the declared capped-twin queries (x06c / x08c):
+    * the skew levers a 100 TB run actually engages, pinned by their own
+    * oracle rows instead of only unit specs. Chosen to BITE on the
+    * driver data at every SF (probed: band buckets reach 6-19 members,
+    * shingle dfs reach 4-10), so the capped oracle checks a genuinely
+    * different result than the exact one.
+    */
+  private val TwinBandCap = 4
+  private val TwinDfCap = 3
+
   /** x52's source-sketch signature length: more components than the LSH
     * K because the sketch is an ESTIMATOR (granularity 1/K), not a
     * bucketing key.
@@ -364,6 +374,44 @@ sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t)"""
   def minhashCandidates(s: org.apache.spark.sql.SparkSession, d: String,
       bandCap: Option[Int] = None): org.apache.spark.sql.DataFrame =
     lshCandidates(lshSigs(s, d), bandCap)
+
+  /** The x43 split-leakage tail over ANY candidate-pair frame — shared
+    * by the self-contained `x43_split_leakage` (pairs derived in-query)
+    * and `x43s_leakage_serve` (pairs read from the [[AuditServe]]
+    * artifact), so the served audit cannot drift from the declared one.
+    */
+  private[graft] def leakageOf(s: org.apache.spark.sql.SparkSession,
+      d: String, cand: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val splits = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr(TextQueries.sparkSplitCase).as("split"))
+    cand
+      .join(splits.select(col("doc_id").as("doc_a"),
+        col("split").as("split_a")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"),
+        col("split").as("split_b")), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"),
+        col("split_a"), col("split_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle for both x43 rows (self-contained and served — the serve
+    * artifact is definitionally the same pair list, so one SQL text
+    * pins both).
+    */
+  private def leakageOracle: String = s"""
+WITH $duckLshCandCtes,
+sp AS (
+  SELECT doc_id, ${TextQueries.duckSplitCase} AS split FROM documents
+)
+SELECT doc_a, doc_b, a.split AS split_a, b.split AS split_b
+FROM cand
+JOIN sp a ON doc_a = a.doc_id
+JOIN sp b ON doc_b = b.doc_id
+WHERE a.split <> b.split
+ORDER BY doc_a, doc_b"""
 
   /** DuckDB CTE chain `docs → shingled → sigs → bands → cand` in lockstep
     * with [[lshSigs]]/[[lshCandidates]].
@@ -703,6 +751,102 @@ JOIN sigs sb ON doc_b = sb.doc_id
 ORDER BY doc_a, doc_b"""
       }),
 
+    // ── x06 with the bandCap hot-bucket lever ENGAGED — the capped path
+    // is the one a 100 TB run executes (a boilerplate signature bucket
+    // fans out quadratically otherwise), so its semantics get their own
+    // oracle row instead of living only in LshBandCapSpec: a (band,
+    // sigval) bucket with more than TwinBandCap members is dropped from
+    // both sides before the pair join; pairs colliding in any surviving
+    // band are unaffected, est_jaccard still scores over the FULL
+    // signatures. The cap bites on this data (buckets reach 6-19
+    // members), so this row pins a result genuinely different from x06.
+    "x06c_lsh_bandcap" -> QueryDef(
+      (s, d) => {
+        val sigs = lshSigs(s, d)
+        val matches = (0 until K)
+          .map(i => when(col("sa.sig" + i) === col("sb.sig" + i), 1)
+            .otherwise(0))
+          .reduce(_ + _)
+        lshCandidates(sigs, Some(TwinBandCap))
+          .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            (matches.cast("double") / K).as("est_jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val matches = (0 until K)
+          .map(i => s"CASE WHEN sa.sig$i = sb.sig$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""
+WITH $duckBandKeysCtes,
+hot AS (
+  SELECT band, sigval FROM bands
+  GROUP BY 1, 2 HAVING count(*) > $TwinBandCap
+),
+kept AS (
+  SELECT b.doc_id, b.band, b.sigval FROM bands b
+  WHERE NOT EXISTS (SELECT 1 FROM hot h
+                    WHERE h.band = b.band AND h.sigval = b.sigval)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.sigval = b.sigval AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST($matches AS DOUBLE) / $K AS est_jaccard
+FROM cand
+JOIN sigs sa ON doc_a = sa.doc_id
+JOIN sigs sb ON doc_b = sb.doc_id
+ORDER BY doc_a, doc_b"""
+      },
+      "x06 with the bandCap skew lever engaged (capped-path semantics)"),
+
+    // ── x08 with the dfCap hot-shingle lever ENGAGED — same rationale
+    // as x06c: the capped posting list is what a 100 TB run joins, so
+    // its contract (dropped shingles stop voting in |A∩B| while sizes
+    // keep the full |A|/|B| — jaccard underestimated exactly where the
+    // overlap is boilerplate) is pinned by its own oracle row. The
+    // oracle uses the posting-join spelling (the exact x08 oracle's
+    // list_intersect cannot express a df cut); the jaccard stays ONE
+    // IEEE division of exact integers, so it hash-matches.
+    "x08c_jaccard_dfcap" -> QueryDef(
+      (s, d) => ngramJaccard(s, d, Some(TwinDfCap)),
+      Some(s"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars // 200 AS bkt, $duckShingles AS sh
+  FROM (SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS w
+        FROM documents)
+),
+sz AS (SELECT doc_id, len(sh) AS sz FROM t),
+post AS (SELECT doc_id, lang, bkt, unnest(sh) AS shingle FROM t),
+hot AS (
+  SELECT shingle, lang, bkt FROM post
+  GROUP BY 1, 2, 3 HAVING count(*) > $TwinDfCap
+),
+kept AS (
+  SELECT p.doc_id, p.lang, p.bkt, p.shingle FROM post p
+  WHERE NOT EXISTS (SELECT 1 FROM hot h
+                    WHERE h.shingle = p.shingle AND h.lang = p.lang
+                      AND h.bkt = p.bkt)
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(count(*) AS BIGINT) AS inter
+  FROM kept a JOIN kept b
+    ON a.shingle = b.shingle AND a.lang = b.lang AND a.bkt = b.bkt
+      AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+FROM pairs
+JOIN sz sa ON doc_a = sa.doc_id
+JOIN sz sb ON doc_b = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.05
+ORDER BY doc_a, doc_b"""),
+      "x08 with the dfCap skew lever engaged (capped-path semantics)"),
+
     // ── Near-dup CLUSTERS: the LSH candidate pairs assembled into
     // connected components, which is what a dedup pipeline actually keeps
     // (one canonical doc per component). The iterative core lives in
@@ -789,33 +933,22 @@ FROM ranked WHERE rn = 1 ORDER BY cluster_id"""),
     // list, so the audit costs what the dedup already paid plus two
     // broadcast-sized probes. Empty result = clean split.
     "x43_split_leakage" -> QueryDef(
-      (s, d) => {
-        val cand = lshCandidates(lshSigs(s, d))
-        val splits = Tables.documents(s, d)
-          .select(col("doc_id"),
-            expr(TextQueries.sparkSplitCase).as("split"))
-        cand
-          .join(splits.select(col("doc_id").as("doc_a"),
-            col("split").as("split_a")), "doc_a")
-          .join(splits.select(col("doc_id").as("doc_b"),
-            col("split").as("split_b")), "doc_b")
-          .filter(col("split_a") =!= col("split_b"))
-          .select(col("doc_a"), col("doc_b"),
-            col("split_a"), col("split_b"))
-          .orderBy("doc_a", "doc_b")
-      },
-      Some(s"""
-WITH $duckLshCandCtes,
-sp AS (
-  SELECT doc_id, ${TextQueries.duckSplitCase} AS split FROM documents
-)
-SELECT doc_a, doc_b, a.split AS split_a, b.split AS split_b
-FROM cand
-JOIN sp a ON doc_a = a.doc_id
-JOIN sp b ON doc_b = b.doc_id
-WHERE a.split <> b.split
-ORDER BY doc_a, doc_b"""),
+      (s, d) => leakageOf(s, d, lshCandidates(lshSigs(s, d))),
+      Some(leakageOracle),
       "near-dup pairs crossing the train/validation split (leakage audit)"),
+
+    // ── x43 served from the persisted LSH candidate-pair artifact
+    // ([[AuditServe]]): an application derives the pair list once per
+    // corpus version and audits many times, so the serve row pays only
+    // the two split joins — same rows as the self-contained x43 (the
+    // identical oracle pins it; AuditServeSpec pins frame equality).
+    "x43s_leakage_serve" -> QueryDef(
+      (s, d) => {
+        AuditServe.prepare(s, d)
+        leakageOf(s, d, AuditServe.candidatesFrom(s, d))
+      },
+      Some(leakageOracle),
+      "split-leakage audit served from the persisted LSH pair artifact"),
 
     // ── LSH calibration audit: recall of the MinHash band join (x06)
     // against the blocked exact-Jaccard ground truth (x08's pair set at

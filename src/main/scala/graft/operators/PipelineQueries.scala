@@ -179,6 +179,76 @@ est AS (
   private val IncomingSqlList =
     IncomingSources.map(s => s"'$s'").mkString(", ")
 
+  /** The x45 quality-drift reduction over ANY frame carrying
+    * (source, quality_score) — shared by the self-contained
+    * `x45_quality_drift` (corpus re-scored in-query) and
+    * `x45s_drift_serve` (scores read from the [[AuditServe]] artifact),
+    * so the served audit cannot drift from the declared one. See the
+    * x45 comment for the exact-integer-L1 argument.
+    */
+  private[graft] def driftOf(quality: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val scored = quality
+      .select(col("source"), expr(
+        "least(CAST(floor(quality_score / 10) AS BIGINT), " +
+          "CAST(9 AS BIGINT))").as("bkt"))
+    val perSrc = scored.groupBy(col("source"), col("bkt"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val srcTot = perSrc.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_src"))
+    val glob = perSrc.groupBy(col("bkt"))
+      .agg(sum(col("cnt")).as("gcnt"))
+    val nAll = glob.agg(sum(col("gcnt")).as("n_all"))
+    srcTot.crossJoin(broadcast(glob))
+      .join(perSrc, Seq("source", "bkt"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .crossJoin(broadcast(nAll))
+      .withColumn("term", abs(
+        col("cnt").cast("decimal(38,0)") * col("n_all") -
+          col("gcnt").cast("decimal(38,0)") * col("n_src")))
+      .groupBy(col("source"), col("n_src"), col("n_all"))
+      .agg(sum(col("term")).as("num"))
+      .select(col("source"), col("n_src").as("n_docs"),
+        (col("num").cast("double") /
+          (col("n_src").cast("double") * col("n_all").cast("double")))
+          .as("drift"))
+      .orderBy("source")
+  }
+
+  /** Oracle for both x45 rows (self-contained and served — the serve
+    * artifact is definitionally the same per-doc score set, so one SQL
+    * text pins both).
+    */
+  private def driftOracle: String = s"""
+WITH ${TextQueries.duckQualityCtes},
+scored AS (
+  SELECT source, CAST(least(floor(quality_score / 10), 9) AS BIGINT)
+    AS bkt
+  FROM q
+),
+ps AS (SELECT source, bkt, count(*) AS cnt FROM scored GROUP BY 1, 2),
+st AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_src
+       FROM ps GROUP BY 1),
+gl AS (SELECT bkt, CAST(sum(cnt) AS BIGINT) AS gcnt FROM ps GROUP BY 1),
+na AS (SELECT CAST(sum(gcnt) AS BIGINT) AS n_all FROM gl),
+grid AS (
+  SELECT st.source, st.n_src, gl.bkt, gl.gcnt,
+    coalesce(ps.cnt, 0) AS cnt
+  FROM st CROSS JOIN gl
+  LEFT JOIN ps ON ps.source = st.source AND ps.bkt = gl.bkt
+),
+agg AS (
+  SELECT source, n_src, n_all,
+    sum(abs(CAST(cnt AS HUGEINT) * n_all
+          - CAST(gcnt AS HUGEINT) * n_src)) AS num
+  FROM grid CROSS JOIN na GROUP BY 1, 2, 3
+)
+SELECT source, n_src AS n_docs,
+  CAST(num AS DOUBLE)
+    / (CAST(n_src AS DOUBLE) * CAST(n_all AS DOUBLE)) AS drift
+FROM agg ORDER BY source"""
+
   /** x36's fixed-point scale for per-token log-probabilities: logs are
     * rounded to integer MICRO-nats before summing, so the cross-engine
     * aggregation is exact integer arithmetic (a raw double sum of logs
@@ -387,63 +457,22 @@ ORDER BY doc_id, sample_idx"""),
     // same (source, bucket) key space + broadcast-sized grid joins
     // (sources × 10 buckets); the corpus is scanned once.
     "x45_quality_drift" -> QueryDef(
-      (s, d) => {
-        val scored = TextQueries.qualityScored(s, d)
-          .select(col("source"), expr(
-            "least(CAST(floor(quality_score / 10) AS BIGINT), " +
-              "CAST(9 AS BIGINT))").as("bkt"))
-        val perSrc = scored.groupBy(col("source"), col("bkt"))
-          .agg(count(lit(1)).as("cnt"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val srcTot = perSrc.groupBy(col("source"))
-          .agg(sum(col("cnt")).as("n_src"))
-        val glob = perSrc.groupBy(col("bkt"))
-          .agg(sum(col("cnt")).as("gcnt"))
-        val nAll = glob.agg(sum(col("gcnt")).as("n_all"))
-        srcTot.crossJoin(broadcast(glob))
-          .join(perSrc, Seq("source", "bkt"), "left")
-          .na.fill(0L, Seq("cnt"))
-          .crossJoin(broadcast(nAll))
-          .withColumn("term", abs(
-            col("cnt").cast("decimal(38,0)") * col("n_all") -
-              col("gcnt").cast("decimal(38,0)") * col("n_src")))
-          .groupBy(col("source"), col("n_src"), col("n_all"))
-          .agg(sum(col("term")).as("num"))
-          .select(col("source"), col("n_src").as("n_docs"),
-            (col("num").cast("double") /
-              (col("n_src").cast("double") * col("n_all").cast("double")))
-              .as("drift"))
-          .orderBy("source")
-      },
-      Some(s"""
-WITH ${TextQueries.duckQualityCtes},
-scored AS (
-  SELECT source, CAST(least(floor(quality_score / 10), 9) AS BIGINT)
-    AS bkt
-  FROM q
-),
-ps AS (SELECT source, bkt, count(*) AS cnt FROM scored GROUP BY 1, 2),
-st AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_src
-       FROM ps GROUP BY 1),
-gl AS (SELECT bkt, CAST(sum(cnt) AS BIGINT) AS gcnt FROM ps GROUP BY 1),
-na AS (SELECT CAST(sum(gcnt) AS BIGINT) AS n_all FROM gl),
-grid AS (
-  SELECT st.source, st.n_src, gl.bkt, gl.gcnt,
-    coalesce(ps.cnt, 0) AS cnt
-  FROM st CROSS JOIN gl
-  LEFT JOIN ps ON ps.source = st.source AND ps.bkt = gl.bkt
-),
-agg AS (
-  SELECT source, n_src, n_all,
-    sum(abs(CAST(cnt AS HUGEINT) * n_all
-          - CAST(gcnt AS HUGEINT) * n_src)) AS num
-  FROM grid CROSS JOIN na GROUP BY 1, 2, 3
-)
-SELECT source, n_src AS n_docs,
-  CAST(num AS DOUBLE)
-    / (CAST(n_src AS DOUBLE) * CAST(n_all AS DOUBLE)) AS drift
-FROM agg ORDER BY source"""),
+      (s, d) => driftOf(TextQueries.qualityScored(s, d)),
+      Some(driftOracle),
       "per-source quality-decile drift vs corpus (exact integer L1)"),
+
+    // ── x45 served from the persisted per-doc quality artifact
+    // ([[AuditServe]]): scores are derived once per corpus version, so
+    // the serve row pays only the decile histogram + the exact-integer
+    // L1 — same rows as the self-contained x45 (identical oracle;
+    // AuditServeSpec pins frame equality).
+    "x45s_drift_serve" -> QueryDef(
+      (s, d) => {
+        AuditServe.prepare(s, d)
+        driftOf(AuditServe.qualityFrom(s, d))
+      },
+      Some(driftOracle),
+      "quality-drift audit served from the persisted score artifact"),
 
     // ── Quality-budget curve: per source, tokens surviving each quality
     // cut (cumulative from the top decile down) — the planning table for

@@ -106,6 +106,14 @@ object SimilarityQueries {
   private val NCentroids = 64
   private val NProbe = 4     // IVF buckets searched per query
   private val NearDupTau = 0.25
+
+  /** Cap for the declared capped-twin query `x11c_neardup_bucketcap`
+    * (the x06c/x08c analog on the embedding path): small enough to bite
+    * on the driver data at every SF (average IVF bucket holds ~8-31
+    * vectors), so the capped oracle checks a genuinely different result
+    * than the exact x11.
+    */
+  private val TwinBucketCap = 4
   private val KmeansIters = 2
   private val Dims = 64      // embeddings.parquet vector length
 
@@ -755,21 +763,13 @@ GROUP BY 1, 4, 5
 ORDER BY p.cluster_id"""
 
   /** Serve-artifact root for `dir`, keyed on the embeddings file's
-    * identity (path + mtime + size): the driver regenerates testdata
-    * between rounds, and a root keyed on the path alone would serve a
-    * STALE index over the new data — the hash forces a rebuild whenever
-    * the underlying parquet changes. The key does NOT cover the builder
-    * CODE version: after changing buildIndex/buildClusters logic in
-    * dev, delete `$TMPDIR/graft_serve` or the serve rows replay the old
-    * algorithm's artifacts.
+    * identity (path + mtime + size) AND the shared
+    * [[Serve.BuilderVersion]] — so both a driver-side data regeneration
+    * and a builder-algorithm change force a rebuild instead of silently
+    * replaying a stale artifact (see [[Serve]] for the key contract).
     */
-  private[graft] def serveRoot(dir: String): String = {
-    val f = new java.io.File(s"$dir/embeddings.parquet")
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|${f.lastModified}|${f.length}".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    s"${sys.props("java.io.tmpdir")}/graft_serve/$key"
-  }
+  private[graft] def serveRoot(dir: String): String =
+    Serve.root(dir, "embeddings.parquet")
 
   /** Build the serve artifacts (IVF index + semantic-dedup clusters)
     * for `dir` once per data version — idempotent behind a _READY
@@ -911,6 +911,37 @@ WHERE ${duckCos("a.qe", "a.qn", "b.qe", "b.qn")}
   >= $NearDupTau
 ORDER BY vec_a, vec_b"""),
       "bucket-local near-dup scan over IVF assignment"),
+
+    // ── x11 with the bucketCap participation lever ENGAGED — the capped
+    // path is what a 100 TB run executes when an IVF bucket goes hot
+    // (the self-join fans out quadratically in bucket size), so its
+    // semantics get their own oracle row instead of living only in
+    // EmbedBucketCapSpec: only the TwinBucketCap lowest-vec_id vectors
+    // of each bucket participate in pair generation (deterministic rank
+    // by vec_id, stable across runs and engines); capped-out vectors
+    // produce no pairs — the conservative "keep, don't dedup" outcome.
+    // The cap bites on this data (avg bucket ~8-31 vectors), so this
+    // row pins a result genuinely different from x11.
+    "x11c_neardup_bucketcap" -> QueryDef(
+      (s, d) => embedNearDup(s, d, Some(TwinBucketCap)),
+      Some(s"""
+WITH $duckQuantizedCte,
+$duckKmeansCtes,
+$duckAssignedCtes,
+capped AS (
+  SELECT vec_id, qe, qn, bucket
+  FROM (SELECT *, row_number() OVER (PARTITION BY bucket
+          ORDER BY vec_id) AS br FROM assigned)
+  WHERE br <= $TwinBucketCap
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  ${duckCos("a.qe", "a.qn", "b.qe", "b.qn")} AS cos
+FROM capped a JOIN capped b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ${duckCos("a.qe", "a.qn", "b.qe", "b.qn")}
+  >= $NearDupTau
+ORDER BY vec_a, vec_b"""),
+      "x11 with the bucketCap skew lever engaged (capped-path semantics)"),
 
     // ── SEMANTIC dedup clusters: the x11 embedding near-dup pairs
     // assembled into connected components — the "keep one canonical doc

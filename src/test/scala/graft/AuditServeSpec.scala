@@ -1,0 +1,38 @@
+package graft
+
+/** Pins the audit-family serve paths: x43s/x45s answer from the
+  * persisted [[operators.AuditServe]] artifacts and must produce rows
+  * identical to the self-contained x43/x45 derivations (the DuckDB
+  * oracle pins each against SQL; this spec pins them against each
+  * other, so a drifted artifact schema can't pass by accident).
+  */
+class AuditServeSpec extends SparkSpec {
+
+  test("x43s serve rows equal the self-contained x43 rows") {
+    val declared = SparkEntry.queries("x43_split_leakage")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val served = SparkEntry.queries("x43s_leakage_serve")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(served == declared)
+  }
+
+  test("x45s serve rows equal the self-contained x45 rows") {
+    val declared = SparkEntry.queries("x45_quality_drift")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val served = SparkEntry.queries("x45s_drift_serve")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(declared.nonEmpty)
+    assert(served == declared)
+  }
+
+  test("serve roots are keyed per data file and per builder version") {
+    // documents-keyed and embeddings-keyed artifacts must never share a
+    // root (a rebuild of one must not clobber the other), and the root
+    // must move when the builder version moves (the round-5 staleness
+    // bug: data-identity-only keys replayed an old algorithm's output)
+    val docRoot = operators.AuditServe.root(sf)
+    val embRoot = operators.SimilarityQueries.serveRoot(sf)
+    assert(docRoot != embRoot)
+    assert(docRoot.contains("graft_serve") && embRoot.contains("graft_serve"))
+  }
+}
