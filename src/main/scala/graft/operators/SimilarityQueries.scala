@@ -58,8 +58,12 @@ object SimilarityQueries {
   /** Quantized cosine with the ZERO-VECTOR GUARD, one spelling per
     * engine: cos(x, y) := 0 when either squared norm is 0. A 100 TB
     * corpus always contains dead rows from a failed encoder, and the
-    * raw division is a cross-engine DIVERGENCE there — Spark 4 (ANSI
-    * on) throws DIVIDE_BY_ZERO, DuckDB yields NULL. Defining the
+    * raw division is a cross-engine DIVERGENCE there — both operands
+    * are DOUBLE, so the division follows IEEE (ANSI DIVIDE_BY_ZERO
+    * applies only to integral/decimal division): Spark yields NaN
+    * (0/0) which its filters drop and its sorts place LAST, while
+    * DuckDB's comparable path yields NULL with different filter/sort
+    * placement — a silent row-set mismatch, not a throw. Defining the
     * cosine as 0 puts zero vectors below every positive similarity
     * threshold (no near-dup pairs, no kNN edges) and routes bucket
     * assignment to the argmax tie-break (lowest centroid id) —

@@ -664,13 +664,15 @@ agg AS (
   SELECT source,
     CAST(sum(pos_cnt) AS BIGINT) AS n_pos,
     CAST(sum(cnt) - sum(pos_cnt) AS BIGINT) AS n_neg,
-    CAST(sum(pos_cnt * (2 * cum_before + cnt + 1)) AS BIGINT) AS u2
+    sum(CAST(pos_cnt AS HUGEINT) * (2 * cum_before + cnt + 1)) AS u2
   FROM cum GROUP BY 1
 )
 SELECT source, n_pos, n_neg,
-  u2 - n_pos * (n_pos + 1) AS auc_num2,
+  CAST(u2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS BIGINT)
+    AS auc_num2,
   CASE WHEN n_pos > 0 AND n_neg > 0
-    THEN CAST(u2 - n_pos * (n_pos + 1) AS DOUBLE) / (2.0 * n_pos * n_neg)
+    THEN CAST(u2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+      / (2.0 * n_pos * n_neg)
   END AS auc
 FROM agg ORDER BY source"""),
       "per-source Mann-Whitney AUC of the quality score vs is-English, exact integers"),
@@ -741,6 +743,20 @@ ORDER BY lang, source"""),
     * `auc_num2` = 2·U, `auc` = auc_num2 / (2·n_pos·n_neg) — NULL when a
     * slice is single-class. Factored so AucSpec can pin it against the
     * O(n²) pair-counting definition on constructed inputs.
+    *
+    * The rank accumulation runs in DECIMAL(38,0) (Spark) / HUGEINT
+    * (DuckDB): u2_part ≈ 2·n_pos·n per score group would overflow a
+    * BIGINT accumulator past ~2·10⁹ docs per slice — Spark would wrap
+    * (or ANSI-throw) while DuckDB widens, a cross-engine divergence at
+    * exactly the scale the engine targets; 128-bit headroom is exact to
+    * ~10¹⁸ docs per slice. The REPORTED `auc_num2` is cast back to
+    * BIGINT (the registry's output convention — no declared query emits
+    * decimals), which bounds the reportable statistic at
+    * 2·n_pos·n_neg ≤ 9.2·10¹⁸ (~2·10⁹ docs per class per slice); past
+    * that the two engines overflow the same exact 128-bit value
+    * identically at the cast, not differently mid-sum. The final `auc`
+    * stays ONE IEEE division with the shared association order
+    * `(2.0 · n_pos) · n_neg`.
     */
   private[graft] def aucBySlice(df: org.apache.spark.sql.DataFrame,
       slice: String, score: String, pos: String)
@@ -753,15 +769,18 @@ ORDER BY lang, source"""),
     sc.withColumn("cum_before",
         coalesce(sum(col("cnt")).over(w), lit(0L)))
       .withColumn("u2_part",
-        col("pos_cnt") * (lit(2) * col("cum_before") + col("cnt") + 1))
+        col("pos_cnt").cast("decimal(38,0)") *
+          (lit(2) * col("cum_before") + col("cnt") + 1))
       .groupBy(slice)
       .agg(sum(col("pos_cnt")).as("n_pos"),
         (sum(col("cnt")) - sum(col("pos_cnt"))).as("n_neg"),
         sum(col("u2_part")).as("u2"))
       .select(col(slice), col("n_pos"), col("n_neg"),
-        (col("u2") - col("n_pos") * (col("n_pos") + 1)).as("auc_num2"),
+        (col("u2") - col("n_pos").cast("decimal(38,0)") *
+          (col("n_pos") + 1)).cast("bigint").as("auc_num2"),
         when(col("n_pos") > 0 && col("n_neg") > 0,
-          (col("u2") - col("n_pos") * (col("n_pos") + 1)).cast("double")
+          (col("u2") - col("n_pos").cast("decimal(38,0)") *
+            (col("n_pos") + 1)).cast("double")
             / (lit(2d) * col("n_pos") * col("n_neg")))
           .as("auc"))
       .orderBy(slice)
