@@ -132,15 +132,19 @@ e AS (
     // round scans IT directly.
     val sets = cappedSets(orderSets(s, d), orderCap)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted: the flip-decision count below materializes this one
+    // explode+agg pass and the transition build then reads the cache —
+    // the decision costs a count over |nodes| cached rows, not a second
+    // aggregation of the corpus
     val wout = sets
       .select(explode(col("pks")).as("src"),
         (size(col("pks")) - 1).cast("bigint").as("k"))
       .groupBy("src").agg(sum(col("k")).as("wout"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // AUTOMATIC broadcast→shuffle flip, decided BEFORE the transition
     // table is built so the |nodes|-row wout hint flips along with the
     // per-round rank hint. wout.count() bounds |nodes| from above (a
-    // node with edges always has wout > 0) at the cost of one cheap agg
-    // job over the persisted sets. Below the limit each round broadcasts
+    // node with edges always has wout > 0). Below the limit each round broadcasts
     // the rank table (AQE can't see through the lazily nested round
     // plans to pick this on its own: measured 6.9 s for 3 shuffle-join
     // rounds vs ~2 s broadcast at sf0.1). Past the limit a
