@@ -19,8 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object Serve {
 
-  /** Bump on ANY serve-artifact builder algorithm change. */
-  private[operators] val BuilderVersion = 6
+  /** Bump on ANY serve-artifact builder algorithm change — and when the
+    * ARTIFACT SET grows (v7 added clusters + exact-Jaccard pairs): an
+    * older _READY root would otherwise satisfy the marker check while
+    * missing the new files.
+    */
+  private[operators] val BuilderVersion = 7
 
   private[operators] def root(dir: String, dataFile: String): String = {
     val f = new java.io.File(s"$dir/$dataFile")
@@ -68,6 +72,10 @@ object AuditServe {
           col("n_tokens").cast("bigint").as("n_tokens"),
           col("quality_score"))
         .write.mode("overwrite").parquet(s"$r/quality")
+      DedupQueries.docClusters(s, dir)
+        .write.mode("overwrite").parquet(s"$r/clusters")
+      DedupQueries.ngramJaccard(s, dir)
+        .write.mode("overwrite").parquet(s"$r/ngjacc")
       marker.createNewFile()
       s.catalog.clearCache() // build-side persists must not leak
     }
@@ -82,4 +90,15 @@ object AuditServe {
     */
   def qualityFrom(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"${root(dir)}/quality")
+
+  /** The persisted x14 near-dup clusters (doc_id, cluster_id). */
+  def clustersFrom(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${root(dir)}/clusters")
+
+  /** The persisted exact blocked n-gram Jaccard pairs
+    * (doc_a, doc_b, jaccard ≥ 0.05 — the x08 result; consumers filter
+    * tighter thresholds from it).
+    */
+  def jaccardFrom(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${root(dir)}/ngjacc")
 }

@@ -25,6 +25,23 @@ class AuditServeSpec extends SparkSpec {
     assert(served == declared)
   }
 
+  test("x42s serve rows equal the self-contained x42 rows") {
+    val declared = SparkEntry.queries("x42_cluster_canonical")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val served = SparkEntry.queries("x42s_canonical_serve")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(declared.nonEmpty)
+    assert(served == declared)
+  }
+
+  test("x47s serve rows equal the self-contained x47 rows") {
+    val declared = SparkEntry.queries("x47_lsh_recall_audit")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val served = SparkEntry.queries("x47s_recall_serve")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(served == declared)
+  }
+
   test("serve roots are keyed per data file and per builder version") {
     // documents-keyed and embeddings-keyed artifacts must never share a
     // root (a rebuild of one must not clobber the other), and the root
