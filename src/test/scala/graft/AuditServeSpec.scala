@@ -42,6 +42,26 @@ class AuditServeSpec extends SparkSpec {
     assert(served == declared)
   }
 
+  test("serve plans read artifacts, not the derivation chains") {
+    // the point of a serve row is ZERO re-derivation: its analyzed plan
+    // must contain no minhash/shingle expressions (x43s/x47s) and no
+    // quality-score recomputation over text (x45s) — a regression here
+    // silently turns "serving" back into "rebuilding"
+    operators.AuditServe.prepare(spark, sf)
+    val p43 = SparkEntry.queries("x43s_leakage_serve")(spark, sf)
+      .queryExecution.analyzed.toString
+    assert(!p43.contains("minhash_sigs") && !p43.contains("shingles3"),
+      "x43s must not re-derive LSH signatures")
+    val p45 = SparkEntry.queries("x45s_drift_serve")(spark, sf)
+      .queryExecution.analyzed.toString
+    assert(!p45.toLowerCase.contains("stop_ratio"),
+      "x45s must not re-score the corpus")
+    val p47 = SparkEntry.queries("x47s_recall_serve")(spark, sf)
+      .queryExecution.analyzed.toString
+    assert(!p47.contains("minhash_sigs") && !p47.contains("shingles3"),
+      "x47s must not re-derive either pair chain")
+  }
+
   test("serve roots are keyed per data file and per builder version") {
     // documents-keyed and embeddings-keyed artifacts must never share a
     // root (a rebuild of one must not clobber the other), and the root
