@@ -158,12 +158,17 @@ e AS (
     val ew = pairsFrom(sets)
       .join(if (useBroadcast) broadcast(wout) else wout, Seq("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // node table materialized once (localCheckpoint truncates the edge
-    // lineage under it) and |nodes| read off the materialized blocks —
-    // the scalar lands in the plan as a LITERAL, which is exactly what
-    // the oracle's scalar subquery evaluates to; no crossJoin carries an
-    // `n` column through every round anymore.
-    val nodes = ew.select(col("src").as("node")).distinct()
+    // node table derived from the CACHED |nodes|-row wout frame, not a
+    // distinct over the 2.4M-row edge cache: a part has an out-edge iff
+    // some order pairs it with another part iff wout > 0, so
+    // {src : wout(src) > 0} IS the oracle's SELECT DISTINCT src FROM ew
+    // — same set, no edge-table shuffle. Materialized once
+    // (localCheckpoint truncates the lineage under the rounds) and
+    // |nodes| read off the materialized blocks — the scalar lands in
+    // the plan as a LITERAL, which is exactly what the oracle's scalar
+    // subquery evaluates to.
+    val nodes = wout.filter(col("wout") > 0)
+      .select(col("src").as("node"))
       .localCheckpoint(true)
     val n = nodes.count()
     val base = s"(CAST($PrScale AS BIGINT) div ${n}L)"
