@@ -255,8 +255,17 @@ LIMIT 100"""
   private[graft] def labelPropagation(s: SparkSession, d: String,
       flipAt: Long, orderCap: Option[Int]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val edges = copurchaseEdges(s, d, orderCap)
-    val nodes = edges.select(col("src").as("node")).distinct()
+    val sets = cappedSets(orderSets(s, d), orderCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairsFrom(sets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // node set from the pre-pair sets, not a distinct over the edge
+    // cache (the x46 move): a part is a node iff some order pairs it
+    // with another part iff it sits in a ≥2-item set — the same set as
+    // DISTINCT src FROM edges, derived from the 150k-row sets frame
+    // instead of the 2.4M-row pair table
+    val nodes = sets.filter(size(col("pks")) >= 2)
+      .select(explode(col("pks")).as("node")).distinct()
       .localCheckpoint(true)
     // same automatic flip as partPagerank: below the limit each round
     // broadcasts the |nodes|-row label table; past it the label join
