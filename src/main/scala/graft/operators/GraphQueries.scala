@@ -171,6 +171,14 @@ e AS (
       .select(col("src").as("node"))
       .localCheckpoint(true)
     val n = nodes.count()
+    // degenerate graph (no multi-item order anywhere → no edges, n = 0):
+    // the uniform base rank would be `div 0` — ANSI throws — and the
+    // oracle's scalar subquery would divide by zero too. An empty graph
+    // has an empty ranking; return it with the declared schema instead
+    // of crashing (EdgeGraphSpec pins this).
+    if (n == 0L)
+      return nodes.select(col("node").as("p_partkey"),
+        col("node").as("rank_fp")).limit(0)
     val base = s"(CAST($PrScale AS BIGINT) div ${n}L)"
     var rank = nodes.select(col("node"), expr(base).as("rank"))
     for (_ <- 1 to PrRounds) {
