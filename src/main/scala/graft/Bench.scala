@@ -38,6 +38,15 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // parsed FIRST so a malformed value fails before the session build
+    // and the (expensive) warm-up pass, not after them
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES") match {
+      case None => 3
+      case Some(p) =>
+        require(p.matches("[0-9]+") && p.toInt >= 1,
+          s"SPARK_GRAFT_BENCH_PASSES must be a positive integer, got '$p'")
+        p.toInt
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir =
       sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
@@ -73,12 +82,17 @@ object Bench {
     // serve-path rows (x12s/x64s) measure SERVING: build their persisted
     // artifacts for the timed dir up front (idempotent; the build cost
     // is what x10/x41 already measure)
-    if (ordered.exists(_._1.contains("_serve"))) {
+    // pre-build only the families a selected serve row actually reads —
+    // a targeted x43s run must not pay the IVF index build and vice versa
+    val similarityServe = Set("x12s_ann_serve", "x64s_purity_serve")
+    val auditServe = Set("x42s_canonical_serve", "x43s_leakage_serve",
+      "x45s_drift_serve", "x47s_recall_serve")
+    if (ordered.exists(q => similarityServe(q._1)))
       try graft.operators.SimilarityQueries.prepareServe(spark, sfDir)
       catch { case _: Throwable => () }
+    if (ordered.exists(q => auditServe(q._1)))
       try graft.operators.AuditServe.prepare(spark, sfDir)
       catch { case _: Throwable => () }
-    }
     spark.catalog.clearCache()
     // Median-of-N timed passes (default 3, SPARK_GRAFT_BENCH_PASSES
     // overrides): a single pass charges transient host load to whichever
@@ -88,8 +102,6 @@ object Bench {
     // is the sum of medians (a "clean machine" estimate, deliberately
     // NOT the median of pass totals, which would keep per-query and
     // total inconsistent).
-    val passes = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
     val perPass = (1 to passes).map { _ =>
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()

@@ -375,6 +375,44 @@ sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t)"""
       bandCap: Option[Int] = None): org.apache.spark.sql.DataFrame =
     lshCandidates(lshSigs(s, d), bandCap)
 
+  /** The x06 signature-agreement scoring tail over ANY candidate-pair
+    * frame — est_jaccard = matching signature components / K, computed
+    * from the FULL signatures regardless of which bands produced the
+    * candidates. Shared by the exact `x06_dedup_minhash_lsh` and the
+    * capped `x06c_lsh_bandcap` so the scoring spelling cannot drift
+    * between the twins (four copies otherwise: two builders, two
+    * oracles).
+    */
+  private[graft] def estJaccardOf(
+      cand: org.apache.spark.sql.DataFrame,
+      sigs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val matches = (0 until K)
+      .map(i => when(col("sa.sig" + i) === col("sb.sig" + i), 1)
+        .otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast("double") / K).as("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** DuckDB twin of [[estJaccardOf]] — expects `cand` and `sigs` CTEs
+    * in scope; shared by both x06 oracles.
+    */
+  private def estJaccardOracleTail: String = {
+    val matches = (0 until K)
+      .map(i => s"CASE WHEN sa.sig$i = sb.sig$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT doc_a, doc_b, CAST($matches AS DOUBLE) / $K AS est_jaccard
+FROM cand
+JOIN sigs sa ON doc_a = sa.doc_id
+JOIN sigs sb ON doc_b = sb.doc_id
+ORDER BY doc_a, doc_b"""
+  }
+
   /** The x43 split-leakage tail over ANY candidate-pair frame — shared
     * by the self-contained `x43_split_leakage` (pairs derived in-query)
     * and `x43s_leakage_serve` (pairs read from the [[AuditServe]]
@@ -831,29 +869,11 @@ ORDER BY doc_a, doc_b"""
         // signatures in one array traversal — bit-identical to the K-pass
         // HOF spelling the oracle uses.
         val sigs = lshSigs(s, d)
-        val matches = (0 until K)
-          .map(i => when(col("sa.sig" + i) === col("sb.sig" + i), 1)
-            .otherwise(0))
-          .reduce(_ + _)
-        lshCandidates(sigs)
-          .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
-          .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
-          .select(col("doc_a"), col("doc_b"),
-            (matches.cast("double") / K).as("est_jaccard"))
-          .orderBy("doc_a", "doc_b")
+        estJaccardOf(lshCandidates(sigs), sigs)
       },
-      Some {
-        val matches = (0 until K)
-          .map(i => s"CASE WHEN sa.sig$i = sb.sig$i THEN 1 ELSE 0 END")
-          .mkString(" + ")
-        s"""
+      Some(s"""
 WITH $duckLshCandCtes
-SELECT doc_a, doc_b, CAST($matches AS DOUBLE) / $K AS est_jaccard
-FROM cand
-JOIN sigs sa ON doc_a = sa.doc_id
-JOIN sigs sb ON doc_b = sb.doc_id
-ORDER BY doc_a, doc_b"""
-      }),
+$estJaccardOracleTail""")),
 
     // ── x06 with the bandCap hot-bucket lever ENGAGED — the capped path
     // is the one a 100 TB run executes (a boilerplate signature bucket
@@ -867,22 +887,9 @@ ORDER BY doc_a, doc_b"""
     "x06c_lsh_bandcap" -> QueryDef(
       (s, d) => {
         val sigs = lshSigs(s, d)
-        val matches = (0 until K)
-          .map(i => when(col("sa.sig" + i) === col("sb.sig" + i), 1)
-            .otherwise(0))
-          .reduce(_ + _)
-        lshCandidates(sigs, Some(TwinBandCap))
-          .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
-          .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
-          .select(col("doc_a"), col("doc_b"),
-            (matches.cast("double") / K).as("est_jaccard"))
-          .orderBy("doc_a", "doc_b")
+        estJaccardOf(lshCandidates(sigs, Some(TwinBandCap)), sigs)
       },
-      Some {
-        val matches = (0 until K)
-          .map(i => s"CASE WHEN sa.sig$i = sb.sig$i THEN 1 ELSE 0 END")
-          .mkString(" + ")
-        s"""
+      Some(s"""
 WITH $duckBandKeysCtes,
 hot AS (
   SELECT band, sigval FROM bands
@@ -898,12 +905,7 @@ cand AS (
   FROM kept a JOIN kept b
     ON a.band = b.band AND a.sigval = b.sigval AND a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b, CAST($matches AS DOUBLE) / $K AS est_jaccard
-FROM cand
-JOIN sigs sa ON doc_a = sa.doc_id
-JOIN sigs sb ON doc_b = sb.doc_id
-ORDER BY doc_a, doc_b"""
-      },
+$estJaccardOracleTail"""),
       "x06 with the bandCap skew lever engaged (capped-path semantics)"),
 
     // ── x08 with the dfCap hot-shingle lever ENGAGED — same rationale

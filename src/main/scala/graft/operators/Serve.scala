@@ -8,32 +8,46 @@ import org.apache.spark.sql.functions._
   * An artifact root is keyed on the identity of the INPUT parquet file
   * (path + mtime + size — the driver regenerates testdata between
   * rounds, so a path-only key would serve a stale artifact over new
-  * data) AND on [[Serve.BuilderVersion]] — the algorithm version of the
-  * builders. Keying on data identity alone proved insufficient: a code
-  * change to a builder leaves older `$TMPDIR/graft_serve` artifacts
-  * valid-looking under the unchanged data key, silently replaying the
-  * OLD algorithm's output until someone deletes the directory. Folding
-  * the version into the hash makes algorithm changes self-invalidating:
-  * bump the constant whenever any artifact builder (IVF index, semantic
-  * clusters, LSH candidate pairs, quality scores) changes semantics.
+  * data) AND on the owning family's builder version. Keying on data
+  * identity alone proved insufficient: a code change to a builder
+  * leaves older `$TMPDIR/graft_serve` artifacts valid-looking under
+  * the unchanged data key, silently replaying the OLD algorithm's
+  * output until someone deletes the directory. Folding the version
+  * into the hash makes algorithm changes self-invalidating: bump the
+  * family's constant whenever one of its builders changes semantics
+  * OR its artifact set grows (an older _READY root would otherwise
+  * satisfy the marker check while missing new files). Versions are
+  * PER FAMILY so bumping one (e.g. the audit artifacts) never forces
+  * a rebuild of the other (the IVF index).
   */
 object Serve {
 
-  /** Bump on ANY serve-artifact builder algorithm change — and when the
-    * ARTIFACT SET grows (v7 added clusters + exact-Jaccard pairs): an
-    * older _READY root would otherwise satisfy the marker check while
-    * missing the new files.
+  /** Version of the embeddings-keyed builders (IVF index, semantic
+    * clusters — [[SimilarityQueries.prepareServe]]).
     */
-  private[operators] val BuilderVersion = 7
+  private[operators] val IndexBuilderVersion = 6
 
-  private[operators] def root(dir: String, dataFile: String): String = {
+  /** Version of the documents-keyed audit builders ([[AuditServe]]):
+    * v7 = the round-6 artifact set (lshcand, quality, clusters, ngjacc).
+    */
+  private[operators] val AuditBuilderVersion = 7
+
+  private[operators] def root(dir: String, dataFile: String,
+      version: Int): String = {
     val f = new java.io.File(s"$dir/$dataFile")
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$dataFile|${f.lastModified}|${f.length}|v$BuilderVersion"
+      .digest(s"$dir|$dataFile|${f.lastModified}|${f.length}|v$version"
         .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     s"${sys.props("java.io.tmpdir")}/graft_serve/$key"
   }
+
+  /** Spec hook: the root for an explicit version, so the builder-version
+    * sensitivity of the key (the r5 staleness-bug class) is pinnable —
+    * `root(d, f, v) != root(d, f, v + 1)` — without mutating constants.
+    */
+  private[graft] def rootAtVersion(dir: String, dataFile: String,
+      version: Int): String = root(dir, dataFile, version)
 }
 
 /** Serve artifacts for the AUDIT family (x43 split leakage, x45 quality
@@ -52,11 +66,26 @@ object Serve {
 object AuditServe {
 
   private[graft] def root(dir: String): String =
-    Serve.root(dir, "documents.parquet")
+    Serve.root(dir, "documents.parquet", Serve.AuditBuilderVersion)
 
-  /** Build both audit artifacts once per data version — idempotent
-    * behind a _READY marker, synchronized within the JVM (the
-    * [[SimilarityQueries.prepareServe]] discipline). Serve queries call
+  /** The artifact subdirectories [[prepare]] must produce — validated
+    * alongside the marker so a partially deleted root (a tmp reaper
+    * removing one parquet dir while `_READY` survives) self-heals with
+    * a rebuild instead of failing path-not-found forever.
+    */
+  private val ArtifactDirs = Seq("lshcand", "quality", "clusters", "ngjacc")
+
+  private def complete(r: String): Boolean =
+    new java.io.File(s"$r/_READY").exists() &&
+      ArtifactDirs.forall(a => new java.io.File(s"$r/$a").isDirectory)
+
+  /** Build the audit artifacts once per data version — idempotent
+    * behind a _READY marker PLUS a presence check of every artifact
+    * dir, synchronized within the JVM (the
+    * [[SimilarityQueries.prepareServe]] discipline; Verify/Bench are
+    * single-JVM, so cross-process races don't arise in the driver
+    * harness — a multi-writer deployment would write to a temp root
+    * and rename, the S14 claim-marker pattern). Serve queries call
     * this to self-heal; [[graft.Bench]] calls it before the timed pass
     * so the serve rows measure serving, not the chain build (the build
     * cost is what x06/x02 already measure).
@@ -64,7 +93,7 @@ object AuditServe {
   def prepare(s: SparkSession, dir: String): Unit = synchronized {
     val r = root(dir)
     val marker = new java.io.File(s"$r/_READY")
-    if (!marker.exists()) {
+    if (!complete(r)) {
       DedupQueries.minhashCandidates(s, dir)
         .write.mode("overwrite").parquet(s"$r/lshcand")
       TextQueries.qualityScored(s, dir)

@@ -773,7 +773,7 @@ ORDER BY p.cluster_id"""
     * replaying a stale artifact (see [[Serve]] for the key contract).
     */
   private[graft] def serveRoot(dir: String): String =
-    Serve.root(dir, "embeddings.parquet")
+    Serve.root(dir, "embeddings.parquet", Serve.IndexBuilderVersion)
 
   /** Build the serve artifacts (IVF index + semantic-dedup clusters)
     * for `dir` once per data version — idempotent behind a _READY
@@ -785,7 +785,13 @@ ORDER BY p.cluster_id"""
   def prepareServe(s: SparkSession, dir: String): Unit = synchronized {
     val root = serveRoot(dir)
     val marker = new java.io.File(s"$root/_READY")
-    if (!marker.exists()) {
+    // marker + presence of every artifact dir (the AuditServe.complete
+    // discipline): a partially deleted tmp root self-heals with a
+    // rebuild instead of failing path-not-found forever
+    val whole = marker.exists() &&
+      Seq("ivf/centroids", "ivf/assignment", "clusters")
+        .forall(a => new java.io.File(s"$root/$a").isDirectory)
+    if (!whole) {
       buildIndex(s, dir, s"$root/ivf")
       buildClusters(s, dir, s"$root/clusters")
       marker.createNewFile()

@@ -60,16 +60,48 @@ class AuditServeSpec extends SparkSpec {
       .queryExecution.analyzed.toString
     assert(!p47.contains("minhash_sigs") && !p47.contains("shingles3"),
       "x47s must not re-derive either pair chain")
+    val p42 = SparkEntry.queries("x42s_canonical_serve")(spark, sf)
+      .queryExecution.analyzed.toString
+    assert(!p42.contains("minhash_sigs") && !p42.contains("shingles3"),
+      "x42s must not re-derive the cluster chain")
+    assert(!p42.toLowerCase.contains("stop_ratio"),
+      "x42s must not re-score the corpus")
   }
 
   test("serve roots are keyed per data file and per builder version") {
     // documents-keyed and embeddings-keyed artifacts must never share a
     // root (a rebuild of one must not clobber the other), and the root
-    // must move when the builder version moves (the round-5 staleness
-    // bug: data-identity-only keys replayed an old algorithm's output)
+    // must MOVE when the builder version moves (the round-5 staleness
+    // bug: data-identity-only keys replayed an old algorithm's output).
+    // rootAtVersion pins the sensitivity directly: dropping the version
+    // component from the hashed key makes these collide and this fails.
     val docRoot = operators.AuditServe.root(sf)
     val embRoot = operators.SimilarityQueries.serveRoot(sf)
     assert(docRoot != embRoot)
     assert(docRoot.contains("graft_serve") && embRoot.contains("graft_serve"))
+    val v1 = operators.Serve.rootAtVersion(sf, "documents.parquet", 1)
+    val v2 = operators.Serve.rootAtVersion(sf, "documents.parquet", 2)
+    assert(v1 != v2, "bumping the builder version must move the root")
+  }
+
+  test("a partially deleted artifact root self-heals on prepare") {
+    operators.AuditServe.prepare(spark, sf)
+    val root = operators.AuditServe.root(sf)
+    // simulate a tmp reaper removing one artifact while _READY survives
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete()
+    }
+    rmrf(new java.io.File(s"$root/clusters"))
+    assert(!new java.io.File(s"$root/clusters").exists())
+    operators.AuditServe.prepare(spark, sf)
+    assert(new java.io.File(s"$root/clusters").isDirectory,
+      "prepare must rebuild when an artifact dir is missing")
+    // and the rebuilt artifact still serves correct rows
+    val served = SparkEntry.queries("x42s_canonical_serve")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val declared = SparkEntry.queries("x42_cluster_canonical")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(served == declared)
   }
 }

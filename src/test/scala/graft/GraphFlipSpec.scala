@@ -14,13 +14,29 @@ import org.apache.spark.sql.functions._
   */
 class GraphFlipSpec extends SparkSpec {
 
+  /** Run `body` with AQE's auto-broadcast disabled: on the tiny fixture
+    * the unhinted joins of the flipAt = 0 path would otherwise be
+    * converted BACK to broadcast at runtime (the state tables are a few
+    * KB, far under the 10 MB threshold), and the genuine shuffle-join
+    * exchange shape — the thing the flip exists to produce — would
+    * never actually execute.
+    */
+  private def withoutAutoBroadcast[T](body: => T): T = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try body finally spark.conf.set(key, prev)
+  }
+
   test("x46 broadcast and shuffle round paths produce identical ranks") {
     val bc = operators.GraphQueries
       .partPagerank(spark, sf, flipAt = Long.MaxValue, orderCap = None)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-    val sh = operators.GraphQueries
-      .partPagerank(spark, sf, flipAt = 0L, orderCap = None)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val sh = withoutAutoBroadcast {
+      operators.GraphQueries
+        .partPagerank(spark, sf, flipAt = 0L, orderCap = None)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
     assert(bc.nonEmpty)
     assert(bc == sh)
   }
@@ -29,9 +45,11 @@ class GraphFlipSpec extends SparkSpec {
     val bc = operators.GraphQueries
       .labelPropagation(spark, sf, flipAt = Long.MaxValue, orderCap = None)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    val sh = operators.GraphQueries
-      .labelPropagation(spark, sf, flipAt = 0L, orderCap = None)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val sh = withoutAutoBroadcast {
+      operators.GraphQueries
+        .labelPropagation(spark, sf, flipAt = 0L, orderCap = None)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    }
     assert(bc.nonEmpty)
     assert(bc == sh)
   }
