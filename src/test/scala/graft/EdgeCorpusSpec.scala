@@ -37,7 +37,15 @@ class EdgeCorpusSpec extends SparkSpec {
     "x14_dedup_clusters", "x18_repetition_3gram", "x29_containment",
     "x36_unigram_logprob", "x69_dup_spans", "x70_prefix_jaccard",
     "x72_doc_entropy", "x77_quality_auc", "x78_good_turing",
-    "x79_tokenizer_fertility")
+    "x79_tokenizer_fertility",
+    // round-6 rows: the capped twins and the audit serve paths must
+    // survive the same degenerate inputs as their exact/self-contained
+    // twins (the serve rows also exercise AuditServe.prepare against a
+    // constructed corpus dir rather than driver testdata)
+    "x06c_lsh_bandcap", "x08c_jaccard_dfcap", "x42_cluster_canonical",
+    "x42s_canonical_serve", "x43_split_leakage", "x43s_leakage_serve",
+    "x45_quality_drift", "x45s_drift_serve", "x47_lsh_recall_audit",
+    "x47s_recall_serve")
 
   test("document-family queries survive a degenerate corpus") {
     for (name <- docQueries) {

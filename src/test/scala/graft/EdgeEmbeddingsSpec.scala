@@ -29,8 +29,9 @@ class EdgeEmbeddingsSpec extends SparkSpec {
 
   test("similarity family survives zero / duplicate / constant vectors") {
     for (name <- Seq("x10_ann_ivf_assign", "x11_embed_neardup",
-        "x28_embed_quantize", "x41_embed_dedup_clusters",
-        "x59_embed_dim_stats", "x63_knn_hubness")) {
+        "x11c_neardup_bucketcap", "x28_embed_quantize",
+        "x41_embed_dedup_clusters", "x59_embed_dim_stats",
+        "x63_knn_hubness")) {
       val rows =
         try SparkEntry.queries(name)(spark, dir).collect()
         catch { case e: Throwable =>
