@@ -79,6 +79,22 @@ q AS (
 )"""
   }
 
+  /** The x01 tokenizer spellings (whitespace + BPE-ish regex), factored
+    * ONCE per engine: x01, x79, and st15 all count with these exact
+    * expressions — bit-identical integer counts are precisely st15's
+    * "drained state == batch rollup" claim and x79's "audits the
+    * tokenizations x01 reports" claim, so a drifted copy would silently
+    * decouple the twins.
+    */
+  private[graft] val sparkWsTokens =
+    "CAST(size(split(text, ' ')) AS BIGINT)"
+  private[graft] val sparkReTokens =
+    "CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)"
+  private[graft] val duckWsTokens =
+    "CAST(len(string_split(text, ' ')) AS BIGINT)"
+  private[graft] val duckReTokens =
+    "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)"
+
   /** x16's deterministic md5-bucket split, factored per engine so the
     * x43 leakage audit tags documents with EXACTLY the split the holdout
     * query assigns (a drifted copy would audit a different split).
@@ -112,17 +128,15 @@ q AS (
       (s, d) => Tables.documents(s, d).select(
         col("doc_id"),
         length(col("text")).cast("bigint").as("n_chars_actual"),
-        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens_ws"),
-        expr("CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)")
-          .as("n_tokens_re"),
+        expr(sparkWsTokens).as("n_tokens_ws"),
+        expr(sparkReTokens).as("n_tokens_re"),
         length(regexp_replace(col("text"), "[^a-z]", "")).cast("bigint")
           .as("n_alpha"))
         .orderBy("doc_id"),
-      Some("""SELECT doc_id,
+      Some(s"""SELECT doc_id,
               CAST(length(text) AS BIGINT) AS n_chars_actual,
-              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
-              CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
-                AS BIGINT) AS n_tokens_re,
+              $duckWsTokens AS n_tokens_ws,
+              $duckReTokens AS n_tokens_re,
               CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT)
                 AS n_alpha
               FROM documents ORDER BY doc_id""")),
@@ -692,9 +706,8 @@ FROM agg ORDER BY source"""),
       (s, d) => {
         val t = Tables.documents(s, d).select(
           col("lang"), col("source"),
-          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("ws"),
-          expr("CAST(size(regexp_extract_all(text, " +
-            "'[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)").as("re"))
+          expr(sparkWsTokens).as("ws"),
+          expr(sparkReTokens).as("re"))
         val tot = t.agg(sum(col("ws")).as("tws"), sum(col("re")).as("tre"))
         t.groupBy("lang", "source")
           .agg(count(lit(1)).as("n_docs"),
@@ -716,12 +729,11 @@ FROM agg ORDER BY source"""),
               .as("vs_corpus"))
           .orderBy("lang", "source")
       },
-      Some("""
+      Some(s"""
 WITH t AS (
   SELECT lang, source,
-    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
-    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
-      AS BIGINT) AS re
+    $duckWsTokens AS ws,
+    $duckReTokens AS re
   FROM documents
 ),
 tot AS (SELECT CAST(sum(ws) AS BIGINT) AS tws,

@@ -271,19 +271,44 @@ object EventStream {
             // within-batch gap splitting: a backlog replay delivers many
             // sessions' worth of events in ONE batch — merging them all
             // into the open state would weld distinct sessions together.
-            // Sort, split on the gap, emit every session that closed
-            // inside the batch, and keep only the trailing open one.
+            // Sort and chain the batch's events into gap-separated
+            // groups first, THEN merge the groups with the carried open
+            // session as one more interval in the timeline: a
+            // late-but-valid event may sort BEFORE the open session's
+            // start (cross-batch out-of-order), where the old per-event
+            // fold against the session's LAST timestamp would weld it in
+            // regardless of the gap to the session START. Interval
+            // merging by boundary gap is batch-exact because each side
+            // is internally a valid ≤gap chain — attaching within gap of
+            // a bound cannot introduce a larger internal gap, and two
+            // far-apart groups can still legitimately fuse when the
+            // carried session bridges them.
             val times = it.map(t => usOf(t._2)).toArray.sorted
-            var cur = state.getOption.orNull
-            val closed = Seq.newBuilder[Session]
+            val groups = Seq.newBuilder[(Long, Long, Long)]
+            var g: (Long, Long, Long) = null
             times.foreach { t =>
+              g match {
+                case null => g = (t, t, 1L)
+                case (s, l, n) if t - l <= gapUs =>
+                  g = (s, math.max(l, t), n + 1)
+                case _ =>
+                  groups += g
+                  g = (t, t, 1L)
+              }
+            }
+            if (g != null) groups += g
+            val all = (state.getOption.toSeq ++ groups.result())
+              .sortBy(_._1)
+            val closed = Seq.newBuilder[Session]
+            var cur: (Long, Long, Long) = null
+            all.foreach { iv =>
               cur match {
-                case null => cur = (t, t, 1L)
-                case (s0, l0, n0) if t - l0 <= gapUs =>
-                  cur = (s0, math.max(l0, t), n0 + 1)
+                case null => cur = iv
+                case (s0, l0, n0) if iv._1 - l0 <= gapUs =>
+                  cur = (s0, math.max(l0, iv._2), n0 + iv._3)
                 case (s0, l0, n0) =>
                   closed += Session(uid, instantOf(s0), instantOf(l0), n0)
-                  cur = (t, t, 1L)
+                  cur = iv
               }
             }
             state.update(cur)
@@ -358,6 +383,17 @@ object EventStream {
         }
       }
     }
-    spark.table(name)
+    // localize the result and DROP the memory sink's temp view: each
+    // drain otherwise leaves its full result set registered in the
+    // session catalog for the session lifetime — across a 200-query
+    // registry run (warm + timed passes) that is dozens of leaked
+    // result copies on the driver. The rows are already driver-resident
+    // inside the memory sink, so the copy adds nothing transient, and
+    // it becomes collectable as soon as the caller drops the frame.
+    val sink = spark.table(name)
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(sink.collect(): _*), sink.schema)
+    spark.catalog.dropTempView(name)
+    out
   }
 }

@@ -504,10 +504,9 @@ ORDER BY dim"""
       (s, d) => {
         val agg = EventStream.readDocuments(s, d)
           .withColumn("ws",
-            expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+            expr(graft.operators.TextQueries.sparkWsTokens))
           .withColumn("re",
-            expr("CAST(size(regexp_extract_all(text, " +
-              "'[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)"))
+            expr(graft.operators.TextQueries.sparkReTokens))
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("ws")).as("ws_tokens"),
@@ -518,12 +517,11 @@ ORDER BY dim"""
               col("ws_tokens").cast("double"))
           .orderBy("lang")
       },
-      Some("""
+      Some(s"""
 WITH t AS (
   SELECT lang,
-    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
-    CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
-      AS BIGINT) AS re
+    ${graft.operators.TextQueries.duckWsTokens} AS ws,
+    ${graft.operators.TextQueries.duckReTokens} AS re
   FROM documents
 )
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
