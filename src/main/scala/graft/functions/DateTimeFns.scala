@@ -26,6 +26,12 @@ object DateTimeFns {
   /** Weekend payday adjuster (`/root/reference/create_calendar.py:51-58`):
     * Saturday -> Friday (-1 day), Sunday -> Friday (-2 days).
     * `dayofweek`: 1=Sunday ... 7=Saturday.
+    *
+    * DATE inputs only (every caller casts first): on a TIMESTAMP,
+    * Spark's `date_sub` returns DATE (weekend times truncate to
+    * midnight while weekday times survive), whereas the DuckDB twin's
+    * `- INTERVAL` preserves time-of-day — a silent cross-engine
+    * divergence. Cast to DATE before calling.
     */
   def weekendToFriday(c: Column): Column =
     when(dayofweek(c) === 7, date_sub(c, 1))

@@ -16,13 +16,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * enclosing codegen stage instead: no allocation, no virtual calls, and
   * the surrounding filter/projection stays fused.
   *
-  * Semantics: pairs beyond the shorter length are ignored; a NULL element
-  * in the overlapped region makes the result NULL, matching the HOF
-  * spelling (`x*y` of a NULL is NULL, and folding NULL into the sum
-  * poisons it) — relevant to ad-hoc SQL users reached via
-  * `Graft.registerTables`, where `array(1L, NULL)` is easy to write.
-  * Integer math — exact and associative, so results are bit-identical to
-  * the HOF spelling and to the DuckDB oracle.
+  * Semantics match the HOF spelling exactly, because ad-hoc SQL users
+  * (reached via `Graft.registerTables`) rely on the documented
+  * equivalence: MISMATCHED lengths yield NULL (`zip_with` pads the
+  * shorter side with NULLs, whose products poison the fold), a NULL
+  * element yields NULL, and the arithmetic is OVERFLOW-CHECKED
+  * (Math.multiplyExact/addExact — ANSI Spark 4 and DuckDB both raise on
+  * the composable spelling's overflow, so wrapping silently here would
+  * be a divergence; the engine's own quantized vectors sit at ~1e3 per
+  * component × d = 64, ~10 orders below the boundary, and the JIT's
+  * overflow-checked intrinsics cost nothing when the branch never
+  * fires). Integer math — exact and associative, so results are
+  * bit-identical to the HOF spelling and to the DuckDB oracle.
   */
 case class DotLong(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -48,18 +53,21 @@ case class DotLong(left: Expression, right: Expression)
     case _ => true
   }
 
-  override def nullable: Boolean =
-    left.nullable || right.nullable || elemNullable
+  // a length mismatch yields NULL even when elements are non-null, so
+  // the result is always potentially null
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      acc += x.getLong(i) * y.getLong(i)
+      acc = Math.addExact(acc,
+        Math.multiplyExact(x.getLong(i), y.getLong(i)))
       i += 1
     }
     acc
@@ -74,17 +82,19 @@ case class DotLong(left: Expression, right: Expression)
         if (elemNullable)
           s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
         else ""
-      val assign =
-        if (elemNullable) s"if (!${ev.isNull}) { ${ev.value} = $acc; }"
-        else s"${ev.value} = $acc;"
       s"""
-         |final int $n = Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $nullCheck
-         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $acc = Math.addExact($acc,
+         |      Math.multiplyExact($a.getLong($i), $b.getLong($i)));
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |$assign
        """.stripMargin
     })
 

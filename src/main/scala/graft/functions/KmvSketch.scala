@@ -54,23 +54,31 @@ case class KmvSketch(child: Expression, k: Int,
   override def createAggregationBuffer(): java.util.TreeSet[Long] =
     new java.util.TreeSet[Long]()
 
-  private def insert(buf: java.util.TreeSet[Long], h: Long): Unit =
-    if (buf.size < k) { buf.add(h); () }
-    else if (h < buf.last) {
-      if (buf.add(h)) { buf.remove(buf.last); () }
-    }
-
   override def update(buf: java.util.TreeSet[Long],
       input: InternalRow): java.util.TreeSet[Long] = {
     val v = child.eval(input)
-    if (v != null) insert(buf, v.asInstanceOf[Long])
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      // the estimator is only meaningful for hashes uniform on
+      // [0, 2^60) — the md5-conv spelling every caller uses. A signed
+      // hash (xxhash64 is negative half the time) would make buf.last
+      // negative and the "distinct count" negative or Infinity; fail
+      // LOUDLY at the offending row instead of propagating garbage.
+      require(h >= 0L && h < (1L << 60),
+        s"kmv_sketch expects 60-bit non-negative hashes " +
+          s"(the md5-conv spelling, e.g. conv(substr(md5(x),1,15),16,10))" +
+          s"; got $h — xxhash64 and other signed hashes violate the " +
+          s"estimator's [0, 2^60) uniformity")
+      MinK.insert(buf, h, k, (a: Long, b: Long) => a < b)
+    }
     buf
   }
 
   override def merge(buf: java.util.TreeSet[Long],
       other: java.util.TreeSet[Long]): java.util.TreeSet[Long] = {
     val it = other.iterator()
-    while (it.hasNext) insert(buf, it.next())
+    while (it.hasNext)
+      MinK.insert(buf, it.next(), k, (a: Long, b: Long) => a < b)
     buf
   }
 
@@ -98,4 +106,19 @@ case class KmvSketch(child: Expression, k: Int,
     copy(inputAggBufferOffset = off)
   override protected def withNewChildInternal(newChild: Expression): KmvSketch =
     copy(child = newChild)
+}
+
+/** The capped min-k TreeSet insert shared by [[KmvSketch]] and
+  * [[MinKSample]] — ONE definition of the subtle invariant: insertion
+  * only happens when `e < last`, so the add-then-evict-last ordering can
+  * never evict the element just added (and a duplicate add returning
+  * false must not evict at all).
+  */
+private[functions] object MinK {
+  def insert[T](buf: java.util.TreeSet[T], e: T, k: Int,
+      lt: (T, T) => Boolean): Unit =
+    if (buf.size < k) { buf.add(e); () }
+    else if (lt(e, buf.last)) {
+      if (buf.add(e)) { buf.remove(buf.last); () }
+    }
 }

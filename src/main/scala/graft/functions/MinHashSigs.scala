@@ -20,7 +20,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   *
   * Assumes a non-empty shingle array (the shingle expression guarantees
   * ≥1 via its whole-text fallback); an empty array yields Long.MaxValue
-  * sentinels rather than the HOF spelling's NULLs.
+  * sentinels rather than the HOF spelling's NULLs. NULL ELEMENTS are
+  * skipped — the HOF spelling's md5(concat('i|', NULL)) is NULL and
+  * array_min ignores NULLs, so skipping is the semantics ad-hoc SQL
+  * users (reached via `Graft.registerTables`) already get from the
+  * composable form; the engine's own shingle arrays never contain
+  * nulls.
   */
 case class MinHashSigs(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
@@ -48,15 +53,17 @@ case class MinHashSigs(child: Expression, k: Int)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
-      val shingle = arr.getUTF8String(i).getBytes
-      var j = 0
-      while (j < k) {
-        md.reset()
-        md.update(prefixes(j))
-        md.update(shingle)
-        val v = MinHashSigs.first60Bits(md.digest())
-        if (v < mins(j)) mins(j) = v
-        j += 1
+      if (!arr.isNullAt(i)) {
+        val shingle = arr.getUTF8String(i).getBytes
+        var j = 0
+        while (j < k) {
+          md.reset()
+          md.update(prefixes(j))
+          md.update(shingle)
+          val v = MinHashSigs.first60Bits(md.digest())
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
       }
       i += 1
     }

@@ -66,10 +66,7 @@ case class MinKSample(child: Expression, k: Int,
 
   private def insert(buf: java.util.TreeSet[(Long, Long, Long)],
       e: (Long, Long, Long)): Unit =
-    if (buf.size < k) { buf.add(e); () }
-    else if (ord.lt(e, buf.last)) {
-      if (buf.add(e)) { buf.remove(buf.last); () }
-    }
+    MinK.insert(buf, e, k, ord.lt)
 
   override def update(buf: java.util.TreeSet[(Long, Long, Long)],
       input: InternalRow): java.util.TreeSet[(Long, Long, Long)] = {

@@ -31,15 +31,25 @@ object Quality {
 
   /** Evaluate all rules in one aggregation; returns (rule, violations,
     * passed) rows, deterministic order.
+    *
+    * Built entirely from Columns — rule names ride as LITERALS and the
+    * aggregate columns get positional internal aliases, so a column
+    * name containing quotes/backticks can't break a spliced SQL text
+    * and duplicate rule names (the same check applied twice) simply
+    * emit two rows instead of colliding on an alias.
     */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "Quality.check requires at least one rule")
-    val agg = df.agg(rules.head.violations.as(rules.head.name),
-      rules.tail.map(r => r.violations.as(r.name)): _*)
-    val stacked = rules.map(r =>
-      s"'${r.name}', CAST(`${r.name}` AS BIGINT)").mkString(", ")
-    agg.selectExpr(
-      s"stack(${rules.size}, $stacked) AS (rule, violations)")
+    val aliased = rules.zipWithIndex.map { case (r, i) =>
+      r.violations.cast("bigint").as(s"__v$i")
+    }
+    val agg = df.agg(aliased.head, aliased.tail: _*)
+    val pairs = rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.name).as("rule"), col(s"__v$i").as("violations"))
+    }
+    agg.select(explode(array(pairs: _*)).as("rv"))
+      .select(col("rv.rule").as("rule"),
+        col("rv.violations").as("violations"))
       .withColumn("passed", col("violations") === 0L)
       .orderBy("rule")
   }

@@ -9,11 +9,14 @@ class DotLongSpec extends SparkSpec {
     val df = Seq(
       (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
       (Seq.empty[Long], Seq.empty[Long]),
-      (Seq(2L), Seq(3L, 9L)), // length mismatch: extra elements ignored
+      // length mismatch → NULL, matching zip_with's NULL padding (the
+      // HOF spelling this expression claims bit-identity with)
+      (Seq(2L), Seq(3L, 9L)),
       (Seq(-5L, 7L), Seq(3L, -2L)))
       .toDF("a", "b")
-    val got = df.selectExpr("dot_long(a, b) AS d").as[Long].collect().toSeq
-    assert(got == Seq(32L, 0L, 6L, -29L))
+    val got = df.selectExpr("dot_long(a, b) AS d")
+      .as[Option[Long]].collect().toSeq
+    assert(got == Seq(Some(32L), Some(0L), None, Some(-29L)))
   }
 
   test("dot_long is null-safe on null arrays") {
