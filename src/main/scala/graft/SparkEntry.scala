@@ -15,6 +15,7 @@ object SparkEntry {
       operators.TextQueries.defs ++
       operators.DedupQueries.defs ++
       operators.SimilarityQueries.defs ++
+      operators.PqQueries.defs ++
       operators.EventQueries.defs ++
       operators.ReportingQueries.defs ++
       operators.PipelineQueries.defs ++

@@ -84,7 +84,7 @@ object SimilarityQueries {
           / (sqrt(CAST($an AS DOUBLE)) * sqrt(CAST($bn AS DOUBLE)))
         END)""".replace('\n', ' ')
 
-  private def quantized(s: SparkSession, d: String): DataFrame = {
+  private[operators] def quantized(s: SparkSession, d: String): DataFrame = {
     graft.GraftExtensions.install(s)
     Tables.embeddingsSpread(s, d)
       .withColumn("qe", expr(sparkQuant))
@@ -96,17 +96,17 @@ object SimilarityQueries {
     * re-reading and re-quantizing per pass (MEMORY_AND_DISK spills, never
     * OOMs; Verify/Bench clear caches between queries).
     */
-  private def quantizedCached(s: SparkSession, d: String): DataFrame =
+  private[operators] def quantizedCached(s: SparkSession, d: String): DataFrame =
     quantized(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  private val duckQuantizedCte =
+  private[operators] val duckQuantizedCte =
     s"""e AS (
   SELECT vec_id, label, qe, $duckNorm AS qn
   FROM (SELECT vec_id, label, $duckQuant AS qe FROM embeddings)
 )"""
 
-  private val NQueries = 8   // brute-force probe set
-  private val K = 5          // neighbors returned
+  private[operators] val NQueries = 8 // brute-force probe set
+  private[operators] val K = 5        // neighbors returned
   private val NCentroids = 64
   private val NProbe = 4     // IVF buckets searched per query
   private val NearDupTau = 0.25
