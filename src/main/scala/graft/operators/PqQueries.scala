@@ -151,7 +151,7 @@ object PqQueries {
     * quantization error — the number a PQ deployment monitors for
     * codebook drift.
     */
-  private def encodedPacked(e: DataFrame, cb: DataFrame): DataFrame =
+  private[graft] def encodedPacked(e: DataFrame, cb: DataFrame): DataFrame =
     e.crossJoin(broadcast(packedAll(cb)))
       .withColumn("enc", expr(s"""
         transform(
@@ -253,13 +253,34 @@ rer AS (
 
   // ───────────────────────── declared queries ─────────────────────────
 
-  private def pqCodebookStats(s: SparkSession, d: String): DataFrame = {
-    val e = SimilarityQueries.quantizedCached(s, d)
-    val cb = trainedBooks(e)
-    encodedPacked(e, cb)
-      .select(explode(col("enc")).as("z"))
+  /** Batch-trained codebooks for `dir` — also the STATIC side of the
+    * streaming encode twin (`st16`): a deployment trains offline and
+    * broadcasts the constant-size books to the ingest job.
+    */
+  private[graft] def booksFor(s: SparkSession, d: String): DataFrame =
+    trainedBooks(SimilarityQueries.quantizedCached(s, d))
+
+  /** The x81 reduction over any encoded frame — shared verbatim by the
+    * batch query and the streaming drain (count/sum are monoids, so the
+    * streamed state equals this batch rollup at any arrival order).
+    */
+  private[graft] def codebookStatsOf(enc: DataFrame): DataFrame =
+    enc.select(explode(col("enc")).as("z"))
       .groupBy(col("z.sub").as("sub"), col("z.code").as("code"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("z.qerr")).as("sum_err"))
+
+  /** x81's oracle SQL — shared verbatim with `st16_stream_pq_encode`
+    * (the streaming twin's drained state is the same rollup).
+    */
+  private[graft] val codebookStatsSql: String = s"""
+WITH ${SimilarityQueries.duckQuantizedCte},
+$duckPqCtes
+SELECT sub, code, count(*) AS n_vecs, CAST(sum(qerr) AS BIGINT) AS sum_err
+FROM penc GROUP BY sub, code ORDER BY sub, code"""
+
+  private def pqCodebookStats(s: SparkSession, d: String): DataFrame = {
+    val e = SimilarityQueries.quantizedCached(s, d)
+    codebookStatsOf(encodedPacked(e, trainedBooks(e)))
       .orderBy("sub", "code")
   }
 
@@ -375,11 +396,7 @@ rer AS (
     // aggregation.
     "x81_pq_codebooks" -> QueryDef(
       pqCodebookStats,
-      Some(s"""
-WITH ${SimilarityQueries.duckQuantizedCte},
-$duckPqCtes
-SELECT sub, code, count(*) AS n_vecs, CAST(sum(qerr) AS BIGINT) AS sum_err
-FROM penc GROUP BY sub, code ORDER BY sub, code"""),
+      Some(codebookStatsSql),
       "product-quantization codebooks: per-code population + error"),
 
     // ── ADC top-k search over PQ codes: per probe, one M·Ks-entry

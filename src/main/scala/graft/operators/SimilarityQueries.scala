@@ -35,7 +35,7 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
-  private val sparkQuant =
+  private[graft] val sparkQuant =
     "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
   private val duckQuant =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"

@@ -529,7 +529,33 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(re) AS BIGINT) AS re_tokens,
   CAST(sum(re) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) AS fertility
 FROM t GROUP BY lang ORDER BY lang"""),
-      "per-language fertility maintained at ingest == x79's batch rollup"))
+      "per-language fertility maintained at ingest == x79's batch rollup"),
+
+    // ── Streaming PQ encode: arriving vectors compress against the
+    // BATCH-TRAINED codebooks (the realistic deployment: books train
+    // offline on a corpus snapshot, the ingest job broadcasts the
+    // constant-size books and encodes each vector as one map fold —
+    // x81's `encodedPacked` expression is per-row, so it lifts to the
+    // stream unchanged via a stream-static join against the one-row
+    // packed-books frame). The maintained state is the per-(sub, code)
+    // population + quantization error — ≤ M·Ks rows; count/sum are
+    // monoids, so the drained state equals x81's batch rollup
+    // bit-for-bit at any arrival order, and the oracle IS x81's SQL.
+    // This is the codebook-drift monitor: a rising sum_err against a
+    // frozen codebook is the signal to retrain.
+    "st16_stream_pq_encode" -> QueryDef(
+      (s, d) => {
+        import graft.operators.{PqQueries, SimilarityQueries}
+        val books = PqQueries.booksFor(s, d)
+        val stream = EventStream.readEmbeddings(s, d)
+          .withColumn("qe", expr(SimilarityQueries.sparkQuant))
+        val agg = PqQueries.codebookStatsOf(
+          PqQueries.encodedPacked(stream, books))
+        EventStream.runToMemory(s, agg, s"st16_sink_${System.nanoTime}")
+          .orderBy("sub", "code")
+      },
+      Some(graft.operators.PqQueries.codebookStatsSql),
+      "streaming PQ encode state == batch codebook stats (drift monitor)"))
 
   /** st13's sketch size — small enough that every SF's per-source
     * fingerprint count (≥ 24) exercises the estimator branch, not the

@@ -58,6 +58,13 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("st16: streaming encode state equals the batch codebook stats") {
+    def asSet(name: String) = rows(name).map(r =>
+      (r.getAs[Int]("sub"), r.getAs[Long]("code"),
+        r.getAs[Long]("n_vecs"), r.getAs[Long]("sum_err"))).toSet
+    assert(asSet("st16_stream_pq_encode") == asSet("x81_pq_codebooks"))
+  }
+
   test("x84 re-rank agrees with a direct exact scan restricted to its " +
     "shortlist semantics: top-1 of rerank is the true nearest whenever " +
     "the true nearest survived the ADC shortlist") {
