@@ -97,4 +97,51 @@ object Multimodal {
         least(col("fake_height"), lit(224L)).as("thumb_h"))
       .orderBy("doc_id", "frame_idx")
   }
+
+  /** Perceptual-hash near-dup over the binary payloads — the IMAGE-DEDUP
+    * shape of a multimodal corpus pipeline (x13's banded-Hamming
+    * machinery applied to the media column). A real pipeline computes a
+    * 64-bit DCT pHash from the decoded luma plane; the codec is absent
+    * here, so the hash stands in as 60 bits of the payload digest the
+    * [[decodeFeatures]] pass already extracts (clearly-marked fake,
+    * exactly like `fakeDecode`'s dimensions): byte-identical payloads
+    * collide at distance 0, so the candidate/verify machinery — the
+    * real, tested part — exercises end-to-end and swaps to a true pHash
+    * with no plan change.
+    *
+    * The stand-in digests the first 64 code points of the decoded
+    * payload (a "thumbnail" of the leading content — mm01's `first_cp`
+    * code-point convention, so both engines slice identically under
+    * multibyte text): payloads sharing their lead collide at distance 0,
+    * which gives the candidate machinery real pairs on this corpus
+    * (full-payload digests never collide here).
+    *
+    * Shape: 4 bands × 15 bits per hash; a pair within Hamming ≤ 3 MUST
+    * agree on ≥ 1 band (pigeonhole), so only band-equal pairs enter the
+    * join, and the exact `bit_count(xor)` test — carried WITH the band
+    * rows, x13-style, so collisions die before the distinct — prunes the
+    * rest. Never an all-pairs scan; per-band fan-out is bounded by
+    * bucket population exactly like the LSH families (the same
+    * cap levers would apply at scale).
+    */
+  def phashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val h = binaryDocs(spark, dir).toDF()
+      .select(col("doc_id"), expr(
+        """CAST(conv(substr(md5(substring(decode(content, 'UTF-8'), 1, 64)),
+           1, 15), 16, 10) AS BIGINT)""").as("ph"))
+    val bands = h.select(col("doc_id"), col("ph"),
+        explode(expr("""transform(sequence(0, 3), i -> named_struct(
+          'bi', i, 'bv', shiftright(ph, i * 15) & 32767))""")).as("bd"))
+      .select(col("doc_id"), col("ph"),
+        col("bd.bi").as("bi"), col("bd.bv").as("bv"))
+    bands.as("a").join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("CAST(bit_count(a.ph ^ b.ph) AS BIGINT)").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -31,5 +31,26 @@ object MultimodalQueries {
                 least(fake_width, 224) AS thumb_w,
                 least(fake_height, 224) AS thumb_h
               FROM f ORDER BY doc_id, frame_idx"""),
-      "frame sampling + resize fan-out (explode per sampled frame)"))
+      "frame sampling + resize fan-out (explode per sampled frame)"),
+
+    // ── Image-dedup shape over the media column: banded Hamming join on
+    // the (stubbed) perceptual hash — see [[Multimodal.phashNearDup]].
+    "mm03_phash_neardup" -> QueryDef(
+      (s, d) => Multimodal.phashNearDup(s, d),
+      Some("""WITH h AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(substr(text, 1, 64)), 1, 15)) AS BIGINT) AS ph
+  FROM documents
+),
+bands AS (
+  SELECT doc_id, ph, bi, (ph >> (bi * 15)) & 32767 AS bv
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS bi) bb
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
+  AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ph, b.ph)) <= 3
+ORDER BY doc_a, doc_b"""),
+      "perceptual-hash near-dup over binary payloads (banded Hamming)"))
 }

@@ -1,0 +1,62 @@
+package graft
+
+/** Multimodal plumbing (mm01-mm03): typed decode coverage, frame-sample
+  * stride, and the pHash near-dup contract — invariants the oracle hash
+  * can't articulate.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private def rows(name: String) =
+    SparkEntry.queries(name)(spark, sf).collect()
+
+  test("mm01: one feature row per document, md5 matches the payload") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val ft = rows("mm01_binary_features")
+    assert(ft.length == docs.size)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    ft.take(25).foreach { r =>
+      val text = docs(r.getAs[Long]("doc_id"))
+      val hex = md.digest(text.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getAs[String]("content_md5") == hex)
+      assert(r.getAs[Long]("n_bytes") == text.getBytes("UTF-8").length.toLong)
+    }
+  }
+
+  test("mm02: frame indices stride by 4 from 0, bounded by n_frames") {
+    val nf = rows("mm01_binary_features")
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_frames")).toMap
+    rows("mm02_frame_sample").groupBy(_.getAs[Long]("doc_id"))
+      .foreach { case (d, g) =>
+        val idx = g.map(_.getAs[Long]("frame_idx")).sorted.toSeq
+        assert(idx == (0L until nf(d) by 4L).toSeq, s"doc $d stride")
+        assert(g.forall(r => r.getAs[Long]("thumb_w") <= 224L &&
+          r.getAs[Long]("thumb_h") <= 224L))
+      }
+  }
+
+  test("mm03: pairs are ordered and deduped, hamming in [0,3], and a " +
+    "hamming-0 pair shares its 64-codepoint payload lead") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    def lead64(s: String): String = {
+      // first 64 CODE POINTS (the hash's slicing unit), not chars
+      val n = s.codePointCount(0, s.length)
+      s.substring(0, s.offsetByCodePoints(0, math.min(64, n)))
+    }
+    val prs = rows("mm03_phash_neardup")
+    assert(prs.nonEmpty, "corpus has prefix-dup payloads; mm03 empty")
+    val seen = scala.collection.mutable.Set[(Long, Long)]()
+    prs.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val hm = r.getAs[Long]("hamming")
+      assert(a < b, s"pair ($a,$b) not ordered")
+      assert(seen.add((a, b)), s"pair ($a,$b) duplicated")
+      assert(hm >= 0L && hm <= 3L)
+      if (hm == 0L)
+        assert(lead64(docs(a)) == lead64(docs(b)),
+          s"hamming-0 pair ($a,$b) leads differ")
+    }
+  }
+}
