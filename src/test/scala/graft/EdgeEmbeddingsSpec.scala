@@ -21,9 +21,16 @@ class EdgeEmbeddingsSpec extends SparkSpec {
       (3L, vec(_ => 1f), 2),                  // constant vector
       (4L, vec(i => if (i == 0) 1f else 0f), 2),
       (5L, vec(i => (dim - i).toFloat / dim), 0))
+    // testdata layout is one parquet FILE per table (not a directory):
+    // the file-stream sources glob on the leaf name, so st16 only sees
+    // the table if the constructed dir matches that shape
+    val stage = s"$d/_stage"
     rows.toDF("vec_id", "embedding", "label")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$d/embeddings.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$d/embeddings.parquet"))
     d
   }
 
@@ -40,6 +47,30 @@ class EdgeEmbeddingsSpec extends SparkSpec {
       spark.catalog.clearCache()
       assert(rows != null, name)
     }
+  }
+
+  test("PQ family survives a 6-vector corpus (n < Codes seeds, zero / " +
+    "duplicate / constant vectors; no division anywhere to diverge)") {
+    for (name <- Seq("x81_pq_codebooks", "x82_pq_adc_search",
+        "x83_pq_recall_audit", "x84_pq_rerank", "st16_stream_pq_encode")) {
+      val rows =
+        try SparkEntry.queries(name)(spark, dir).collect()
+        catch { case e: Throwable =>
+          fail(s"$name crashed on degenerate embeddings: ${e.getMessage}")
+        }
+      spark.catalog.clearCache()
+      assert(rows.nonEmpty, s"$name returned no rows")
+    }
+  }
+
+  test("exact-duplicate vectors PQ-encode identically: each is the " +
+    "other's rank-1 re-rank neighbor at distance 0") {
+    val rer = SparkEntry.queries("x84_pq_rerank")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("dist")))
+    spark.catalog.clearCache()
+    assert(rer.contains((1L, 1L, 2L, 0L)), s"q=1 should re-rank 2 first")
+    assert(rer.contains((2L, 1L, 1L, 0L)), s"q=2 should re-rank 1 first")
   }
 
   test("duplicate vectors pair at cos ~1; the zero vector pairs with nothing") {
