@@ -278,6 +278,19 @@ $duckPqCtes
 SELECT sub, code, count(*) AS n_vecs, CAST(sum(qerr) AS BIGINT) AS sum_err
 FROM penc GROUP BY sub, code ORDER BY sub, code"""
 
+  /** x82's oracle SQL — shared verbatim with `x82s_pq_serve` (the serve
+    * row answers from persisted artifacts but must return the identical
+    * frame).
+    */
+  private val adcSearchSql: String = s"""
+WITH ${SimilarityQueries.duckQuantizedCte},
+$duckPqCtes,
+$duckAdcCtes
+SELECT q_id, CAST(rn AS BIGINT) AS rank, vec_id AS neighbor_id, adc_dist
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        ORDER BY adc_dist ASC, vec_id) AS rn FROM adc)
+WHERE rn <= ${SimilarityQueries.K} ORDER BY q_id, rank"""
+
   private def pqCodebookStats(s: SparkSession, d: String): DataFrame = {
     val e = SimilarityQueries.quantizedCached(s, d)
     codebookStatsOf(encodedPacked(e, trainedBooks(e)))
@@ -290,15 +303,14 @@ FROM penc GROUP BY sub, code ORDER BY sub, code"""
     */
   private val Rerank = 4 * SimilarityQueries.K
 
-  /** Full ADC ranking per probe: every corpus vector scores as M map
-    * lookups over its code array (codes + per-probe LUTs broadcast — one
-    * map stage), then ranks within its probe. Shared by x82 (top-k),
-    * the x84 shortlist, and the x83 audit.
+  /** Full ADC ranking per probe over SUPPLIED books + codes frames:
+    * every corpus vector scores as M map lookups over its code array
+    * (codes + per-probe LUTs broadcast — one map stage), then ranks
+    * within its probe. Shared by the self-contained x82/x84/x83 chains
+    * and the persisted-artifact serve row (`x82s_pq_serve`).
     */
-  private def adcRanked(s: SparkSession, d: String): DataFrame = {
-    val e = SimilarityQueries.quantizedCached(s, d)
-    val cb = trainedBooks(e)
-    val enc = encodedPacked(e, cb).select(col("vec_id"), col("enc"))
+  private def adcRankedFrom(s: SparkSession, d: String,
+      cb: DataFrame, enc: DataFrame): DataFrame = {
     // Per-probe LUT folded into ONE map per probe row: key sub·Ks+code →
     // subdistance. NQueries rows × (M·Ks)-entry maps, broadcast.
     val lut = SimilarityQueries.quantized(s, d)
@@ -318,12 +330,37 @@ FROM penc GROUP BY sub, code ORDER BY sub, code"""
       .withColumn("rank", row_number().over(w).cast("bigint"))
   }
 
-  private def adcTopK(s: SparkSession, d: String): DataFrame =
-    adcRanked(s, d)
+  private def adcRanked(s: SparkSession, d: String): DataFrame = {
+    val e = SimilarityQueries.quantizedCached(s, d)
+    val cb = trainedBooks(e)
+    adcRankedFrom(s, d, cb,
+      encodedPacked(e, cb).select(col("vec_id"), col("enc")))
+  }
+
+  private def topKOf(ranked: DataFrame): DataFrame =
+    ranked
       .filter(col("rank") <= SimilarityQueries.K)
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
         col("adc_dist"))
       .orderBy("q_id", "rank")
+
+  private def adcTopK(s: SparkSession, d: String): DataFrame =
+    topKOf(adcRanked(s, d))
+
+  /** Persist the PQ artifacts — trained books (ONE tiny file) and the
+    * encoded corpus (the production artifact: 32-bit codes in place of
+    * raw vectors, the 64× compression the serve tier actually ships).
+    * Called by [[SimilarityQueries.prepareServe]] under the
+    * embeddings-keyed builder-versioned root.
+    */
+  private[operators] def buildPq(s: SparkSession, dir: String,
+      path: String): Unit = {
+    val e = SimilarityQueries.quantizedCached(s, dir)
+    val cb = trainedBooks(e)
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$path/books")
+    encodedPacked(e, cb).select(col("vec_id"), col("enc"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
 
   /** ADC shortlist → exact re-rank: only `Rerank` candidates per probe
     * ever touch their original vectors, so the exact arithmetic runs on
@@ -407,15 +444,25 @@ FROM penc GROUP BY sub, code ORDER BY sub, code"""
     // ranks. This is the x09-shape answer at 1/64th the bytes scanned.
     "x82_pq_adc_search" -> QueryDef(
       adcTopK,
-      Some(s"""
-WITH ${SimilarityQueries.duckQuantizedCte},
-$duckPqCtes,
-$duckAdcCtes
-SELECT q_id, CAST(rn AS BIGINT) AS rank, vec_id AS neighbor_id, adc_dist
-FROM (SELECT *, row_number() OVER (PARTITION BY q_id
-        ORDER BY adc_dist ASC, vec_id) AS rn FROM adc)
-WHERE rn <= ${SimilarityQueries.K} ORDER BY q_id, rank"""),
+      Some(adcSearchSql),
       "asymmetric-distance top-k over PQ codes (compressed-domain ANN)"),
+
+    // ── The serve half of the PQ contract (the x12s discipline):
+    // identical results to x82 — the oracle string IS x82's — but books
+    // and codes are read from the persisted artifacts, so this row
+    // measures what a compressed-domain search costs once training and
+    // encoding are amortized: a broadcast LUT build over the tiny books
+    // file plus one map scan of the 32-bit codes.
+    "x82s_pq_serve" -> QueryDef(
+      (s, d) => {
+        SimilarityQueries.prepareServe(s, d)
+        val root = SimilarityQueries.serveRoot(d)
+        topKOf(adcRankedFrom(s, d,
+          s.read.parquet(s"$root/pq/books"),
+          s.read.parquet(s"$root/pq/codes")))
+      },
+      Some(adcSearchSql),
+      "PQ serve path: ADC search from persisted books + codes"),
 
     // ── ADC shortlist → exact re-rank: the accuracy-recovery stage of a
     // compressed-domain deployment — only Rerank candidates per probe

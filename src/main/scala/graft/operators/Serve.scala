@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
 object Serve {
 
   /** Version of the embeddings-keyed builders (IVF index, semantic
-    * clusters — [[SimilarityQueries.prepareServe]]).
+    * clusters, PQ books + codes — [[SimilarityQueries.prepareServe]]):
+    * v7 = the PQ artifact-set growth (books/codes joined the root).
     */
-  private[operators] val IndexBuilderVersion = 6
+  private[operators] val IndexBuilderVersion = 7
 
   /** Version of the documents-keyed audit builders ([[AuditServe]]):
     * v7 = the round-6 artifact set (lshcand, quality, clusters, ngjacc).

@@ -789,11 +789,13 @@ ORDER BY p.cluster_id"""
     // discipline): a partially deleted tmp root self-heals with a
     // rebuild instead of failing path-not-found forever
     val whole = marker.exists() &&
-      Seq("ivf/centroids", "ivf/assignment", "clusters")
+      Seq("ivf/centroids", "ivf/assignment", "clusters",
+          "pq/books", "pq/codes")
         .forall(a => new java.io.File(s"$root/$a").isDirectory)
     if (!whole) {
       buildIndex(s, dir, s"$root/ivf")
       buildClusters(s, dir, s"$root/clusters")
+      PqQueries.buildPq(s, dir, s"$root/pq")
       marker.createNewFile()
       s.catalog.clearCache() // build-side persists must not leak
     }

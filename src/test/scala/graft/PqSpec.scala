@@ -58,6 +58,17 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("x82s: serve path over persisted books + codes equals the " +
+    "self-contained x82") {
+    def asSet(name: String) = rows(name).map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_dist"))).toSet
+    assert(asSet("x82s_pq_serve") == asSet("x82_pq_adc_search"))
+    val root = operators.SimilarityQueries.serveRoot(sf)
+    assert(new java.io.File(s"$root/pq/books").isDirectory)
+    assert(new java.io.File(s"$root/pq/codes").isDirectory)
+  }
+
   test("st16: streaming encode state equals the batch codebook stats") {
     def asSet(name: String) = rows(name).map(r =>
       (r.getAs[Int]("sub"), r.getAs[Long]("code"),
