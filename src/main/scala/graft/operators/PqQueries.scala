@@ -362,23 +362,33 @@ WHERE rn <= ${SimilarityQueries.K} ORDER BY q_id, rank"""
       .write.mode("overwrite").parquet(s"$path/codes")
   }
 
-  /** ADC shortlist → exact re-rank: only `Rerank` candidates per probe
-    * ever touch their original vectors, so the exact arithmetic runs on
-    * NQueries·Rerank rows regardless of corpus size — the standard
-    * accuracy-recovery stage a compressed-domain deployment runs.
-    * Returns (q_id, rank, neighbor_id, dist) with EXACT full-vector
-    * squared L2.
+  /** The persisted ADC shortlist (q_id, vec_id, rank ≤ Rerank) — the
+    * ONE heavy ADC scan both downstream rankings derive from: the raw
+    * ADC top-k is its rank ≤ K prefix (K < Rerank), and the exact
+    * re-rank re-scores exactly its rows. NQueries·Rerank rows, so the
+    * persist is constant-size at any corpus scale.
     */
-  private def rerankTopK(s: SparkSession, d: String): DataFrame = {
-    val e = SimilarityQueries.quantizedCached(s, d)
-    val short = adcRanked(s, d)
+  private def adcShortlist(s: SparkSession, d: String): DataFrame =
+    adcRanked(s, d)
       .filter(col("rank") <= Rerank)
-      .select(col("q_id"), col("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("rank"), col("adc_dist"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Exact full-vector re-rank of a (q_id, vec_id) shortlist: only
+    * these candidates ever touch their original vectors, so the exact
+    * arithmetic runs on NQueries·Rerank rows regardless of corpus size
+    * — the standard accuracy-recovery stage a compressed-domain
+    * deployment runs. Returns (q_id, rank, neighbor_id, dist) with
+    * EXACT squared L2.
+    */
+  private def rerankOf(s: SparkSession, d: String,
+      short: DataFrame): DataFrame = {
+    val e = SimilarityQueries.quantizedCached(s, d)
     val probes = e.filter(col("vec_id") < SimilarityQueries.NQueries)
       .select(col("vec_id").as("q_id"), col("qe").as("q_qe"))
     val w = Window.partitionBy("q_id").orderBy(col("dist"), col("vec_id"))
     e.select(col("vec_id"), col("qe"))
-      .join(broadcast(short), "vec_id")
+      .join(broadcast(short.select(col("q_id"), col("vec_id"))), "vec_id")
       .join(broadcast(probes), "q_id")
       .withColumn("dist", expr(sparkSq("q_qe", "qe")))
       .withColumn("rank", row_number().over(w).cast("bigint"))
@@ -387,6 +397,9 @@ WHERE rn <= ${SimilarityQueries.K} ORDER BY q_id, rank"""
         col("dist"))
       .orderBy("q_id", "rank")
   }
+
+  private def rerankTopK(s: SparkSession, d: String): DataFrame =
+    rerankOf(s, d, adcShortlist(s, d))
 
   private def pqRecall(s: SparkSession, d: String): DataFrame = {
     val k = SimilarityQueries.K
@@ -406,9 +419,12 @@ WHERE rn <= ${SimilarityQueries.K} ORDER BY q_id, rank"""
     def hitsOf(approx: DataFrame, name: String): DataFrame =
       exactK.join(approx, Seq("q_id", "vec_id"))
         .groupBy("q_id").agg(count(lit(1)).as(name))
-    val adcK = adcTopK(s, d)
-      .select(col("q_id"), col("neighbor_id").as("vec_id"))
-    val rerK = rerankTopK(s, d)
+    // ONE ADC scan: both rankings derive from the persisted shortlist
+    // (adc top-k is its rank ≤ K prefix; the re-rank re-scores its rows)
+    val short = adcShortlist(s, d)
+    val adcK = short.filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"))
+    val rerK = rerankOf(s, d, short)
       .select(col("q_id"), col("neighbor_id").as("vec_id"))
     probes.select("q_id")
       .join(hitsOf(adcK, "ha"), Seq("q_id"), "left")

@@ -46,7 +46,17 @@ class MultimodalSpec extends SparkSpec {
       s.substring(0, s.offsetByCodePoints(0, math.min(64, n)))
     }
     val prs = rows("mm03_phash_neardup")
-    assert(prs.nonEmpty, "corpus has prefix-dup payloads; mm03 empty")
+    // expectation derived from the corpus, not assumed of it: every
+    // lead-sharing pair must surface at hamming 0, so the query is
+    // empty iff the (possibly regenerated) corpus has no such pairs
+    val leadPairs = docs.toSeq.groupBy { case (_, t) => lead64(t) }
+      .values.filter(_.size > 1)
+      .flatMap(g => g.map(_._1).sorted.combinations(2).map(c => (c(0), c(1))))
+      .toSet
+    val zeroPairs = prs.filter(_.getAs[Long]("hamming") == 0L)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(zeroPairs == leadPairs,
+      s"hamming-0 pairs != lead-sharing pairs (${zeroPairs.size} vs ${leadPairs.size})")
     val seen = scala.collection.mutable.Set[(Long, Long)]()
     prs.foreach { r =>
       val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
@@ -54,9 +64,6 @@ class MultimodalSpec extends SparkSpec {
       assert(a < b, s"pair ($a,$b) not ordered")
       assert(seen.add((a, b)), s"pair ($a,$b) duplicated")
       assert(hm >= 0L && hm <= 3L)
-      if (hm == 0L)
-        assert(lead64(docs(a)) == lead64(docs(b)),
-          s"hamming-0 pair ($a,$b) leads differ")
     }
   }
 }
