@@ -253,13 +253,6 @@ rer AS (
 
   // ───────────────────────── declared queries ─────────────────────────
 
-  /** Batch-trained codebooks for `dir` — also the STATIC side of the
-    * streaming encode twin (`st16`): a deployment trains offline and
-    * broadcasts the constant-size books to the ingest job.
-    */
-  private[graft] def booksFor(s: SparkSession, d: String): DataFrame =
-    trainedBooks(SimilarityQueries.quantizedCached(s, d))
-
   /** The x81 reduction over any encoded frame — shared verbatim by the
     * batch query and the streaming drain (count/sum are monoids, so the
     * streamed state equals this batch rollup at any arrival order).

@@ -532,9 +532,11 @@ FROM t GROUP BY lang ORDER BY lang"""),
       "per-language fertility maintained at ingest == x79's batch rollup"),
 
     // ── Streaming PQ encode: arriving vectors compress against the
-    // BATCH-TRAINED codebooks (the realistic deployment: books train
-    // offline on a corpus snapshot, the ingest job broadcasts the
-    // constant-size books and encodes each vector as one map fold —
+    // FROZEN codebooks read from the persisted serve artifact (the
+    // realistic deployment: books train offline on a corpus snapshot —
+    // prepareServe's `pq/books`, the same deterministic training output
+    // x81 derives in-query — and the ingest job broadcasts the
+    // constant-size books and encodes each vector as one map fold;
     // x81's `encodedPacked` expression is per-row, so it lifts to the
     // stream unchanged via a stream-static join against the one-row
     // packed-books frame). The maintained state is the per-(sub, code)
@@ -546,7 +548,9 @@ FROM t GROUP BY lang ORDER BY lang"""),
     "st16_stream_pq_encode" -> QueryDef(
       (s, d) => {
         import graft.operators.{PqQueries, SimilarityQueries}
-        val books = PqQueries.booksFor(s, d)
+        SimilarityQueries.prepareServe(s, d)
+        val books = s.read.parquet(
+          s"${SimilarityQueries.serveRoot(d)}/pq/books")
         val stream = EventStream.readEmbeddings(s, d)
           .withColumn("qe", expr(SimilarityQueries.sparkQuant))
         val agg = PqQueries.codebookStatsOf(
