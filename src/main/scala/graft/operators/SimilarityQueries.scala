@@ -768,7 +768,7 @@ ORDER BY p.cluster_id"""
 
   /** Serve-artifact root for `dir`, keyed on the embeddings file's
     * identity (path + mtime + size) AND the shared
-    * [[Serve.BuilderVersion]] — so both a driver-side data regeneration
+    * [[Serve.IndexBuilderVersion]] — so both a driver-side data regeneration
     * and a builder-algorithm change force a rebuild instead of silently
     * replaying a stale artifact (see [[Serve]] for the key contract).
     */
