@@ -43,9 +43,12 @@ object Bench {
     val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES") match {
       case None => 3
       case Some(p) =>
-        require(p.matches("[0-9]+") && p.toInt >= 1,
+        // toIntOption, not matches-then-toInt: an all-digit value past
+        // Int.MaxValue must hit THIS message, not a raw NumberFormatException
+        val n = p.toIntOption.getOrElse(0)
+        require(n >= 1,
           s"SPARK_GRAFT_BENCH_PASSES must be a positive integer, got '$p'")
-        p.toInt
+        n
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir =
@@ -84,9 +87,11 @@ object Bench {
     // is what x10/x41 already measure)
     // pre-build only the families a selected serve row actually reads —
     // a targeted x43s run must not pay the IVF index build and vice versa
-    val similarityServe = Set("x12s_ann_serve", "x64s_purity_serve")
-    val auditServe = Set("x42s_canonical_serve", "x43s_leakage_serve",
-      "x45s_drift_serve", "x47s_recall_serve")
+    // the per-family row sets live NEXT TO their builders
+    // (SimilarityQueries.serveRows / AuditServe.serveRows), so a new
+    // serve-reading row is declared once, where the artifact is built
+    val similarityServe = graft.operators.SimilarityQueries.serveRows
+    val auditServe = graft.operators.AuditServe.serveRows
     if (ordered.exists(q => similarityServe(q._1)))
       try graft.operators.SimilarityQueries.prepareServe(spark, sfDir)
       catch { case _: Throwable => () }

@@ -204,9 +204,11 @@ e AS (
   }
 
   /** The DuckDB twin: same graph, same integer spelling, PrRounds
-    * unrolled as chained CTEs. DuckDB's `//` is floor division and all
-    * operands are positive, matching Spark's `div`; every aggregate is
-    * re-CAST to BIGINT because DuckDB widens sums to HUGEINT.
+    * unrolled as chained CTEs. DuckDB's `//` truncates toward zero
+    * (probed: −7 // 2 = −3 — same as Spark's `div` and JVM long
+    * division; floor vs truncate is moot here anyway since every
+    * operand is positive); every aggregate is re-CAST to BIGINT
+    * because DuckDB widens sums to HUGEINT.
     */
   private def pagerankOracle: String = {
     val base = s"(CAST($PrScale AS BIGINT) // n)"

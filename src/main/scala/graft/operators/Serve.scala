@@ -49,6 +49,17 @@ object Serve {
     */
   private[graft] def rootAtVersion(dir: String, dataFile: String,
       version: Int): String = root(dir, dataFile, version)
+
+  /** Completeness of a serve root: the `_READY` marker ALONE is
+    * insufficient — every artifact dir must also exist, or a partially
+    * reaped tmp root (a reaper removing one parquet dir while `_READY`
+    * survives) fails path-not-found forever instead of self-healing
+    * with a rebuild. ONE spelling of that invariant, shared by both
+    * families' prepare steps.
+    */
+  private[operators] def complete(root: String, dirs: Seq[String]): Boolean =
+    new java.io.File(s"$root/_READY").exists() &&
+      dirs.forall(a => new java.io.File(s"$root/$a").isDirectory)
 }
 
 /** Serve artifacts for the AUDIT family (x43 split leakage, x45 quality
@@ -76,9 +87,12 @@ object AuditServe {
     */
   private val ArtifactDirs = Seq("lshcand", "quality", "clusters", "ngjacc")
 
-  private def complete(r: String): Boolean =
-    new java.io.File(s"$r/_READY").exists() &&
-      ArtifactDirs.forall(a => new java.io.File(s"$r/$a").isDirectory)
+  /** Every DECLARED row that READS this family's serve root — the
+    * [[graft.Bench]] pre-build set, co-located like
+    * [[SimilarityQueries.serveRows]].
+    */
+  val serveRows: Set[String] = Set("x42s_canonical_serve",
+    "x43s_leakage_serve", "x45s_drift_serve", "x47s_recall_serve")
 
   /** Build the audit artifacts once per data version — idempotent
     * behind a _READY marker PLUS a presence check of every artifact
@@ -94,7 +108,7 @@ object AuditServe {
   def prepare(s: SparkSession, dir: String): Unit = synchronized {
     val r = root(dir)
     val marker = new java.io.File(s"$r/_READY")
-    if (!complete(r)) {
+    if (!Serve.complete(r, ArtifactDirs)) {
       DedupQueries.minhashCandidates(s, dir)
         .write.mode("overwrite").parquet(s"$r/lshcand")
       TextQueries.qualityScored(s, dir)

@@ -782,21 +782,26 @@ ORDER BY p.cluster_id"""
     * it BEFORE its timed pass so the serve rows measure serving, not
     * training (the build cost is already measured by x10/x41).
     */
+  /** Every DECLARED row that READS this family's serve root — the set
+    * [[graft.Bench]] pre-builds from, kept NEXT TO the builder so a new
+    * serve-reading row can't silently fall through to an in-row build
+    * (the round-6 review caught exactly that drift when the Bench-side
+    * copy missed x82s/st16).
+    */
+  val serveRows: Set[String] = Set("x12s_ann_serve", "x64s_purity_serve",
+    "x82s_pq_serve", "st16_stream_pq_encode")
+
+  /** The artifact subdirectories [[prepareServe]] must produce. */
+  private val ArtifactDirs =
+    Seq("ivf/centroids", "ivf/assignment", "clusters", "pq/books", "pq/codes")
+
   def prepareServe(s: SparkSession, dir: String): Unit = synchronized {
     val root = serveRoot(dir)
-    val marker = new java.io.File(s"$root/_READY")
-    // marker + presence of every artifact dir (the AuditServe.complete
-    // discipline): a partially deleted tmp root self-heals with a
-    // rebuild instead of failing path-not-found forever
-    val whole = marker.exists() &&
-      Seq("ivf/centroids", "ivf/assignment", "clusters",
-          "pq/books", "pq/codes")
-        .forall(a => new java.io.File(s"$root/$a").isDirectory)
-    if (!whole) {
+    if (!Serve.complete(root, ArtifactDirs)) {
       buildIndex(s, dir, s"$root/ivf")
       buildClusters(s, dir, s"$root/clusters")
       PqQueries.buildPq(s, dir, s"$root/pq")
-      marker.createNewFile()
+      new java.io.File(s"$root/_READY").createNewFile()
       s.catalog.clearCache() // build-side persists must not leak
     }
   }
