@@ -394,6 +394,143 @@ WHERE rn <= ${SimilarityQueries.K} ORDER BY q_id, rank"""
   private def rerankTopK(s: SparkSession, d: String): DataFrame =
     rerankOf(s, d, adcShortlist(s, d))
 
+  /** IVFADC — the two ANN halves COMPOSED the way production systems
+    * ship them (Jégou et al. §V): IVF routes each probe to its NProbe
+    * nearest centroid buckets, and within ONLY those buckets the
+    * candidates score in the compressed domain against codebooks
+    * trained on RESIDUALS (vector − its bucket centroid). Residuals
+    * concentrate around zero, so one shared residual codebook
+    * quantizes them far better than raw vectors — the reason the
+    * composite beats either stage alone. All integer-exact: residual
+    * subtraction is int64, the PQ chain applies to the residual frame
+    * VERBATIM ([[trainedBooks]]/[[encodedPacked]] just slice a `qe`
+    * column — here the residual), and the per-(probe, bucket) LUT is
+    * the probe's residual against every code.
+    *
+    * Scale shape: routing is the x12 map-only fold; the bucket
+    * equi-join against the (NQueries·NProbe)-row broadcast LUT IS the
+    * pruning — candidates outside probed buckets never materialize;
+    * ADC is a map fold per surviving row; only the per-probe top-k
+    * ranks. Every stage inherits the parent families' levers (√n
+    * centroid budget, bucketCap upstream, constant-size codebooks).
+    */
+  private def ivfpqSearch(s: SparkSession, d: String): DataFrame = {
+    val e = SimilarityQueries.quantizedCached(s, d)
+    val cent = SimilarityQueries.trainedCentroids(e)
+    val centSlim = cent.select(col("c_id").as("bucket"), col("c_qe"))
+    val assigned = SimilarityQueries.assignedBuckets(e, cent)
+      .select(col("vec_id"), col("qe"), col("bucket"))
+    // residual frame, renamed qe so the PQ machinery applies verbatim
+    val res = assigned.join(broadcast(centSlim), "bucket")
+      .select(col("vec_id"), col("bucket"),
+        expr("zip_with(qe, c_qe, (x, y) -> x - y)").as("qe"))
+    val rcb = trainedBooks(res)
+    val renc = encodedPacked(res, rcb)
+      .select(col("vec_id"), col("bucket"), col("enc"))
+    val probes = e.filter(col("vec_id") < SimilarityQueries.NQueries)
+      .select(col("vec_id").as("q_id"), col("qe").as("q_qe"),
+        col("qn").as("q_qn"))
+    // per (probe, probed bucket): the probe's RESIDUAL wrt that bucket's
+    // centroid, folded into one LUT map — NQueries·NProbe rows, broadcast
+    val lut = SimilarityQueries.probeBuckets(probes, cent)
+      .join(broadcast(centSlim), "bucket")
+      .withColumn("qr", expr("zip_with(q_qe, c_qe, (x, y) -> x - y)"))
+      .crossJoin(broadcast(packedAll(rcb)))
+      .select(col("q_id"), col("bucket"), expr(s"""
+        map_from_entries(transform(books, b -> named_struct(
+          'k', CAST(b.sub AS BIGINT) * $Codes + b.c_id,
+          'v', ${sparkSq(s"slice(qr, b.sub * $SubDims + 1, $SubDims)",
+                "b.c_qe")})))""").as("lutm"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc_dist"), col("vec_id"))
+    renc.join(broadcast(lut), "bucket") // the equi-join IS the pruning
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc_dist", expr(s"""
+        aggregate(enc, CAST(0 AS BIGINT), (acc, z) ->
+          acc + element_at(lutm, CAST(z.sub AS BIGINT) * $Codes + z.code))"""))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= SimilarityQueries.K)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("adc_dist"), col("bucket"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** The IVFADC oracle: the IVF kmeans + assignment CTEs, a residual
+    * PQ chain (rp-prefixed so it can't collide with the plain-PQ CTEs),
+    * the shared probe-routing CTE, per-(probe, bucket) residual LUTs,
+    * and the bucket-pruned ADC rollup.
+    */
+  private def ivfpqSql: String = {
+    val iters = (1 to PqIters).map { i =>
+      s"""rpa$i AS (
+  SELECT vec_id, sub, sqe, c_id AS code
+  FROM (SELECT p.vec_id, p.sub, p.sqe, b.c_id,
+          row_number() OVER (PARTITION BY p.vec_id, p.sub
+            ORDER BY ${duckSq("p.sqe", "b.c_qe")} ASC, b.c_id) AS rn
+        FROM rpes p JOIN rpb${i - 1} b ON p.sub = b.sub)
+  WHERE rn = 1
+),
+rps$i AS (
+  SELECT sub, code, pos, CAST(sum(sqe[pos]) AS BIGINT) AS sv, count(*) AS cnt
+  FROM rpa$i CROSS JOIN (SELECT unnest(generate_series(1, $SubDims)) AS pos) pp
+  GROUP BY sub, code, pos
+),
+rpb$i AS (
+  SELECT sub, code AS c_id, list(sv // cnt ORDER BY pos) AS c_qe
+  FROM rps$i GROUP BY sub, code
+)"""
+    }.mkString(",\n")
+    s"""
+WITH ${SimilarityQueries.duckQuantizedCte},
+${SimilarityQueries.duckKmeansCtes},
+${SimilarityQueries.duckAssignedCtes},
+rres AS (
+  SELECT a.vec_id, a.bucket,
+    list_transform(list_zip(a.qe, c.c_qe), p -> p[1] - p[2]) AS r
+  FROM assigned a JOIN c ON a.bucket = c.c_id
+),
+rpes AS (
+  SELECT vec_id, bucket, CAST(sj AS INTEGER) AS sub,
+    r[(sj * $SubDims + 1):(sj * $SubDims + $SubDims)] AS sqe
+  FROM rres CROSS JOIN (SELECT unnest(generate_series(0, ${M - 1})) AS sj) ss
+),
+rpb0 AS (SELECT sub, vec_id AS c_id, sqe AS c_qe FROM rpes
+         WHERE vec_id < $Codes),
+$iters,
+rpb AS (SELECT * FROM rpb$PqIters),
+renc AS (
+  SELECT vec_id, bucket, sub, c_id AS code
+  FROM (SELECT p.vec_id, p.bucket, p.sub, b.c_id,
+          row_number() OVER (PARTITION BY p.vec_id, p.sub
+            ORDER BY ${duckSq("p.sqe", "b.c_qe")} ASC, b.c_id) AS rn
+        FROM rpes p JOIN rpb b ON p.sub = b.sub)
+  WHERE rn = 1
+),
+${SimilarityQueries.duckProbeCte("prt")},
+qres AS (
+  SELECT p.q_id, p.bucket,
+    list_transform(list_zip(p.q_qe, c.c_qe), p2 -> p2[1] - p2[2]) AS qr
+  FROM prt p JOIN c ON p.bucket = c.c_id
+),
+rlut AS (
+  SELECT q.q_id, q.bucket, b.sub, b.c_id AS code,
+    ${duckSq(s"q.qr[(b.sub * $SubDims + 1):(b.sub * $SubDims + $SubDims)]",
+        "b.c_qe")} AS ldist
+  FROM qres q CROSS JOIN rpb b
+),
+adcq AS (
+  SELECT l.q_id, r.vec_id, r.bucket, CAST(sum(l.ldist) AS BIGINT) AS adc_dist
+  FROM renc r JOIN rlut l
+    ON r.bucket = l.bucket AND r.sub = l.sub AND r.code = l.code
+  WHERE r.vec_id != l.q_id
+  GROUP BY l.q_id, r.vec_id, r.bucket
+)
+SELECT q_id, CAST(rn AS BIGINT) AS rank, vec_id AS neighbor_id, adc_dist,
+  bucket
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        ORDER BY adc_dist ASC, vec_id) AS rn FROM adcq)
+WHERE rn <= ${SimilarityQueries.K} ORDER BY q_id, rank"""
+  }
+
   private def pqRecall(s: SparkSession, d: String): DataFrame = {
     val k = SimilarityQueries.K
     val e = SimilarityQueries.quantizedCached(s, d)
@@ -490,6 +627,13 @@ FROM (SELECT *, row_number() OVER (PARTITION BY q_id
         ORDER BY dist ASC, vec_id) AS rn FROM rer)
 WHERE rn <= ${SimilarityQueries.K} ORDER BY q_id, rank"""),
       "ADC shortlist re-ranked by exact L2 (compressed search + refine)"),
+
+    // ── IVFADC: IVF bucket pruning + ADC over RESIDUAL codes — the
+    // composed production ANN (see [[ivfpqSearch]]).
+    "x85_ivfpq_search" -> QueryDef(
+      ivfpqSearch,
+      Some(ivfpqSql),
+      "IVFADC: nprobe bucket pruning + ADC over residual PQ codes"),
 
     // ── PQ recall audit (the x47 discipline for the compressed path):
     // ADC top-k AND re-ranked top-k vs the exact full-vector L2 top-k,

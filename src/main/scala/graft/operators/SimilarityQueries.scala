@@ -221,7 +221,7 @@ object SimilarityQueries {
     * the oracle's `//`. The trained table is persisted: consumers
     * broadcast it more than once (bucket assignment + probe routing).
     */
-  private def trainedCentroids(e: DataFrame): DataFrame = {
+  private[operators] def trainedCentroids(e: DataFrame): DataFrame = {
     val session = e.sparkSession
     import session.implicits._
     val fin = (1 to KmeansIters).foldLeft(initCentroids(e)) { (cent, _) =>
@@ -252,7 +252,7 @@ object SimilarityQueries {
     * aliased `c`. Exact integer sums + trunc division keep both engines
     * bit-identical.
     */
-  private def duckKmeansCtes: String = {
+  private[operators] def duckKmeansCtes: String = {
     def cosDesc(c: String, v: String, cn: String, vn: String) =
       s"${duckCos(c, cn, v, vn)} DESC"
     // same √n centroid budget as [[initCentroids]], as a scalar subquery
@@ -289,7 +289,7 @@ c$i AS (
     * (shared by x11 and x41 so the bucket-assignment spelling cannot
     * drift between them).
     */
-  private def duckAssignedCtes: String = s"""scored AS (
+  private[operators] def duckAssignedCtes: String = s"""scored AS (
   SELECT e.vec_id, e.qe, e.qn, c.c_id,
     ${duckCos("c.c_qe", "c.c_qn", "e.qe", "e.qn")} AS ccos
   FROM e CROSS JOIN c
@@ -415,27 +415,24 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
     * because every consumer (x10 stats, x11 self-join, x12 search) reads
     * it more than once.
     */
-  private def assignedBuckets(e: DataFrame, cent: DataFrame): DataFrame =
+  private[operators] def assignedBuckets(e: DataFrame, cent: DataFrame): DataFrame =
     nearestCentroid(e, cent)
       .select(col("vec_id"), col("qe"), col("qn"),
         col("best.id").as("bucket"), col("best.cos").as("centroid_cos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** nprobe top-k over a (centroids, assignment) pair: probes route to
-    * their NProbe nearest centroid buckets (broadcast centroids, window
-    * top-NProbe) and scan ONLY those via the bucket equi-join. Shared by
-    * the self-contained x12 and the persisted-index serve path.
+  /** Probe routing — the same map-only shape as [[nearestCentroid]],
+    * widened to top-NProbe: score the packed centroid array, sort the
+    * ≤ NCentroids scored structs per probe row (same (cos DESC, id)
+    * total order as the oracle's window), keep NProbe, explode. No
+    * fan-out rows ever exist, so routing costs O(C log C) per probe
+    * with zero shuffle — the serve path stays map-only however many
+    * probes arrive. Shared by [[nprobeTopK]] and the IVFADC composite
+    * (`x85_ivfpq_search`). Yields (q_id, q_qe, q_qn, bucket).
     */
-  private def nprobeTopK(probes: DataFrame, cent: DataFrame,
-      assigned: DataFrame): DataFrame = {
-    // Probe routing is the same map-only shape as [[nearestCentroid]],
-    // widened to top-NProbe: score the packed centroid array, sort the
-    // ≤ NCentroids scored structs per probe row (same (cos DESC, id)
-    // total order as the oracle's window), keep NProbe, explode. No
-    // fan-out rows ever exist, so routing costs O(C log C) per probe
-    // with zero shuffle — the serve path stays map-only however many
-    // probes arrive.
-    val probeBuckets = probes
+  private[operators] def probeBuckets(probes: DataFrame,
+      cent: DataFrame): DataFrame =
+    probes
       .crossJoin(broadcast(packedCentroids(cent)))
       .withColumn("topb", expr(s"""
         slice(array_sort(
@@ -448,8 +445,30 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
           1, $NProbe)"""))
       .select(col("q_id"), col("q_qe"), col("q_qn"),
         explode(expr("transform(topb, t -> t.id)")).as("bucket"))
+
+  /** The probe-routing CTE (`name(q_id, q_qe, q_qn, bucket)`) in DuckDB
+    * SQL — the oracle twin of [[probeBuckets]], shared by the x12
+    * oracle and x85's.
+    */
+  private[operators] def duckProbeCte(name: String): String = s"""$name AS (
+  SELECT q_id, q_qe, q_qn, c_id AS bucket
+  FROM (SELECT p.vec_id AS q_id, p.qe AS q_qe, p.qn AS q_qn, c.c_id,
+          row_number() OVER (PARTITION BY p.vec_id ORDER BY
+            ${duckCos("c.c_qe", "c.c_qn", "p.qe", "p.qn")}
+            DESC, c.c_id) AS rn
+        FROM e p CROSS JOIN c WHERE p.vec_id < $NQueries)
+  WHERE rn <= $NProbe
+)"""
+
+  /** nprobe top-k over a (centroids, assignment) pair: probes route to
+    * their NProbe nearest centroid buckets ([[probeBuckets]]) and scan
+    * ONLY those via the bucket equi-join. Shared by the self-contained
+    * x12 and the persisted-index serve path.
+    */
+  private def nprobeTopK(probes: DataFrame, cent: DataFrame,
+      assigned: DataFrame): DataFrame = {
     val wk = Window.partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
-    probeBuckets.join(assigned, "bucket")
+    probeBuckets(probes, cent).join(assigned, "bucket")
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", expr(sparkCos("q_qe", "q_qn", "qe", "qn")))
       .withColumn("rank", row_number().over(wk).cast("bigint"))
@@ -717,15 +736,7 @@ assigned AS (
         FROM e CROSS JOIN c)
   WHERE rn = 1
 ),
-pb AS (
-  SELECT q_id, q_qe, q_qn, c_id AS bucket
-  FROM (SELECT p.vec_id AS q_id, p.qe AS q_qe, p.qn AS q_qn, c.c_id,
-          row_number() OVER (PARTITION BY p.vec_id ORDER BY
-            ${duckCos("c.c_qe", "c.c_qn", "p.qe", "p.qn")}
-            DESC, c.c_id) AS rn
-        FROM e p CROSS JOIN c WHERE p.vec_id < $NQueries)
-  WHERE rn <= $NProbe
-),
+${duckProbeCte("pb")},
 scored AS (
   SELECT pb.q_id, a.vec_id AS neighbor_id, a.bucket,
     ${duckCos("pb.q_qe", "pb.q_qn", "a.qe", "a.qn")} AS cos

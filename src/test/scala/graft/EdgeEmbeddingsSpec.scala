@@ -52,7 +52,8 @@ class EdgeEmbeddingsSpec extends SparkSpec {
   test("PQ family survives a 6-vector corpus (n < Codes seeds, zero / " +
     "duplicate / constant vectors; no division anywhere to diverge)") {
     for (name <- Seq("x81_pq_codebooks", "x82_pq_adc_search",
-        "x83_pq_recall_audit", "x84_pq_rerank", "st16_stream_pq_encode")) {
+        "x83_pq_recall_audit", "x84_pq_rerank", "x85_ivfpq_search",
+        "st16_stream_pq_encode")) {
       val rows =
         try SparkEntry.queries(name)(spark, dir).collect()
         catch { case e: Throwable =>

@@ -58,6 +58,27 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("x85: IVFADC contract — k per probe, no self, distances sorted, " +
+    "and every neighbor's reported bucket is its IVF assignment") {
+    val buckets = rows("x10_ann_ivf_assign")
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    val byQ = rows("x85_ivfpq_search").groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet == (0L until 8L).toSet)
+    byQ.foreach { case (q, g) =>
+      val sorted = g.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to 5L),
+        s"q=$q ranks")
+      val ds = sorted.map(_.getAs[Long]("adc_dist"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+      sorted.foreach { r =>
+        val nb = r.getAs[Long]("neighbor_id")
+        assert(nb != q)
+        assert(r.getAs[Long]("bucket") == buckets(nb),
+          s"q=$q neighbor $nb bucket mismatch vs x10")
+      }
+    }
+  }
+
   test("x82s: serve path over persisted books + codes equals the " +
     "self-contained x82") {
     def asSet(name: String) = rows(name).map(r =>
