@@ -417,16 +417,36 @@ WHERE rn <= ${SimilarityQueries.K} ORDER BY q_id, rank"""
   private def ivfpqSearch(s: SparkSession, d: String): DataFrame = {
     val e = SimilarityQueries.quantizedCached(s, d)
     val cent = SimilarityQueries.trainedCentroids(e)
-    val centSlim = cent.select(col("c_id").as("bucket"), col("c_qe"))
-    val assigned = SimilarityQueries.assignedBuckets(e, cent)
-      .select(col("vec_id"), col("qe"), col("bucket"))
-    // residual frame, renamed qe so the PQ machinery applies verbatim
-    val res = assigned.join(broadcast(centSlim), "bucket")
-      .select(col("vec_id"), col("bucket"),
-        expr("zip_with(qe, c_qe, (x, y) -> x - y)").as("qe"))
+    val res = residualsOf(
+      SimilarityQueries.assignedBuckets(e, cent)
+        .select(col("vec_id"), col("qe"), col("bucket")), cent)
     val rcb = trainedBooks(res)
     val renc = encodedPacked(res, rcb)
       .select(col("vec_id"), col("bucket"), col("enc"))
+    ivfpqFrom(s, d, cent, rcb, renc)
+  }
+
+  /** Residual frame (vector − its bucket centroid), renamed `qe` so the
+    * PQ machinery ([[trainedBooks]]/[[encodedPacked]]) applies verbatim.
+    */
+  private def residualsOf(assigned: DataFrame, cent: DataFrame): DataFrame =
+    assigned.join(
+        broadcast(cent.select(col("c_id").as("bucket"), col("c_qe"))),
+        "bucket")
+      .select(col("vec_id"), col("bucket"),
+        expr("zip_with(qe, c_qe, (x, y) -> x - y)").as("qe"))
+
+  /** The bucket-pruned ADC ranking over SUPPLIED centroids + residual
+    * books + encoded residual codes — the serve-side half of IVFADC,
+    * shared by the self-contained [[ivfpqSearch]] and the
+    * persisted-artifact row (`x85s_ivfpq_serve`). Routing is the x12
+    * map-only fold; the bucket equi-join against the
+    * (NQueries·NProbe)-row broadcast LUT IS the pruning.
+    */
+  private def ivfpqFrom(s: SparkSession, d: String, cent: DataFrame,
+      rcb: DataFrame, renc: DataFrame): DataFrame = {
+    val e = SimilarityQueries.quantizedCached(s, d)
+    val centSlim = cent.select(col("c_id").as("bucket"), col("c_qe"))
     val probes = e.filter(col("vec_id") < SimilarityQueries.NQueries)
       .select(col("vec_id").as("q_id"), col("qe").as("q_qe"),
         col("qn").as("q_qn"))
@@ -452,6 +472,30 @@ WHERE rn <= ${SimilarityQueries.K} ORDER BY q_id, rank"""
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
         col("adc_dist"), col("bucket"))
       .orderBy("q_id", "rank")
+  }
+
+  /** Persist the IVFADC artifacts — residual codebooks (one tiny file)
+    * and the encoded residual corpus partitioned by IVF bucket, so a
+    * serve-side search reads only its probed buckets' code files (the
+    * same directory-pruned layout as the IVF assignment). Derives the
+    * residual frame FROM the already-persisted IVF index (centroids +
+    * assignment) rather than retraining — [[SimilarityQueries
+    * .prepareServe]] always builds the IVF half first.
+    */
+  private[operators] def buildIvfPq(s: SparkSession, ivfPath: String,
+      path: String): Unit = {
+    val cent = s.read.parquet(s"$ivfPath/centroids")
+    val res = residualsOf(
+      s.read.parquet(s"$ivfPath/assignment")
+        .select(col("vec_id"), col("qe"), col("bucket").cast("bigint")
+          .as("bucket")), cent)
+    val rcb = trainedBooks(res)
+    rcb.coalesce(1).write.mode("overwrite").parquet(s"$path/books")
+    encodedPacked(res, rcb)
+      .select(col("vec_id"), col("bucket"), col("enc"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/codes")
   }
 
   /** The IVFADC oracle: the IVF kmeans + assignment CTEs, a residual
@@ -634,6 +678,28 @@ WHERE rn <= ${SimilarityQueries.K} ORDER BY q_id, rank"""),
       ivfpqSearch,
       Some(ivfpqSql),
       "IVFADC: nprobe bucket pruning + ADC over residual PQ codes"),
+
+    // ── The serve half of the IVFADC contract (the x12s/x82s
+    // discipline): identical results to x85 — the oracle string IS
+    // x85's — but centroids, residual books, and bucket-partitioned
+    // residual codes all read from the persisted artifacts, so this
+    // row measures what the composed production search costs once
+    // training, assignment, and encoding are amortized: a map-only
+    // probe routing + one broadcast-LUT scan of the probed buckets'
+    // code files (directory-pruned by the bucket partitioning).
+    "x85s_ivfpq_serve" -> QueryDef(
+      (s, d) => {
+        SimilarityQueries.prepareServe(s, d)
+        val root = SimilarityQueries.serveRoot(d)
+        ivfpqFrom(s, d,
+          s.read.parquet(s"$root/ivf/centroids"),
+          s.read.parquet(s"$root/pqres/books"),
+          s.read.parquet(s"$root/pqres/codes")
+            .select(col("vec_id"), col("enc"),
+              col("bucket").cast("bigint").as("bucket")))
+      },
+      Some(ivfpqSql),
+      "IVFADC serve path: search from persisted centroids + residual codes"),
 
     // ── PQ recall audit (the x47 discipline for the compressed path):
     // ADC top-k AND re-ranked top-k vs the exact full-vector L2 top-k,

@@ -24,9 +24,10 @@ object Serve {
 
   /** Version of the embeddings-keyed builders (IVF index, semantic
     * clusters, PQ books + codes — [[SimilarityQueries.prepareServe]]):
-    * v7 = the PQ artifact-set growth (books/codes joined the root).
+    * v8 = the IVFADC artifact-set growth (residual books + bucket-
+    * partitioned residual codes joined the root).
     */
-  private[operators] val IndexBuilderVersion = 7
+  private[operators] val IndexBuilderVersion = 8
 
   /** Version of the documents-keyed audit builders ([[AuditServe]]):
     * v7 = the round-6 artifact set (lshcand, quality, clusters, ngjacc).

@@ -800,11 +800,12 @@ ORDER BY p.cluster_id"""
     * copy missed x82s/st16).
     */
   val serveRows: Set[String] = Set("x12s_ann_serve", "x64s_purity_serve",
-    "x82s_pq_serve", "st16_stream_pq_encode")
+    "x82s_pq_serve", "x85s_ivfpq_serve", "st16_stream_pq_encode")
 
   /** The artifact subdirectories [[prepareServe]] must produce. */
   private val ArtifactDirs =
-    Seq("ivf/centroids", "ivf/assignment", "clusters", "pq/books", "pq/codes")
+    Seq("ivf/centroids", "ivf/assignment", "clusters", "pq/books",
+      "pq/codes", "pqres/books", "pqres/codes")
 
   def prepareServe(s: SparkSession, dir: String): Unit = synchronized {
     val root = serveRoot(dir)
@@ -812,6 +813,7 @@ ORDER BY p.cluster_id"""
       buildIndex(s, dir, s"$root/ivf")
       buildClusters(s, dir, s"$root/clusters")
       PqQueries.buildPq(s, dir, s"$root/pq")
+      PqQueries.buildIvfPq(s, s"$root/ivf", s"$root/pqres")
       new java.io.File(s"$root/_READY").createNewFile()
       s.catalog.clearCache() // build-side persists must not leak
     }

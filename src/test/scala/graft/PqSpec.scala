@@ -90,6 +90,18 @@ class PqSpec extends SparkSpec {
     assert(new java.io.File(s"$root/pq/codes").isDirectory)
   }
 
+  test("x85s: serve path over persisted centroids + residual codes " +
+    "equals the self-contained x85") {
+    def asSet(name: String) = rows(name).map(r =>
+      (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("adc_dist"),
+        r.getAs[Long]("bucket"))).toSet
+    assert(asSet("x85s_ivfpq_serve") == asSet("x85_ivfpq_search"))
+    val root = operators.SimilarityQueries.serveRoot(sf)
+    assert(new java.io.File(s"$root/pqres/books").isDirectory)
+    assert(new java.io.File(s"$root/pqres/codes").isDirectory)
+  }
+
   test("st16: streaming encode state equals the batch codebook stats") {
     def asSet(name: String) = rows(name).map(r =>
       (r.getAs[Int]("sub"), r.getAs[Long]("code"),
