@@ -52,10 +52,10 @@ object PqQueries {
     * an 8-dim subdistance ≤ ~9e6 — ADC sums of M of these stay far from
     * BIGINT range at any corpus size (per-pair, not per-corpus, sums).
     */
-  private def sparkSq(a: String, b: String): String =
+  private[operators] def sparkSq(a: String, b: String): String =
     s"""aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)),
         CAST(0 AS BIGINT), (acc, v) -> acc + v)""".replace('\n', ' ')
-  private def duckSq(a: String, b: String): String =
+  private[operators] def duckSq(a: String, b: String): String =
     s"CAST(list_sum(list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT)"
 
   /** Fold seed for the argmin: id −1 never survives against a real code

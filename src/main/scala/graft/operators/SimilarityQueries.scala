@@ -386,6 +386,68 @@ $rounds,
 clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
   }
 
+  /** Bucket-local silhouette QC for the x41 semantic-dedup clusters
+    * (the declared `x86_cluster_silhouette`) — the standard "are these
+    * clusters tight and separated?" statistic, restated exactly:
+    * a(i) = mean squared-L2 distance to i's own cluster, b(i) = min
+    * over OTHER clusters in i's IVF bucket of the mean distance to
+    * that cluster, s(i) = (b−a)/max(a,b).
+    *
+    * Bucket-local by design, not approximation-by-accident: x41
+    * clusters are bucket-contained (pairs never cross buckets), so
+    * a(i) is the textbook value, and restricting b(i) to same-bucket
+    * clusters measures separation from the clusters i could actually
+    * have merged with — distance to a far-away bucket's cluster
+    * saturates the statistic toward 1 while costing a full quadratic
+    * corpus scan. Per-bucket pair work is bounded by the √n centroid
+    * budget, the same envelope as the x11/x41/x63 joins.
+    *
+    * Exactness: distances are int64 squared L2 ([[PqQueries.sparkSq]]);
+    * each mean becomes ONE truncating integer division in micro-units
+    * (both operands non-negative, so Spark `div` and DuckDB `//`
+    * agree); the min over clusters compares those exact integers; the
+    * final s(i) is a single IEEE division of exact integers —
+    * bit-identical cross-engine. Conventions (both engines, both
+    * spellings): s(i) = 0 for singleton clusters (a undefined), for
+    * vectors whose bucket holds no other cluster (b undefined), and
+    * when a = b = 0 (co-located duplicates).
+    */
+  private def clusterSilhouette(s: SparkSession, d: String): DataFrame = {
+    val e = quantizedCached(s, d)
+    val mem = assignedBuckets(e, trainedCentroids(e))
+      .select(col("vec_id"), col("qe"), col("bucket"))
+      .join(embClusterAssignment(s, d), "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = mem.as("a").join(mem.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("i"),
+        col("a.cluster_id").as("ci"), col("b.cluster_id").as("cj"),
+        expr(PqQueries.sparkSq("a.qe", "b.qe")).as("dd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val intra = pairs.filter(col("ci") === col("cj"))
+      .groupBy(col("i").as("iv"))
+      .agg(expr("(sum(dd) * CAST(1000000 AS BIGINT)) div count(1)")
+        .as("qa"))
+    val inter = pairs.filter(col("ci") =!= col("cj"))
+      .groupBy(col("i"), col("cj"))
+      .agg(expr("(sum(dd) * CAST(1000000 AS BIGINT)) div count(1)")
+        .as("qbc"))
+      .groupBy(col("i").as("iv"))
+      .agg(min(col("qbc")).as("qb"))
+    mem.select(col("vec_id"), col("cluster_id"))
+      .join(intra, col("vec_id") === intra("iv"), "left").drop("iv")
+      .join(inter, col("vec_id") === inter("iv"), "left").drop("iv")
+      .select(col("vec_id"), col("cluster_id"),
+        col("qa").as("a_micro"), col("qb").as("b_micro"),
+        expr("""CASE WHEN qa IS NULL OR qb IS NULL
+                      OR greatest(qa, qb) = 0 THEN CAST(0.0d AS DOUBLE)
+                ELSE CAST(qb - qa AS DOUBLE)
+                  / CAST(greatest(qa, qb) AS DOUBLE) END"""
+          .replace('\n', ' ')).as("silhouette"))
+      .orderBy("vec_id")
+  }
+
   /** Bucket-local embedding near-dup pairs (the declared
     * `x11_embed_neardup`), public so callers can pass the `bucketCap`
     * skew lever ([[cappedByBucket]] — the x08 `dfCap` twin for the
@@ -1040,6 +1102,45 @@ FROM clusters ORDER BY vec_id"""),
       },
       Some(x64Oracle),
       "cluster-purity serve path: QC from persisted x41 clusters"),
+
+    // ── Silhouette QC over the x41 clusters (see [[clusterSilhouette]]):
+    // the geometric complement of x64's label purity — purity asks "do
+    // members share a label?", silhouette asks "are the clusters tight
+    // and separated in the embedding space itself?", per vector, as
+    // exact integer means + one final IEEE division.
+    "x86_cluster_silhouette" -> QueryDef(
+      clusterSilhouette,
+      Some(s"""
+WITH $duckEmbClusterCtes,
+smem AS (
+  SELECT a.vec_id, a.qe, a.bucket, c.cluster_id
+  FROM assigned a JOIN clusters c ON a.vec_id = c.vec_id
+),
+sprs AS (
+  SELECT a.vec_id AS i, a.cluster_id AS ci, b.cluster_id AS cj,
+    ${PqQueries.duckSq("a.qe", "b.qe")} AS dd
+  FROM smem a JOIN smem b
+    ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+),
+sintra AS (
+  SELECT i, (CAST(sum(dd) AS BIGINT) * 1000000) // count(*) AS qa
+  FROM sprs WHERE ci = cj GROUP BY i
+),
+sinterc AS (
+  SELECT i, cj, (CAST(sum(dd) AS BIGINT) * 1000000) // count(*) AS qbc
+  FROM sprs WHERE ci != cj GROUP BY i, cj
+),
+sinter AS (SELECT i, min(qbc) AS qb FROM sinterc GROUP BY i)
+SELECT m.vec_id, m.cluster_id, ia.qa AS a_micro, ir.qb AS b_micro,
+  CASE WHEN ia.qa IS NULL OR ir.qb IS NULL
+        OR greatest(ia.qa, ir.qb) = 0 THEN CAST(0.0 AS DOUBLE)
+       ELSE CAST(ir.qb - ia.qa AS DOUBLE)
+         / CAST(greatest(ia.qa, ir.qb) AS DOUBLE) END AS silhouette
+FROM smem m
+LEFT JOIN sintra ia ON m.vec_id = ia.i
+LEFT JOIN sinter ir ON m.vec_id = ir.i
+ORDER BY m.vec_id"""),
+      "bucket-local silhouette QC of semantic-dedup clusters (exact)"),
 
     // ── Int8 scalar quantization: per-vector min/max affine mapping to
     // [0,255] — the 4× compression step a 100 TB vector store ships
