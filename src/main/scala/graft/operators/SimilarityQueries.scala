@@ -881,6 +881,57 @@ ORDER BY p.cluster_id"""
     }
   }
 
+  /** CSLS-rescored retrieval (the declared `x87_csls_rescore`):
+    * cross-domain similarity local scaling (Conneau et al., "Word
+    * Translation Without Parallel Data", ICLR 2018 — public algorithm)
+    * applied to the probe set. Plain cosine retrieval is distorted by
+    * hubs — exactly the pathology x63 AUDITS, this query CORRECTS:
+    * csls(x, y) = 2·cos(x, y) − r(x) − r(y), where r(v) is the mean
+    * cosine of v's k nearest neighbors. A hub's high r(y) subtracts
+    * away its crowding advantage, so neighbor lists diversify.
+    *
+    * Shape: the same bucket-local pair join as x63 (pair work bounded
+    * by the √n centroid budget), ONE window for the kNN prefix, one
+    * |V|-row mean table joined back twice (both joins key on vec_id —
+    * AQE broadcasts while small, shuffle-joins at scale), one window
+    * for the final per-probe rank. Parity: each cosine fixed-points to
+    * micro-units (floor(cos·10⁶ + 0.5) of a bit-identical double); the
+    * neighborhood mean is the sign-split truncating division ([[tdiv]]
+    * — top-k cosines CAN all be negative, where `div` and `//`
+    * disagree); csls is then exact integer algebra. Probes in
+    * singleton buckets have no candidates and return no rows (the
+    * retrieval contract — there is nothing to retrieve).
+    */
+  private def cslsRescore(s: SparkSession, d: String): DataFrame = {
+    val e = quantizedCached(s, d)
+    val assigned = assignedBuckets(e, trainedCentroids(e))
+      .select(col("vec_id"), col("qe"), col("qn"), col("bucket"))
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        expr(s"""CAST(floor((${sparkCos("a.qe", "a.qn", "b.qe", "b.qn")})
+                 * 1000000.0d + 0.5d) AS BIGINT)""".replace('\n', ' '))
+          .as("cm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wk = Window.partitionBy("src").orderBy(desc("cm"), col("dst"))
+    val r = pairs.withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= K)
+      .groupBy(col("src").as("v"))
+      .agg(expr(tdiv("sum(cm)", "count(1)", "div")).as("rm"))
+    val wq = Window.partitionBy("q_id").orderBy(desc("csls"), col("dst"))
+    pairs.filter(col("src") < NQueries)
+      .join(r.as("ra"), col("src") === col("ra.v"))
+      .join(r.as("rb"), col("dst") === col("rb.v"))
+      .select(col("src").as("q_id"), col("dst"), col("cm"),
+        (lit(2L) * col("cm") - col("ra.rm") - col("rb.rm")).as("csls"))
+      .withColumn("rank", row_number().over(wq).cast("bigint"))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("dst").as("neighbor_id"),
+        col("cm").as("cos_micro"), col("csls").as("csls_micro"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Bucket-local kNN-graph degree audit (the declared
     * `x63_knn_hubness`), public so callers can pass the `bucketCap`
     * skew lever. The kNN edge join runs over the capped set; the final
@@ -1141,6 +1192,47 @@ LEFT JOIN sintra ia ON m.vec_id = ia.i
 LEFT JOIN sinter ir ON m.vec_id = ir.i
 ORDER BY m.vec_id"""),
       "bucket-local silhouette QC of semantic-dedup clusters (exact)"),
+
+    // ── CSLS-rescored retrieval (see [[cslsRescore]]): the correction
+    // for the hub pathology x63 audits — each probe's candidates
+    // re-rank by 2·cos − r(probe) − r(candidate), all in exact
+    // micro-unit integers.
+    "x87_csls_rescore" -> QueryDef(
+      cslsRescore,
+      Some(s"""
+WITH $duckQuantizedCte,
+$duckKmeansCtes,
+$duckAssignedCtes,
+cpr AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+    CAST(floor((${duckCos("a.qe", "a.qn", "b.qe", "b.qn")})
+      * 1000000.0 + 0.5) AS BIGINT) AS cm
+  FROM assigned a JOIN assigned b
+    ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+),
+ckn AS (
+  SELECT src, cm
+  FROM (SELECT *, row_number() OVER (PARTITION BY src
+          ORDER BY cm DESC, dst) AS rn FROM cpr)
+  WHERE rn <= $K
+),
+crr AS (
+  SELECT src AS v,
+    ${tdiv("CAST(sum(cm) AS BIGINT)", "count(*)", "//")} AS rm
+  FROM ckn GROUP BY src
+),
+csc AS (
+  SELECT p.src AS q_id, p.dst, p.cm,
+    2 * p.cm - ra.rm - rb.rm AS csls
+  FROM cpr p JOIN crr ra ON p.src = ra.v JOIN crr rb ON p.dst = rb.v
+  WHERE p.src < $NQueries
+)
+SELECT q_id, CAST(rn AS BIGINT) AS rank, dst AS neighbor_id,
+  cm AS cos_micro, csls AS csls_micro
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        ORDER BY csls DESC, dst) AS rn FROM csc)
+WHERE rn <= $K ORDER BY q_id, rank"""),
+      "CSLS hubness-corrected retrieval over the IVF neighborhood"),
 
     // ── Int8 scalar quantization: per-vector min/max affine mapping to
     // [0,255] — the 4× compression step a 100 TB vector store ships
