@@ -38,7 +38,8 @@ class EdgeEmbeddingsSpec extends SparkSpec {
     for (name <- Seq("x10_ann_ivf_assign", "x11_embed_neardup",
         "x11c_neardup_bucketcap", "x28_embed_quantize",
         "x41_embed_dedup_clusters", "x59_embed_dim_stats",
-        "x63_knn_hubness")) {
+        "x63_knn_hubness", "x86_cluster_silhouette",
+        "x87_csls_rescore")) {
       val rows =
         try SparkEntry.queries(name)(spark, dir).collect()
         catch { case e: Throwable =>
