@@ -411,13 +411,35 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
     * spellings): s(i) = 0 for singleton clusters (a undefined), for
     * vectors whose bucket holds no other cluster (b undefined), and
     * when a = b = 0 (co-located duplicates).
+    *
+    * Public so callers can pass the `bucketCap` skew lever
+    * ([[cappedByBucket]], same contract as [[knnHubness]]): the pair
+    * join runs over the capped set, while the final join runs over the
+    * FULL membership — capped-out vectors surface with the s(i) = 0
+    * convention (a and b both undefined) rather than vanishing from
+    * the QC report. Default `None` is the exact join the oracle
+    * replays.
     */
-  private def clusterSilhouette(s: SparkSession, d: String): DataFrame = {
+  def clusterSilhouette(s: SparkSession, d: String,
+      bucketCap: Option[Int] = None): DataFrame = {
     val e = quantizedCached(s, d)
-    val mem = assignedBuckets(e, trainedCentroids(e))
-      .select(col("vec_id"), col("qe"), col("bucket"))
-      .join(embClusterAssignment(s, d), "vec_id")
+    silhouetteOf(
+      assignedBuckets(e, trainedCentroids(e))
+        .select(col("vec_id"), col("qe"), col("bucket"))
+        .join(embClusterAssignment(s, d), "vec_id"),
+      bucketCap)
+  }
+
+  /** The silhouette reduction over any (vec_id, qe, bucket, cluster_id)
+    * membership frame — factored so the declared x86 and the
+    * persisted-artifact serve path ([[silhouetteFrom]]) share ONE
+    * spelling, the [[purityOf]] discipline.
+    */
+  private def silhouetteOf(memIn: DataFrame,
+      bucketCap: Option[Int]): DataFrame = {
+    val memFull = memIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mem = cappedByBucket(memFull, bucketCap)
     val pairs = mem.as("a").join(mem.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
@@ -435,7 +457,7 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
         .as("qbc"))
       .groupBy(col("i").as("iv"))
       .agg(min(col("qbc")).as("qb"))
-    mem.select(col("vec_id"), col("cluster_id"))
+    memFull.select(col("vec_id"), col("cluster_id"))
       .join(intra, col("vec_id") === intra("iv"), "left").drop("iv")
       .join(inter, col("vec_id") === inter("iv"), "left").drop("iv")
       .select(col("vec_id"), col("cluster_id"),
@@ -615,6 +637,34 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
   def purityFrom(s: SparkSession, dir: String, path: String): DataFrame =
     purityOf(clustersFrom(s, path),
       Tables.embeddings(s, dir).select(col("vec_id"), col("label")))
+
+  /** x86's silhouette QC served from the persisted IVF assignment +
+    * persisted clusters — zero retraining (the membership frame is two
+    * artifact reads joined on vec_id); same reduction as the declared
+    * query.
+    */
+  def silhouetteFrom(s: SparkSession, ivfPath: String,
+      clustersPath: String): DataFrame =
+    silhouetteOf(
+      s.read.parquet(s"$ivfPath/assignment")
+        .select(col("vec_id"), col("qe"),
+          col("bucket").cast("bigint").as("bucket"))
+        .join(clustersFrom(s, clustersPath), "vec_id"),
+      None)
+
+  /** x87's CSLS retrieval served from the persisted IVF assignment —
+    * zero retraining; same reduction as the declared query.
+    */
+  def cslsFrom(s: SparkSession, ivfPath: String): DataFrame = {
+    // the serve path never touches [[quantized]], so the native-expression
+    // registration (dot_long in sparkCos) must happen here
+    graft.GraftExtensions.install(s)
+    cslsOf(
+      s.read.parquet(s"$ivfPath/assignment")
+        .select(col("vec_id"), col("qe"), col("qn"),
+          col("bucket").cast("bigint").as("bucket")),
+      None)
+  }
 
   /** Serve nprobe top-k for `dir`'s probe set from a persisted index —
     * zero training, bucket-pruned scans; results identical to the
@@ -862,7 +912,8 @@ ORDER BY p.cluster_id"""
     * copy missed x82s/st16).
     */
   val serveRows: Set[String] = Set("x12s_ann_serve", "x64s_purity_serve",
-    "x82s_pq_serve", "x85s_ivfpq_serve", "st16_stream_pq_encode")
+    "x82s_pq_serve", "x85s_ivfpq_serve", "x86s_silhouette_serve",
+    "x87s_csls_serve", "st16_stream_pq_encode")
 
   /** The artifact subdirectories [[prepareServe]] must produce. */
   private val ArtifactDirs =
@@ -901,11 +952,30 @@ ORDER BY p.cluster_id"""
     * disagree); csls is then exact integer algebra. Probes in
     * singleton buckets have no candidates and return no rows (the
     * retrieval contract — there is nothing to retrieve).
+    *
+    * Public so callers can pass the `bucketCap` skew lever
+    * ([[cappedByBucket]], same contract as [[embedNearDup]]): the pair
+    * join — and therefore both the kNN-mean table and the candidate
+    * lists — runs over the capped set, so capped-out probes return no
+    * rows, exactly like singleton-bucket probes. Default `None` is the
+    * exact join the oracle replays.
     */
-  private def cslsRescore(s: SparkSession, d: String): DataFrame = {
+  def cslsRescore(s: SparkSession, d: String,
+      bucketCap: Option[Int] = None): DataFrame = {
     val e = quantizedCached(s, d)
-    val assigned = assignedBuckets(e, trainedCentroids(e))
-      .select(col("vec_id"), col("qe"), col("qn"), col("bucket"))
+    cslsOf(
+      assignedBuckets(e, trainedCentroids(e))
+        .select(col("vec_id"), col("qe"), col("qn"), col("bucket")),
+      bucketCap)
+  }
+
+  /** The CSLS reduction over any (vec_id, qe, qn, bucket) assignment
+    * frame — factored so the declared x87 and the persisted-index serve
+    * path ([[cslsFrom]]) share ONE spelling.
+    */
+  private def cslsOf(assignedIn: DataFrame,
+      bucketCap: Option[Int]): DataFrame = {
+    val assigned = cappedByBucket(assignedIn, bucketCap)
     val pairs = assigned.as("a").join(assigned.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
@@ -966,6 +1036,77 @@ ORDER BY p.cluster_id"""
       .withColumn("is_hub", col("in_degree") >= lit(2L * K))
       .orderBy("vec_id")
   }
+
+  /** x86's oracle — shared verbatim by the declared query and its serve
+    * twin (`x86s_silhouette_serve`), the equal-oracle serve discipline.
+    */
+  private lazy val x86Oracle: String = s"""
+WITH $duckEmbClusterCtes,
+smem AS (
+  SELECT a.vec_id, a.qe, a.bucket, c.cluster_id
+  FROM assigned a JOIN clusters c ON a.vec_id = c.vec_id
+),
+sprs AS (
+  SELECT a.vec_id AS i, a.cluster_id AS ci, b.cluster_id AS cj,
+    ${PqQueries.duckSq("a.qe", "b.qe")} AS dd
+  FROM smem a JOIN smem b
+    ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+),
+sintra AS (
+  SELECT i, (CAST(sum(dd) AS BIGINT) * 1000000) // count(*) AS qa
+  FROM sprs WHERE ci = cj GROUP BY i
+),
+sinterc AS (
+  SELECT i, cj, (CAST(sum(dd) AS BIGINT) * 1000000) // count(*) AS qbc
+  FROM sprs WHERE ci != cj GROUP BY i, cj
+),
+sinter AS (SELECT i, min(qbc) AS qb FROM sinterc GROUP BY i)
+SELECT m.vec_id, m.cluster_id, ia.qa AS a_micro, ir.qb AS b_micro,
+  CASE WHEN ia.qa IS NULL OR ir.qb IS NULL
+        OR greatest(ia.qa, ir.qb) = 0 THEN CAST(0.0 AS DOUBLE)
+       ELSE CAST(ir.qb - ia.qa AS DOUBLE)
+         / CAST(greatest(ia.qa, ir.qb) AS DOUBLE) END AS silhouette
+FROM smem m
+LEFT JOIN sintra ia ON m.vec_id = ia.i
+LEFT JOIN sinter ir ON m.vec_id = ir.i
+ORDER BY m.vec_id"""
+
+  /** x87's oracle — shared verbatim by the declared query and its serve
+    * twin (`x87s_csls_serve`).
+    */
+  private lazy val x87Oracle: String = s"""
+WITH $duckQuantizedCte,
+$duckKmeansCtes,
+$duckAssignedCtes,
+cpr AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+    CAST(floor((${duckCos("a.qe", "a.qn", "b.qe", "b.qn")})
+      * 1000000.0 + 0.5) AS BIGINT) AS cm
+  FROM assigned a JOIN assigned b
+    ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+),
+ckn AS (
+  SELECT src, cm
+  FROM (SELECT *, row_number() OVER (PARTITION BY src
+          ORDER BY cm DESC, dst) AS rn FROM cpr)
+  WHERE rn <= $K
+),
+crr AS (
+  SELECT src AS v,
+    ${tdiv("CAST(sum(cm) AS BIGINT)", "count(*)", "//")} AS rm
+  FROM ckn GROUP BY src
+),
+csc AS (
+  SELECT p.src AS q_id, p.dst, p.cm,
+    2 * p.cm - ra.rm - rb.rm AS csls
+  FROM cpr p JOIN crr ra ON p.src = ra.v JOIN crr rb ON p.dst = rb.v
+  WHERE p.src < $NQueries
+)
+SELECT q_id, CAST(rn AS BIGINT) AS rank, dst AS neighbor_id,
+  cm AS cos_micro, csls AS csls_micro
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        ORDER BY csls DESC, dst) AS rn FROM csc)
+WHERE rn <= $K ORDER BY q_id, rank"""
 
   def defs: Map[String, QueryDef] = Map(
 
@@ -1160,79 +1301,40 @@ FROM clusters ORDER BY vec_id"""),
     // and separated in the embedding space itself?", per vector, as
     // exact integer means + one final IEEE division.
     "x86_cluster_silhouette" -> QueryDef(
-      clusterSilhouette,
-      Some(s"""
-WITH $duckEmbClusterCtes,
-smem AS (
-  SELECT a.vec_id, a.qe, a.bucket, c.cluster_id
-  FROM assigned a JOIN clusters c ON a.vec_id = c.vec_id
-),
-sprs AS (
-  SELECT a.vec_id AS i, a.cluster_id AS ci, b.cluster_id AS cj,
-    ${PqQueries.duckSq("a.qe", "b.qe")} AS dd
-  FROM smem a JOIN smem b
-    ON a.bucket = b.bucket AND a.vec_id != b.vec_id
-),
-sintra AS (
-  SELECT i, (CAST(sum(dd) AS BIGINT) * 1000000) // count(*) AS qa
-  FROM sprs WHERE ci = cj GROUP BY i
-),
-sinterc AS (
-  SELECT i, cj, (CAST(sum(dd) AS BIGINT) * 1000000) // count(*) AS qbc
-  FROM sprs WHERE ci != cj GROUP BY i, cj
-),
-sinter AS (SELECT i, min(qbc) AS qb FROM sinterc GROUP BY i)
-SELECT m.vec_id, m.cluster_id, ia.qa AS a_micro, ir.qb AS b_micro,
-  CASE WHEN ia.qa IS NULL OR ir.qb IS NULL
-        OR greatest(ia.qa, ir.qb) = 0 THEN CAST(0.0 AS DOUBLE)
-       ELSE CAST(ir.qb - ia.qa AS DOUBLE)
-         / CAST(greatest(ia.qa, ir.qb) AS DOUBLE) END AS silhouette
-FROM smem m
-LEFT JOIN sintra ia ON m.vec_id = ia.i
-LEFT JOIN sinter ir ON m.vec_id = ir.i
-ORDER BY m.vec_id"""),
+      (s, d) => clusterSilhouette(s, d),
+      Some(x86Oracle),
       "bucket-local silhouette QC of semantic-dedup clusters (exact)"),
+
+    // ── x86's silhouette served from the persisted IVF assignment +
+    // persisted clusters (the x64s/x82s discipline): identical rows —
+    // the oracle string IS x86's — but the membership frame is two
+    // artifact reads, no k-means / pair-clustering re-derivation.
+    "x86s_silhouette_serve" -> QueryDef(
+      (s, d) => {
+        prepareServe(s, d)
+        silhouetteFrom(s, s"${serveRoot(d)}/ivf", s"${serveRoot(d)}/clusters")
+      },
+      Some(x86Oracle),
+      "silhouette serve path: QC from persisted index + clusters"),
 
     // ── CSLS-rescored retrieval (see [[cslsRescore]]): the correction
     // for the hub pathology x63 audits — each probe's candidates
     // re-rank by 2·cos − r(probe) − r(candidate), all in exact
     // micro-unit integers.
     "x87_csls_rescore" -> QueryDef(
-      cslsRescore,
-      Some(s"""
-WITH $duckQuantizedCte,
-$duckKmeansCtes,
-$duckAssignedCtes,
-cpr AS (
-  SELECT a.vec_id AS src, b.vec_id AS dst,
-    CAST(floor((${duckCos("a.qe", "a.qn", "b.qe", "b.qn")})
-      * 1000000.0 + 0.5) AS BIGINT) AS cm
-  FROM assigned a JOIN assigned b
-    ON a.bucket = b.bucket AND a.vec_id != b.vec_id
-),
-ckn AS (
-  SELECT src, cm
-  FROM (SELECT *, row_number() OVER (PARTITION BY src
-          ORDER BY cm DESC, dst) AS rn FROM cpr)
-  WHERE rn <= $K
-),
-crr AS (
-  SELECT src AS v,
-    ${tdiv("CAST(sum(cm) AS BIGINT)", "count(*)", "//")} AS rm
-  FROM ckn GROUP BY src
-),
-csc AS (
-  SELECT p.src AS q_id, p.dst, p.cm,
-    2 * p.cm - ra.rm - rb.rm AS csls
-  FROM cpr p JOIN crr ra ON p.src = ra.v JOIN crr rb ON p.dst = rb.v
-  WHERE p.src < $NQueries
-)
-SELECT q_id, CAST(rn AS BIGINT) AS rank, dst AS neighbor_id,
-  cm AS cos_micro, csls AS csls_micro
-FROM (SELECT *, row_number() OVER (PARTITION BY q_id
-        ORDER BY csls DESC, dst) AS rn FROM csc)
-WHERE rn <= $K ORDER BY q_id, rank"""),
+      (s, d) => cslsRescore(s, d),
+      Some(x87Oracle),
       "CSLS hubness-corrected retrieval over the IVF neighborhood"),
+
+    // ── x87's CSLS retrieval served from the persisted IVF assignment:
+    // identical rows — the oracle string IS x87's — with zero training.
+    "x87s_csls_serve" -> QueryDef(
+      (s, d) => {
+        prepareServe(s, d)
+        cslsFrom(s, s"${serveRoot(d)}/ivf")
+      },
+      Some(x87Oracle),
+      "CSLS serve path: rescored retrieval from the persisted index"),
 
     // ── Int8 scalar quantization: per-vector min/max affine mapping to
     // [0,255] — the 4× compression step a 100 TB vector store ships

@@ -60,4 +60,9 @@ class CslsSpec extends SparkSpec {
       byCsls != byCos
     }, "CSLS order equals cosine order on every probe — vacuous data")
   }
+  test("x87s: serve path over the persisted IVF assignment equals the " +
+    "self-contained x87") {
+    def asSeq(name: String) = rows(name).map(_.toSeq).toIndexedSeq
+    assert(asSeq("x87s_csls_serve") == asSeq("x87_csls_rescore"))
+  }
 }

@@ -74,6 +74,36 @@ class EmbedBucketCapSpec extends SparkSpec {
     (10L until 100L).foreach(id => assert(deg(id) == 0L))
   }
 
+  test("clusterSilhouette keeps capped-out vectors visible at s = 0") {
+    val rows = SimilarityQueries
+      .clusterSilhouette(spark, hotDir, bucketCap = Some(10))
+      .collect()
+    assert(rows.length == 100)         // full membership, not the capped set
+    rows.foreach { r =>
+      assert(r.getDouble(4) == 0.0)    // one cluster of duplicates: s = 0
+      val id = r.getLong(0)
+      // capped-in vectors have a defined (zero-distance) a; capped-out
+      // vectors generated no pairs at all, so a is the NULL convention
+      if (id < 10L) assert(!r.isNullAt(2) && r.getLong(2) == 0L)
+      else assert(r.isNullAt(2))
+      assert(r.isNullAt(3))            // single cluster → b undefined for all
+    }
+  }
+
+  test("cslsRescore drops capped-out probes like singleton-bucket probes") {
+    val byProbe = SimilarityQueries
+      .cslsRescore(spark, hotDir, bucketCap = Some(4))
+      .collect().groupBy(_.getLong(0))
+    // probes 0-3 survive the cap and see the 3 other capped-in duplicates;
+    // probes 4-7 are capped out of pair generation → no retrieval rows
+    assert(byProbe.keySet == (0L until 4L).toSet)
+    byProbe.values.foreach { rs =>
+      assert(rs.length == 3)
+      // identical vectors: cos = r(x) = r(y) = 10^6 micro → csls exactly 0
+      rs.foreach(r => assert(r.getLong(3) == 1000000L && r.getLong(4) == 0L))
+    }
+  }
+
   test("centroid budget: 64-floor below 4096 vectors, ceil(sqrt(n)) above") {
     def quant(n: Long) =
       spark.range(n).select(col("id").as("vec_id"),

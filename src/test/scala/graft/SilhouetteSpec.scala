@@ -64,4 +64,9 @@ class SilhouetteSpec extends SparkSpec {
     assert(got.values.exists { case (a, b, _) => a.isDefined && b.isDefined })
     assert(got.values.exists { case (a, _, s) => a.isEmpty && s == 0.0 })
   }
+  test("x86s: serve path over persisted index + clusters equals the " +
+    "self-contained x86") {
+    def asSeq(name: String) = rows(name).map(_.toSeq).toIndexedSeq
+    assert(asSeq("x86s_silhouette_serve") == asSeq("x86_cluster_silhouette"))
+  }
 }
