@@ -1037,6 +1037,82 @@ ORDER BY p.cluster_id"""
       .orderBy("vec_id")
   }
 
+  /** IVF index freshness without retraining (the declared
+    * `x88_ivf_append`): centroids train on the OLD half of the corpus
+    * (vec_id below the midpoint — the already-indexed vintage), the NEW
+    * half assigns against those FROZEN centroids in one map-only argmax
+    * fold, and the output is the per-bucket growth audit (n_old, n_new,
+    * share_new_pct) an index operator watches to decide when ingest
+    * drift forces a retrain. This is the operational append path of a
+    * production IVF deployment: ingest keeps the index fresh at the
+    * cost of one broadcast argmax per new vector — no Lloyd re-run, no
+    * rewrite of the existing assignment.
+    *
+    * Scale shape: the midpoint is a 1-row broadcast scalar (count div 2,
+    * no driver action — the [[initCentroids]] budget discipline);
+    * training reads only the old half; the new half's assignment is the
+    * same map-only [[nearestCentroid]] fold the serve path runs; the
+    * audit is one bucket-keyed aggregation that partially aggregates to
+    * ≤ C rows per partition. Integer-only output — no float parity
+    * surface at all (share_new_pct is a truncating division of
+    * non-negative BIGINTs, where Spark `div` and DuckDB `//` agree).
+    */
+  private def ivfAppend(s: SparkSession, d: String): DataFrame = {
+    val e = quantizedCached(s, d)
+    val withH = e.crossJoin(broadcast(e.agg(
+      expr("count(1) div 2").as("h"))))
+    val eold = withH.filter(col("vec_id") < col("h"))
+      .select(col("vec_id"), col("qe"), col("qn"))
+    val cent = trainedCentroids(eold)
+    val oldA = assignedBuckets(eold, cent)
+      .select(col("bucket"), lit(0L).as("is_new"))
+    val newA = nearestCentroid(
+        withH.filter(col("vec_id") >= col("h"))
+          .select(col("vec_id"), col("qe"), col("qn")), cent)
+      .select(col("best.id").as("bucket"), lit(1L).as("is_new"))
+    oldA.union(newA)
+      .groupBy("bucket")
+      .agg(sum(lit(1L) - col("is_new")).as("n_old"),
+        sum(col("is_new")).as("n_new"))
+      .withColumn("share_new_pct",
+        expr("(n_new * 100) div (n_old + n_new)"))
+      .orderBy("bucket")
+  }
+
+  /** x88's oracle. The shared kmeans/assignment CTEs train over a table
+    * literally named `e` — so the full corpus aliases to `eall` and `e`
+    * BECOMES the old half, reusing both shared CTE strings verbatim
+    * (training and old-half assignment replay bit-identically with zero
+    * drift risk).
+    */
+  private lazy val x88Oracle: String = s"""
+WITH eall AS (
+  SELECT vec_id, label, qe, $duckNorm AS qn
+  FROM (SELECT vec_id, label, $duckQuant AS qe FROM embeddings)
+),
+e AS (SELECT * FROM eall WHERE vec_id < (SELECT count(*) // 2 FROM eall)),
+$duckKmeansCtes,
+$duckAssignedCtes,
+nw AS (
+  SELECT vec_id, c_id AS bucket
+  FROM (SELECT n.vec_id, c.c_id,
+          row_number() OVER (PARTITION BY n.vec_id ORDER BY
+            ${duckCos("c.c_qe", "c.c_qn", "n.qe", "n.qn")} DESC, c.c_id) AS rn
+        FROM eall n CROSS JOIN c
+        WHERE n.vec_id >= (SELECT count(*) // 2 FROM eall))
+  WHERE rn = 1
+),
+u AS (
+  SELECT bucket, 0 AS is_new FROM assigned
+  UNION ALL SELECT bucket, 1 AS is_new FROM nw
+)
+SELECT bucket,
+  CAST(sum(1 - is_new) AS BIGINT) AS n_old,
+  CAST(sum(is_new) AS BIGINT) AS n_new,
+  (CAST(sum(is_new) AS BIGINT) * 100) // CAST(count(*) AS BIGINT)
+    AS share_new_pct
+FROM u GROUP BY bucket ORDER BY bucket"""
+
   /** x86's oracle — shared verbatim by the declared query and its serve
     * twin (`x86s_silhouette_serve`), the equal-oracle serve discipline.
     */
@@ -1335,6 +1411,15 @@ FROM clusters ORDER BY vec_id"""),
       },
       Some(x87Oracle),
       "CSLS serve path: rescored retrieval from the persisted index"),
+
+    // ── IVF append-without-retrain (see [[ivfAppend]]): new-batch
+    // vectors assign map-only against centroids FROZEN on the old
+    // corpus; output is the per-bucket growth audit that tells an index
+    // operator when ingest drift forces a retrain.
+    "x88_ivf_append" -> QueryDef(
+      ivfAppend,
+      Some(x88Oracle),
+      "new-batch assignment against frozen centroids + growth audit"),
 
     // ── Int8 scalar quantization: per-vector min/max affine mapping to
     // [0,255] — the 4× compression step a 100 TB vector store ships
