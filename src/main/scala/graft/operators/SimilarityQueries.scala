@@ -40,7 +40,7 @@ object SimilarityQueries {
   private val duckQuant =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))"
 
-  private val sparkNorm =
+  private[graft] val sparkNorm =
     "aggregate(qe, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"
   private val duckNorm =
     "CAST(list_sum(list_transform(qe, v -> v * v)) AS BIGINT)"
@@ -652,6 +652,52 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
         .join(clustersFrom(s, clustersPath), "vec_id"),
       None)
 
+  /** Per-bucket assignment-quality state for a (possibly streaming)
+    * vector frame scored against FROZEN centroids — the drift monitor a
+    * continuous-ingest IVF deployment maintains (st17's reduction; the
+    * st16 discipline applied to the index half). Each vector folds over
+    * the broadcast packed centroids (map-only, streamable as a
+    * stream-static cross join of a one-row frame), its best cosine
+    * fixed-points to micro-units per row (one IEEE multiply of a
+    * bit-identical double — cross-engine safe), and the maintained
+    * state is ≤ C rows of count/sum/min monoids, so the drained stream
+    * state equals the batch rollup at any arrival order. A falling
+    * min/mean cosine against frozen centroids is the retrain signal —
+    * the continuous complement of x88's batch growth audit.
+    */
+  def frozenAssignStats(e: DataFrame, cent: DataFrame): DataFrame =
+    nearestCentroid(e, cent)
+      .select(col("best.id").as("bucket"),
+        expr("CAST(floor(best.cos * 1000000.0d + 0.5d) AS BIGINT)")
+          .as("cm"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("cm")).as("sum_cos_micro"),
+        min(col("cm")).as("min_cos_micro"))
+
+  /** The batch oracle of [[frozenAssignStats]] over the full corpus —
+    * kmeans + full-corpus best-centroid pick + the per-bucket rollup.
+    */
+  lazy val frozenAssignStatsSql: String = s"""
+WITH $duckQuantizedCte,
+$duckKmeansCtes,
+fsc AS (
+  SELECT e.vec_id, c.c_id,
+    ${duckCos("c.c_qe", "c.c_qn", "e.qe", "e.qn")} AS ccos
+  FROM e CROSS JOIN c
+),
+fba AS (
+  SELECT vec_id, c_id AS bucket,
+    CAST(floor(ccos * 1000000.0 + 0.5) AS BIGINT) AS cm
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY ccos DESC, c_id) AS rn FROM fsc)
+  WHERE rn = 1
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs,
+  CAST(sum(cm) AS BIGINT) AS sum_cos_micro,
+  CAST(min(cm) AS BIGINT) AS min_cos_micro
+FROM fba GROUP BY bucket ORDER BY bucket"""
+
   /** x87's CSLS retrieval served from the persisted IVF assignment —
     * zero retraining; same reduction as the declared query.
     */
@@ -913,7 +959,7 @@ ORDER BY p.cluster_id"""
     */
   val serveRows: Set[String] = Set("x12s_ann_serve", "x64s_purity_serve",
     "x82s_pq_serve", "x85s_ivfpq_serve", "x86s_silhouette_serve",
-    "x87s_csls_serve", "st16_stream_pq_encode")
+    "x87s_csls_serve", "st16_stream_pq_encode", "st17_stream_ivf_assign")
 
   /** The artifact subdirectories [[prepareServe]] must produce. */
   private val ArtifactDirs =

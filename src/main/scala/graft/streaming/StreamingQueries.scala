@@ -559,7 +559,36 @@ FROM t GROUP BY lang ORDER BY lang"""),
           .orderBy("sub", "code")
       },
       Some(graft.operators.PqQueries.codebookStatsSql),
-      "streaming PQ encode state == batch codebook stats (drift monitor)"))
+      "streaming PQ encode state == batch codebook stats (drift monitor)"),
+
+    // ── Streaming IVF assignment against FROZEN centroids (the index
+    // half of st16's frozen-books discipline, and the continuous
+    // complement of x88's batch append audit): arriving vectors route
+    // with the same broadcast argmax fold the serve path uses —
+    // centroids come from the persisted `ivf/centroids` artifact, never
+    // retrained in-stream — and the maintained state is the per-bucket
+    // (count, Σ cos_micro, min cos_micro) drift monitor, ≤ C rows of
+    // count/sum/min monoids. Drained state equals the batch rollup at
+    // any arrival order; a falling mean/min cosine is the retrain
+    // signal.
+    "st17_stream_ivf_assign" -> QueryDef(
+      (s, d) => {
+        import graft.operators.SimilarityQueries
+        // the stream path never passes through the batch quantization
+        // entry point, so the native dot_long registration happens here
+        graft.GraftExtensions.install(s)
+        SimilarityQueries.prepareServe(s, d)
+        val cent = s.read.parquet(
+          s"${SimilarityQueries.serveRoot(d)}/ivf/centroids")
+        val stream = EventStream.readEmbeddings(s, d)
+          .withColumn("qe", expr(SimilarityQueries.sparkQuant))
+          .withColumn("qn", expr(SimilarityQueries.sparkNorm))
+        val agg = SimilarityQueries.frozenAssignStats(stream, cent)
+        EventStream.runToMemory(s, agg, s"st17_sink_${System.nanoTime}")
+          .orderBy("bucket")
+      },
+      Some(graft.operators.SimilarityQueries.frozenAssignStatsSql),
+      "streaming IVF assign vs frozen centroids == batch bucket stats"))
 
   /** st13's sketch size — small enough that every SF's per-source
     * fingerprint count (≥ 24) exercises the estimator branch, not the

@@ -26,4 +26,26 @@ class IvfIndexSpec extends SparkSpec {
       .filter(_.getName.startsWith("bucket="))
     assert(parts.length > 1, s"expected bucket=* dirs, got ${parts.length}")
   }
+
+  test("st17: streaming assignment state against frozen centroids " +
+    "equals the per-bucket rollup of the declared x10 assignment") {
+    // independent recomputation: micro-round x10's centroid_cos in the
+    // JVM and fold the count/sum/min monoids per bucket
+    val want = SparkEntry.queries("x10_ann_ivf_assign")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("bucket"),
+        math.floor(r.getAs[Double]("centroid_cos") * 1000000.0 + 0.5)
+          .toLong))
+      .groupBy(_._1).map { case (b, xs) =>
+        val cs = xs.map(_._2)
+        (b, cs.length.toLong, cs.sum, cs.min)
+      }.toSet
+    spark.catalog.clearCache()
+    val got = SparkEntry.queries("st17_stream_ivf_assign")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("sum_cos_micro"), r.getAs[Long]("min_cos_micro")))
+      .toSet
+    assert(got == want)
+  }
 }
