@@ -16,6 +16,7 @@ object SparkEntry {
       operators.DedupQueries.defs ++
       operators.SimilarityQueries.defs ++
       operators.PqQueries.defs ++
+      operators.SrpQueries.defs ++
       operators.EventQueries.defs ++
       operators.ReportingQueries.defs ++
       operators.PipelineQueries.defs ++

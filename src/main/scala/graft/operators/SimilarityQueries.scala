@@ -71,13 +71,13 @@ object SimilarityQueries {
     * (`EdgeEmbeddingsSpec`). Every cosine in this module MUST go
     * through these two helpers.
     */
-  private def sparkCos(av: String, an: String,
+  private[operators] def sparkCos(av: String, an: String,
       bv: String, bn: String): String =
     s"""(CASE WHEN $an = 0 OR $bn = 0 THEN CAST(0.0d AS DOUBLE)
         ELSE CAST(${sparkDot(av, bv)} AS DOUBLE)
           / (sqrt(CAST($an AS DOUBLE)) * sqrt(CAST($bn AS DOUBLE)))
         END)""".replace('\n', ' ')
-  private def duckCos(av: String, an: String,
+  private[operators] def duckCos(av: String, an: String,
       bv: String, bn: String): String =
     s"""(CASE WHEN $an = 0 OR $bn = 0 THEN CAST(0.0 AS DOUBLE)
         ELSE CAST(${duckDot(av, bv)} AS DOUBLE)
@@ -170,6 +170,28 @@ object SimilarityQueries {
         .filter(col("__brank") <= c)
         .drop("__brank")
     }
+
+  /** Exact brute-force top-K over a quantized corpus (the declared
+    * `x09_ann_bruteforce`, shared as the ground truth by the SRP recall
+    * audit `x90_srp_recall`): broadcast the ≤ NQueries probe rows, score
+    * map-side, window top-k. The exactness baseline every approximate
+    * path (IVF, PQ, SRP) is audited against.
+    */
+  private[operators] def bruteTopK(e: DataFrame): DataFrame = {
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("qe").as("q_qe"),
+        col("qn").as("q_qn"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(desc("cos"), col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", expr(sparkCos("q_qe", "q_qn", "qe", "qn")))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cos"))
+      .orderBy("q_id", "rank")
+  }
 
   /** The whole centroid table packed into ONE broadcast row
     * (`collect_list` of ≤ NCentroids structs) — the shape every
@@ -1240,22 +1262,7 @@ WHERE rn <= $K ORDER BY q_id, rank"""
     // ── Brute-force cosine top-k: exact baseline; probe set broadcast,
     // one pass over the corpus, per-query heap via window rank.
     "x09_ann_bruteforce" -> QueryDef(
-      (s, d) => {
-        val e = quantized(s, d)
-        val q = e.filter(col("vec_id") < NQueries)
-          .select(col("vec_id").as("q_id"), col("qe").as("q_qe"),
-            col("qn").as("q_qn"))
-        val w = Window.partitionBy("q_id")
-          .orderBy(desc("cos"), col("vec_id"))
-        e.crossJoin(broadcast(q))
-          .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("cos", expr(sparkCos("q_qe", "q_qn", "qe", "qn")))
-          .withColumn("rank", row_number().over(w).cast("bigint"))
-          .filter(col("rank") <= K)
-          .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
-            col("cos"))
-          .orderBy("q_id", "rank")
-      },
+      (s, d) => bruteTopK(quantized(s, d)),
       Some(s"""
 WITH $duckQuantizedCte,
 q AS (SELECT vec_id AS q_id, qe AS q_qe, qn AS q_qn FROM e

@@ -39,7 +39,8 @@ class EdgeEmbeddingsSpec extends SparkSpec {
         "x11c_neardup_bucketcap", "x28_embed_quantize",
         "x41_embed_dedup_clusters", "x59_embed_dim_stats",
         "x63_knn_hubness", "x86_cluster_silhouette",
-        "x87_csls_rescore", "x88_ivf_append")) {
+        "x87_csls_rescore", "x88_ivf_append",
+        "x89_srp_lsh_ann", "x89c_srp_bandcap", "x90_srp_recall")) {
       val rows =
         try SparkEntry.queries(name)(spark, dir).collect()
         catch { case e: Throwable =>
