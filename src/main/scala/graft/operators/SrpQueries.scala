@@ -194,6 +194,31 @@ topk AS (
   WHERE rn <= $K
 )"""
 
+  /** Per-(band, key) population rollup — the state the streaming twin
+    * `st18_stream_srp_buckets` maintains: (count, min vec_id) monoids
+    * keyed by the ≤ Bands·2^BitsPerBand sign buckets. Operationally this
+    * IS the bandCap sizing signal: a bucket whose n_vecs runs away (the
+    * dead-vector all-ones key, a template-flood sign pattern) is the one
+    * the capped path truncates, and the stream surfaces it continuously
+    * without any index artifact to refresh.
+    */
+  private[graft] def bucketStats(e: DataFrame): DataFrame =
+    bandKeys(e)
+      .groupBy(col("band").cast("bigint").as("band"), col("bkey"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec_id"))
+
+  /** Batch oracle of [[bucketStats]] — the full-corpus rollup over the
+    * shared key CTEs; drained stream state must equal it at any arrival
+    * order (count/min are commutative monoids).
+    */
+  private[graft] lazy val bucketStatsSql: String = s"""
+WITH ${SimilarityQueries.duckQuantizedCte},
+$duckSrpCtes
+SELECT CAST(band AS BIGINT) AS band, bkey,
+  CAST(count(*) AS BIGINT) AS n_vecs,
+  CAST(min(vec_id) AS BIGINT) AS min_vec_id
+FROM bk GROUP BY 1, 2 ORDER BY band, bkey"""
+
   private val x89Oracle = s"""
 WITH ${SimilarityQueries.duckQuantizedCte},
 $duckSrpCtes,

@@ -588,7 +588,31 @@ FROM t GROUP BY lang ORDER BY lang"""),
           .orderBy("bucket")
       },
       Some(graft.operators.SimilarityQueries.frozenAssignStatsSql),
-      "streaming IVF assign vs frozen centroids == batch bucket stats"))
+      "streaming IVF assign vs frozen centroids == batch bucket stats"),
+
+    // ── Streaming SRP sign-bucket population: the ingest half of the
+    // x89 family's pitch. Where st17 routes against a FROZEN artifact,
+    // SRP needs no artifact at all — an arriving vector's (band, key)
+    // rows are a pure map function of the vector (closed-form
+    // hyperplanes), so the stream side is a stateless projection feeding
+    // a ≤ Bands·2^BitsPerBand-key (count, min) monoid rollup: the
+    // continuous hot-bucket monitor that sizes the x89c bandCap lever.
+    // Drained state equals the batch rollup at any arrival order.
+    "st18_stream_srp_buckets" -> QueryDef(
+      (s, d) => {
+        import graft.operators.{SimilarityQueries, SrpQueries}
+        // the stream path never passes through the batch quantization
+        // entry point, so the native dot_long registration happens here
+        graft.GraftExtensions.install(s)
+        val stream = EventStream.readEmbeddings(s, d)
+          .withColumn("qe", expr(SimilarityQueries.sparkQuant))
+          .withColumn("qn", expr(SimilarityQueries.sparkNorm))
+        val agg = SrpQueries.bucketStats(stream)
+        EventStream.runToMemory(s, agg, s"st18_sink_${System.nanoTime}")
+          .orderBy("band", "bkey")
+      },
+      Some(graft.operators.SrpQueries.bucketStatsSql),
+      "streaming SRP sign-bucket rollup == batch band-key population"))
 
   /** st13's sketch size — small enough that every SF's per-source
     * fingerprint count (≥ 24) exercises the estimator branch, not the

@@ -55,7 +55,8 @@ class EdgeEmbeddingsSpec extends SparkSpec {
     "duplicate / constant vectors; no division anywhere to diverge)") {
     for (name <- Seq("x81_pq_codebooks", "x82_pq_adc_search",
         "x83_pq_recall_audit", "x84_pq_rerank", "x85_ivfpq_search",
-        "st16_stream_pq_encode", "st17_stream_ivf_assign")) {
+        "st16_stream_pq_encode", "st17_stream_ivf_assign",
+        "st18_stream_srp_buckets")) {
       val rows =
         try SparkEntry.queries(name)(spark, dir).collect()
         catch { case e: Throwable =>
