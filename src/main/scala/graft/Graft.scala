@@ -202,6 +202,40 @@ object Graft {
       run("x74_pca_power", spark, dir)
     def dimStats(spark: SparkSession, dir: String): DataFrame =
       run("x59_embed_dim_stats", spark, dir)
+
+    /** Product-quantization codebooks (x81): train + encode stats. */
+    def pqCodebooks(spark: SparkSession, dir: String): DataFrame =
+      run("x81_pq_codebooks", spark, dir)
+    /** Compressed-domain (ADC) top-k over PQ codes (x82). */
+    def pqSearch(spark: SparkSession, dir: String): DataFrame =
+      run("x82_pq_adc_search", spark, dir)
+    /** Exact re-rank of the ADC shortlist (x84). */
+    def pqRerank(spark: SparkSession, dir: String): DataFrame =
+      run("x84_pq_rerank", spark, dir)
+    /** Recall@k of ADC and re-ranked PQ vs exact truth (x83). */
+    def pqRecallAudit(spark: SparkSession, dir: String): DataFrame =
+      run("x83_pq_recall_audit", spark, dir)
+    /** IVFADC: nprobe bucket pruning + residual-code ADC (x85). */
+    def ivfPqSearch(spark: SparkSession, dir: String): DataFrame =
+      run("x85_ivfpq_search", spark, dir)
+    /** Bucket-local silhouette QC of the semantic clusters (x86). */
+    def clusterSilhouette(spark: SparkSession, dir: String): DataFrame =
+      run("x86_cluster_silhouette", spark, dir)
+    /** CSLS hubness-corrected retrieval (x87). */
+    def cslsRescore(spark: SparkSession, dir: String): DataFrame =
+      run("x87_csls_rescore", spark, dir)
+    /** kNN in-degree hubness audit (x63) — what [[cslsRescore]] fixes. */
+    def knnHubness(spark: SparkSession, dir: String): DataFrame =
+      run("x63_knn_hubness", spark, dir)
+    /** IVF append-without-retrain growth audit (x88). */
+    def ivfAppendAudit(spark: SparkSession, dir: String): DataFrame =
+      run("x88_ivf_append", spark, dir)
+    /** Train-free SRP (hyperplane) LSH top-k with multiprobe (x89). */
+    def srpSearch(spark: SparkSession, dir: String): DataFrame =
+      run("x89_srp_lsh_ann", spark, dir)
+    /** SRP retrieval recall vs the brute-force truth (x90). */
+    def srpRecallAudit(spark: SparkSession, dir: String): DataFrame =
+      run("x90_srp_recall", spark, dir)
   }
 
   /** Release persisted intermediate branches left by the dedup/similarity

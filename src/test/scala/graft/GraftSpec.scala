@@ -6,6 +6,8 @@ class GraftSpec extends SparkSpec {
     assert(Graft.dedup.exact(spark, sf).count() > 0)
     assert(Graft.text.tokens(spark, sf).count() > 0)
     assert(Graft.similarity.ivfSearch(spark, sf).count() > 0)
+    assert(Graft.similarity.srpSearch(spark, sf).count() > 0)
+    assert(Graft.similarity.pqSearch(spark, sf).count() > 0)
     assert(Graft.multimodal.frameSamples(spark, sf).count() > 0)
     assert(Graft.calendar(spark, sf).count() > 0)
     assert(Graft.run("j01_inner_join", spark, sf).count() > 0)
