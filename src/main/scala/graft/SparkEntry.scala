@@ -17,6 +17,7 @@ object SparkEntry {
       operators.SimilarityQueries.defs ++
       operators.PqQueries.defs ++
       operators.SrpQueries.defs ++
+      operators.BpeQueries.defs ++
       operators.EventQueries.defs ++
       operators.ReportingQueries.defs ++
       operators.PipelineQueries.defs ++
