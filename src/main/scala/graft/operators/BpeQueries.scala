@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Byte-pair-encoding merge TRAINING (Sennrich, Haddow & Birch, "Neural
@@ -26,14 +26,21 @@ import org.apache.spark.sql.functions._
   *
   * Merge application is the parity trick: a word's symbol segmentation
   * is kept as the word with `chr(1)` separators (a character that cannot
-  * occur inside space-split words), so applying merge (a, b) is ONE
-  * `replace(repr, 'a␁b', 'ab')` — and both engines' `replace` scans
-  * left-to-right non-overlapping, which is exactly BPE's simultaneous
-  * merge-application semantics ("x␁x␁x" under (x, x) → "xx␁x", never
-  * "x␁xx"). Pair selection breaks count ties by binary string order on
-  * both engines. Everything else is integer counts, so the whole
-  * trainer replays bit-for-bit in the oracle as `Rounds` chained CTE
-  * triples.
+  * occur inside space-split words), and applying merge (a, b) is a
+  * per-word left fold over the symbols — merge when the accumulator's
+  * LAST symbol equals `a` and the incoming symbol equals `b`, which is
+  * exactly BPE's greedy left-to-right non-overlapping application
+  * ([x,x,x] under (x,x) → [xx,x], never [x,xx]; a merged symbol can't
+  * cascade within its own round because `ab` is strictly longer than
+  * `a`). The fold compares WHOLE symbols — the `chr(1)`-anchored
+  * suffix test — where a flat-string `replace(repr, 'a␁b', 'ab')`
+  * would falsely match `a` as the tail of a longer symbol ([xa, b]
+  * must NOT fuse). Spark spells the fold `aggregate()`, DuckDB
+  * `list_reduce()`; it stays a pure map over the word table — no
+  * per-round shuffle. Pair selection breaks count ties by binary
+  * string order on both engines. Everything else is integer counts,
+  * so the whole trainer replays bit-for-bit in the oracle as `Rounds`
+  * chained CTE triples.
   */
 object BpeQueries {
   private val Rounds = 6
@@ -65,13 +72,33 @@ object BpeQueries {
         .as("pair"))
       .groupBy("pair").agg(sum(col("cnt")).as("n"))
 
-  /** The learned merge table: one row per round — (round, sym_a, sym_b,
-    * merged, n), where n is the pair's weighted count when it was
-    * chosen. Stops early if the pair supply is exhausted (degenerate
-    * corpora), so the row count is `min(Rounds, available merges)`.
+  /** Greedy left-to-right non-overlapping application of merge (a, b):
+    * fold the symbol list, fusing when the accumulator's last symbol is
+    * exactly `a` (the separator-anchored suffix test — `a` as the tail
+    * of a LONGER symbol must not match) and the next symbol is `b`.
+    * Fusing appends bare `b` (the last symbol `…␁a` becomes `…␁ab`);
+    * otherwise the symbol arrives behind a separator. A pure map —
+    * merge rounds never shuffle the word table.
     */
-  private[graft] def trainMerges(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  private def applyMerge(repr: Column, a: String, b: String): Column = {
+    val syms = split(repr, Sep)
+    aggregate(
+      slice(syms, lit(2), size(syms) - 1),
+      element_at(syms, 1),
+      (acc, x) => when(
+        x === lit(b) && (acc === lit(a) || acc.endsWith(lit(Sep + a))),
+        concat(acc, lit(b))).otherwise(concat(acc, lit(Sep), x)))
+  }
+
+  /** The trainer loop shared by the merge-table query and the encoder:
+    * runs the rounds and returns BOTH the learned merges and the word
+    * table in its final segmentation (every chosen merge applied).
+    * Stops early if the pair supply is exhausted (degenerate corpora),
+    * so the merge count is `min(Rounds, available merges)`. The only
+    * driver state is one (pair, count) row per round.
+    */
+  private def trainLoop(s: SparkSession, d: String)
+      : (DataFrame, Seq[(Long, String, String, String, Long)]) = {
     val w0 = wordTable(s, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var words = w0
@@ -87,21 +114,78 @@ object BpeQueries {
         val n = best.head.getAs[Long]("n")
         val Array(a, b) = pair.split(Sep, 2)
         merges += ((r.toLong, a, b, a + b, n))
-        words = words.withColumn("repr",
-          call_function("replace", col("repr"), lit(pair), lit(a + b)))
+        words = words.withColumn("repr", applyMerge(col("repr"), a, b))
         r += 1
       }
     }
-    merges.result()
+    (words, merges.result())
+  }
+
+  /** The learned merge table: one row per round — (round, sym_a, sym_b,
+    * merged, n), where n is the pair's weighted count when it was
+    * chosen.
+    */
+  private[graft] def trainMerges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    trainLoop(s, d)._2
       .toDF("round", "sym_a", "sym_b", "merged", "n")
       .orderBy("round")
   }
 
-  /** The oracle replays the identical loop as `Rounds` chained CTE
-    * triples (pairs → best-by-(n DESC, pair) → replace-everywhere).
+  /** Per-source BPE fertility under the trained merges — the metric
+    * that decides whether a tokenizer's vocab suits a corpus slice
+    * (x79 measures it for a FIXED regex tokenizer; this measures it
+    * for the LEARNED model). The encoded word-TYPE table carries
+    * `n_sub = |symbols(repr)|` per word; per-source totals come from
+    * joining the (source, word, w_cnt) occurrence table to it on
+    * `word` — a vocabulary-keyed shuffle join of two vocabulary-sized
+    * frames (NO broadcast hint: the x66 lesson — AQE may still choose
+    * one when the vocab is actually small). Fertility is ONE IEEE
+    * division of two exact BIGINTs, bit-identical cross-engine.
     */
-  private def oracle: String = {
-    def roundCtes(r: Int): String = s"""
+  private[graft] def encodeFertility(s: SparkSession, d: String,
+      encoded: DataFrame): DataFrame = {
+    val enc = encoded.select(col("word"),
+      size(split(col("repr"), Sep)).cast("bigint").as("n_sub"))
+    Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("source", "word").agg(count(lit(1)).as("w_cnt"))
+      .join(enc, Seq("word"))
+      .groupBy("source")
+      .agg(sum(col("w_cnt")).as("n_words"),
+        sum(col("w_cnt") * col("n_sub")).as("n_subwords"))
+      .withColumn("fertility",
+        col("n_subwords").cast("double") / col("n_words").cast("double"))
+      .orderBy("source")
+  }
+
+  /** The serve-path encoder: re-derives the word table (one corpus
+    * scan) and applies the PERSISTED merge table — ≤ `Rounds` rows
+    * collected to the driver (constant-size state) and replayed as
+    * chained replaces in round order — skipping the trainer's
+    * per-round pair-count aggregations entirely. Row-identical to the
+    * self-contained path (BpeSpec + the shared oracle pin it).
+    */
+  private def encodedFromServe(s: SparkSession, d: String): DataFrame = {
+    val ms = AuditServe.mergesFrom(s, d)
+      .select("round", "sym_a", "sym_b").collect()
+      .sortBy(_.getAs[Long]("round"))
+    ms.foldLeft(wordTable(s, d)) { (w, m) =>
+      w.withColumn("repr", applyMerge(col("repr"),
+        m.getAs[String]("sym_a"), m.getAs[String]("sym_b")))
+    }
+  }
+
+  /** The oracle replays the identical loop as `Rounds` chained CTE
+    * triples: pairs → best-by-(n DESC, pair) → the same greedy fold as
+    * [[applyMerge]], spelled `list_reduce` (DuckDB lambdas close over
+    * the row, so the merge halves arrive via a LEFT JOIN ON TRUE of
+    * the 0-or-1-row b_r — NULL when the pair supply is exhausted
+    * before `Rounds`, in which case the repr passes through unchanged,
+    * matching the Spark side's early stop).
+    */
+  private def roundCtes(r: Int): String = s"""
 p$r AS (
   SELECT pr AS pair, CAST(sum(cnt) AS BIGINT) AS n FROM (
     SELECT cnt, unnest(CASE WHEN len(syms) >= 2 THEN
@@ -113,11 +197,17 @@ p$r AS (
 ),
 b$r AS (SELECT pair, n FROM p$r ORDER BY n DESC, pair LIMIT 1),
 w$r AS (
-  SELECT word, cnt,
-    replace(repr, (SELECT pair FROM b$r),
-      replace((SELECT pair FROM b$r), chr(1), '')) AS repr
-  FROM w${r - 1}
+  SELECT word, cnt, CASE WHEN sa IS NULL THEN repr ELSE
+    list_reduce(string_split(repr, chr(1)), (acc, x) ->
+      CASE WHEN x = sb AND (acc = sa OR ends_with(acc, chr(1) || sa))
+        THEN acc || sb ELSE acc || chr(1) || x END)
+  END AS repr
+  FROM w${r - 1} LEFT JOIN (
+    SELECT string_split(pair, chr(1))[1] AS sa,
+           string_split(pair, chr(1))[2] AS sb FROM b$r) ON TRUE
 )"""
+
+  private def oracle: String = {
     val selects = (1 to Rounds).map(r => s"""
   SELECT CAST($r AS BIGINT) AS round,
     string_split(pair, chr(1))[1] AS sym_a,
@@ -137,11 +227,60 @@ ${(1 to Rounds).map(roundCtes).mkString(",")}
 SELECT * FROM ($selects) ORDER BY round"""
   }
 
+  /** Same CTE chain, final word table instead of the merge rows:
+    * per-source fertility from the w`Rounds` segmentation.
+    */
+  private def fertilityOracle: String = s"""
+WITH w0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+    array_to_string(list_transform(generate_series(1, length(word)),
+      i -> substring(word, i, 1)), chr(1)) AS repr
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE length(word) > 0
+  GROUP BY word
+),
+${(1 to Rounds).map(roundCtes).mkString(",")},
+enc AS (
+  SELECT word,
+    CAST(len(string_split(repr, chr(1))) AS BIGINT) AS n_sub
+  FROM w$Rounds
+),
+occ AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS w_cnt FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE length(word) > 0 GROUP BY 1, 2
+)
+SELECT source,
+  CAST(sum(w_cnt) AS BIGINT) AS n_words,
+  CAST(sum(w_cnt * n_sub) AS BIGINT) AS n_subwords,
+  CAST(CAST(sum(w_cnt * n_sub) AS BIGINT) AS DOUBLE)
+    / CAST(CAST(sum(w_cnt) AS BIGINT) AS DOUBLE) AS fertility
+FROM occ JOIN enc USING (word)
+GROUP BY source ORDER BY source"""
+
   def defs: Map[String, QueryDef] = Map(
     // ── The BPE trainer loop: the merge table a subword tokenizer ships.
     "x91_bpe_train" -> QueryDef(
       (s, d) => trainMerges(s, d),
       Some(oracle),
       s"character-level BPE merge training, $Rounds rounds over the " +
-        "frequency-weighted word-type table"))
+        "frequency-weighted word-type table"),
+
+    // ── Encode under the trained model: per-source subword fertility.
+    "x92_bpe_fertility" -> QueryDef(
+      (s, d) => encodeFertility(s, d, trainLoop(s, d)._1),
+      Some(fertilityOracle),
+      "per-source fertility of the corpus encoded with the learned " +
+        "BPE merges"),
+
+    // ── Serve twin: replay the PERSISTED merge table (≤ Rounds rows of
+    //    constant driver state), skipping the trainer's per-round
+    //    pair-count jobs. Row-identical to x92 (shared oracle).
+    "x92s_bpe_encode_serve" -> QueryDef(
+      (s, d) => {
+        AuditServe.prepare(s, d)
+        encodeFertility(s, d, encodedFromServe(s, d))
+      },
+      Some(fertilityOracle),
+      "per-source BPE fertility served from the persisted merge table"))
 }

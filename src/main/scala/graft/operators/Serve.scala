@@ -30,9 +30,9 @@ object Serve {
   private[operators] val IndexBuilderVersion = 8
 
   /** Version of the documents-keyed audit builders ([[AuditServe]]):
-    * v7 = the round-6 artifact set (lshcand, quality, clusters, ngjacc).
+    * v8 = the BPE merge table (`bpemerges`) joined the artifact set.
     */
-  private[operators] val AuditBuilderVersion = 7
+  private[operators] val AuditBuilderVersion = 8
 
   private[operators] def root(dir: String, dataFile: String,
       version: Int): String = {
@@ -86,14 +86,16 @@ object AuditServe {
     * removing one parquet dir while `_READY` survives) self-heals with
     * a rebuild instead of failing path-not-found forever.
     */
-  private val ArtifactDirs = Seq("lshcand", "quality", "clusters", "ngjacc")
+  private val ArtifactDirs =
+    Seq("lshcand", "quality", "clusters", "ngjacc", "bpemerges")
 
   /** Every DECLARED row that READS this family's serve root — the
     * [[graft.Bench]] pre-build set, co-located like
     * [[SimilarityQueries.serveRows]].
     */
   val serveRows: Set[String] = Set("x42s_canonical_serve",
-    "x43s_leakage_serve", "x45s_drift_serve", "x47s_recall_serve")
+    "x43s_leakage_serve", "x45s_drift_serve", "x47s_recall_serve",
+    "x92s_bpe_encode_serve")
 
   /** Build the audit artifacts once per data version — idempotent
     * behind a _READY marker PLUS a presence check of every artifact
@@ -121,6 +123,8 @@ object AuditServe {
         .write.mode("overwrite").parquet(s"$r/clusters")
       DedupQueries.ngramJaccard(s, dir)
         .write.mode("overwrite").parquet(s"$r/ngjacc")
+      BpeQueries.trainMerges(s, dir)
+        .write.mode("overwrite").parquet(s"$r/bpemerges")
       marker.createNewFile()
       s.catalog.clearCache() // build-side persists must not leak
     }
@@ -146,4 +150,10 @@ object AuditServe {
     */
   def jaccardFrom(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"${root(dir)}/ngjacc")
+
+  /** The persisted BPE merge table (round, sym_a, sym_b, merged, n) —
+    * the trainer's output, i.e. the tokenizer model file.
+    */
+  def mergesFrom(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${root(dir)}/bpemerges")
 }

@@ -16,6 +16,9 @@ class BpeSpec extends SparkSpec {
     texts.zipWithIndex
       .map { case (t, i) => (i.toLong, t, "en", "src0") }
       .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")).cast("long"))
       .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
     d
   }
@@ -61,5 +64,88 @@ class BpeSpec extends SparkSpec {
     val m = merges(corpusDir(""))
     spark.catalog.clearCache()
     assert(m.isEmpty, m.toString)
+  }
+
+  test("merge application is symbol-bounded: 'a' as the tail of a " +
+      "longer symbol must not fuse") {
+    // round 1 merges (x,a) n=4 → 'xab' segments to [xa, b]; round 2
+    // merges (a,b) n=2 (from the two 'ab' words) — a flat-string
+    // replace of 'a␁b' would falsely match inside 'xa␁b' and fuse
+    // 'xab' to one symbol, leaving nothing for round 3; the correct
+    // whole-symbol fold leaves [xa, b] intact so round 3 merges it
+    val m = merges(corpusDir("xa xa xa ab", "ab xab"))
+    spark.catalog.clearCache()
+    assert(m == Seq(
+      (1L, "x", "a", "xa", 4L),
+      (2L, "a", "b", "ab", 2L),
+      (3L, "xa", "b", "xab", 1L)), m.toString)
+  }
+
+  // ── Textbook reference (Sennrich et al. 2016, algorithm 1): greedy
+  //    left-to-right non-overlapping scan over ORIGINAL adjacency —
+  //    deliberately the index-walk spelling, not the engine's fold, so
+  //    a shared bug can't hide.
+  private def refApply(syms: Vector[String], a: String,
+      b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (syms(i) == a && i + 1 < syms.length && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def refTrain(words: Map[String, Long],
+      rounds: Int): Seq[(Long, String, String, String, Long)] = {
+    var segs = words.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- segs; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) =
+          counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), n) = counts.minBy { case ((a, b), n) =>
+          (-n, a + "\u0001" + b)
+        }
+        out += ((r.toLong, a, b, a + b, n))
+        segs = segs.map { case (syms, c) => (refApply(syms, a, b), c) }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  test("property: the engine matches the textbook trainer on a " +
+      "seeded random corpus") {
+    val rnd = new scala.util.Random(42)
+    val words = Vector.fill(40) {
+      (1 to (1 + rnd.nextInt(6))).map(_ => "abc" (rnd.nextInt(3))).mkString
+    }
+    val docs = Vector.fill(3) {
+      Vector.fill(30)(words(rnd.nextInt(words.length))).mkString(" ")
+    }
+    val counts = docs.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) => (w, g.size.toLong) }
+    val m = merges(corpusDir(docs: _*))
+    spark.catalog.clearCache()
+    assert(m == refTrain(counts, 6), s"engine $m vs ref ${refTrain(counts, 6)}")
+  }
+
+  test("the serve row answers from the persisted merge table with " +
+      "identical rows") {
+    val dir = corpusDir("xa xa xa ab", "ab xab", "zz zz z")
+    def rows(name: String) = SparkEntry.queries(name)(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val self = rows("x92_bpe_fertility")
+    val served = rows("x92s_bpe_encode_serve")
+    spark.catalog.clearCache()
+    assert(self == served, s"self $self vs served $served")
+    assert(self.nonEmpty)
   }
 }

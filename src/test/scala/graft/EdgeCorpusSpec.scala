@@ -45,7 +45,8 @@ class EdgeCorpusSpec extends SparkSpec {
     "x06c_lsh_bandcap", "x08c_jaccard_dfcap", "x42_cluster_canonical",
     "x42s_canonical_serve", "x43_split_leakage", "x43s_leakage_serve",
     "x45_quality_drift", "x45s_drift_serve", "x47_lsh_recall_audit",
-    "x47s_recall_serve", "x91_bpe_train")
+    "x47s_recall_serve", "x91_bpe_train", "x92_bpe_fertility",
+    "x92s_bpe_encode_serve")
 
   test("document-family queries survive a degenerate corpus") {
     for (name <- docQueries) {
