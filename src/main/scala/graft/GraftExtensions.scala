@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotLong, KmvSketch, LocalComponents, MinHashSigs, MinKSample, Shingles3, SimHashBits}
+import graft.functions.{DotLong, KmvSketch, LocalComponents, MinHashSigs, MinKSample, Shingles3, SimHashBits, SrpBandKeys}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -48,6 +48,15 @@ object GraftExtensions {
         case other => throw new IllegalArgumentException(
           "mink_sample(struct, k): expected (struct, integer literal), " +
             s"got $other")
+      }),
+    (FunctionIdentifier("srp_band_keys"),
+      new ExpressionInfo(classOf[SrpBandKeys].getName, "srp_band_keys"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, Literal(bands: Int, _), Literal(bits: Int, _)) =>
+          SrpBandKeys(a, bands, bits)
+        case other => throw new IllegalArgumentException(
+          "srp_band_keys(arr, bands, bits): expected (array, integer " +
+            s"literal, integer literal), got $other")
       }),
     (FunctionIdentifier("kmv_sketch"),
       new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),

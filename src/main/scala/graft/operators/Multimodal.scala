@@ -98,6 +98,68 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** One fixed-size "audio" analysis window: exact integer energy
+    * (Σ cp², no floats — cross-engine parity is trivially bit-exact)
+    * over `ns` decoded samples.
+    */
+  final case class AudioWindow(doc_id: Long, w: Long, e: Long, ns: Long)
+
+  /** Windows per decoded payload — the AUDIO decode shape: a codec
+    * emits a duration-proportional stream of frames/windows, not one
+    * row per file, so the fan-out happens INSIDE the partition-local
+    * decode (the `mapInPandas` batch analog), scaling with media
+    * seconds while the input stays one binary row. The stand-in
+    * "PCM decode" reads the payload's Unicode code points as sample
+    * amplitudes (deterministic, like [[fakeDecode]]'s dimensions —
+    * swap in a real WAV/Opus decoder and the window stream, schema,
+    * and downstream plan are unchanged). 16 samples per window;
+    * empty payloads decode to zero windows on both engines.
+    */
+  def audioWindows(docs: Dataset[BinaryDoc]): Dataset[AudioWindow] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { doc =>
+      val s = new String(doc.content, java.nio.charset.StandardCharsets.UTF_8)
+      if (s.isEmpty) Iterator.empty
+      else s.codePoints().toArray.grouped(16).zipWithIndex.map {
+        case (g, w) => AudioWindow(doc.doc_id, w.toLong,
+          g.map(c => c.toLong * c).sum, g.length.toLong)
+      }
+    }
+  }
+
+  /** Voice-activity segmentation over the window stream — the
+    * silence-trim audit an audio curation pipeline runs before ASR:
+    * a window is voiced when its mean energy clears a threshold
+    * (exact integer comparison, `e ≥ 5000·ns`), voiced runs merge
+    * into segments by gaps-and-islands (`w − row_number` per doc),
+    * and each doc reports window/voiced/segment counts plus its
+    * longest segment. The window stream is computed once and reused
+    * by both branches (totals + islands); every shuffle is keyed on
+    * `doc_id`, so at 100 TB this is one decode pass plus
+    * doc-partitioned aggregation — no corpus-wide hot key.
+    */
+  def audioVad(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val flag = audioWindows(binaryDocs(spark, dir)).toDF()
+      .withColumn("voiced", col("e") >= col("ns") * lit(5000L))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val agg = flag.groupBy("doc_id").agg(
+      count(lit(1)).as("n_windows"),
+      sum(when(col("voiced"), lit(1L)).otherwise(lit(0L))).as("n_voiced"))
+    val runs = flag.filter(col("voiced"))
+      .withColumn("g", col("w") -
+        row_number().over(Window.partitionBy("doc_id").orderBy("w")))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("run_len"))
+    val rs = runs.groupBy("doc_id").agg(
+      count(lit(1)).as("n_segments"), max("run_len").as("max_run"))
+    agg.join(rs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"), col("n_voiced"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+      .orderBy("doc_id")
+  }
+
   /** Perceptual-hash near-dup over the binary payloads — the IMAGE-DEDUP
     * shape of a multimodal corpus pipeline (x13's banded-Hamming
     * machinery applied to the media column). A real pipeline computes a

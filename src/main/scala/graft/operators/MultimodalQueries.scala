@@ -52,5 +52,39 @@ FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
   AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.ph, b.ph)) <= 3
 ORDER BY doc_a, doc_b"""),
-      "perceptual-hash near-dup over binary payloads (banded Hamming)"))
+      "perceptual-hash near-dup over binary payloads (banded Hamming)"),
+
+    // ── Audio shape: duration-proportional window decode + VAD
+    // segmentation — see [[Multimodal.audioWindows]]/[[audioVad]].
+    "mm04_audio_vad" -> QueryDef(
+      (s, d) => Multimodal.audioVad(s, d),
+      Some("""
+WITH cps AS (
+  SELECT doc_id, i, unicode(substring(text, CAST(i AS INT), 1)) AS cp
+  FROM documents, unnest(generate_series(1, length(text))) AS t(i)
+  WHERE length(text) > 0
+),
+win AS (
+  SELECT doc_id, CAST((i - 1) // 16 AS BIGINT) AS w,
+         CAST(sum(cp * cp) AS BIGINT) AS e, CAST(count(*) AS BIGINT) AS ns
+  FROM cps GROUP BY 1, 2
+),
+flag AS (SELECT doc_id, w, (e >= 5000 * ns) AS voiced FROM win),
+runs AS (
+  SELECT doc_id, g, CAST(count(*) AS BIGINT) AS run_len FROM (
+    SELECT doc_id, w,
+      w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS g
+    FROM flag WHERE voiced
+  ) GROUP BY 1, 2
+),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        CAST(count(*) FILTER (WHERE voiced) AS BIGINT) AS n_voiced
+        FROM flag GROUP BY 1),
+rs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(max(run_len) AS BIGINT) AS max_run FROM runs GROUP BY 1)
+SELECT doc_id, n_windows, n_voiced,
+  coalesce(n_segments, 0) AS n_segments,
+  coalesce(max_run, 0) AS max_run
+FROM agg LEFT JOIN rs USING (doc_id) ORDER BY doc_id"""),
+      "windowed energy + voice-activity segmentation over decoded audio"))
 }

@@ -72,10 +72,28 @@ object SrpQueries {
     * hyperplanes an exact integer dot against the closed-form weights,
     * then per band an exact bit-pack of the `BitsPerBand` sign bits.
     * dt = 0 packs as bit 1 on both engines (`>= 0`), which is what pins
-    * the zero vector to the all-ones key in every band.
+    * the zero vector to the all-ones key in every band. The derivation
+    * runs as the native [[graft.functions.SrpBandKeys]] expression —
+    * the triple-nested `aggregate` HOF spelling it replaces interprets
+    * ~bands·bits·d lambda nodes per row, which priced st18's
+    * plan (no whole-stage codegen in the streaming sink) at 50× the
+    * batch cost; the oracle keeps the composable spelling and
+    * SrpBandKeysSpec pins bit-equality between the two.
     */
-  private[graft] def bandKeys(e: DataFrame): DataFrame =
-    e.withColumn("bkeys", expr(s"""
+  private[graft] def bandKeys(e: DataFrame): DataFrame = {
+    graft.GraftExtensions.install(e.sparkSession)
+    e.withColumn("bkeys",
+        expr(s"srp_band_keys(qe, $Bands, $BitsPerBand)"))
+      .select(col("vec_id"), col("qe"), col("qn"),
+        posexplode(col("bkeys")).as(Seq("band", "bkey")))
+  }
+
+  /** The HOF twin of [[graft.functions.SrpBandKeys]], kept ONLY as the
+    * equivalence reference for SrpBandKeysSpec (the oracle's algebra in
+    * Spark spelling — proving the native expression against it proves
+    * it against the DuckDB CTEs).
+    */
+  private[graft] def hofBandKeysExpr: String = s"""
         transform(sequence(0, ${Bands - 1}), b ->
           aggregate(sequence(0, ${BitsPerBand - 1}), CAST(0 AS BIGINT),
             (acc, r) -> acc + CASE WHEN
@@ -84,9 +102,7 @@ object SrpQueries {
                   (((b * $BitsPerBand + r + 1) * 2654435761
                     + i * 40503) % 2039 - 1019))
               >= 0 THEN shiftleft(CAST(1 AS BIGINT), r)
-              ELSE CAST(0 AS BIGINT) END))""".replace('\n', ' ')))
-      .select(col("vec_id"), col("qe"), col("qn"),
-        posexplode(col("bkeys")).as(Seq("band", "bkey")))
+              ELSE CAST(0 AS BIGINT) END))""".replace('\n', ' ')
 
   /** The `bandCap` skew lever — per-(band, key) survivor cap, lowest
     * vec_ids kept (the [[SimilarityQueries.cappedByBucket]] discipline):

@@ -46,7 +46,7 @@ class EdgeCorpusSpec extends SparkSpec {
     "x42s_canonical_serve", "x43_split_leakage", "x43s_leakage_serve",
     "x45_quality_drift", "x45s_drift_serve", "x47_lsh_recall_audit",
     "x47s_recall_serve", "x91_bpe_train", "x92_bpe_fertility",
-    "x92s_bpe_encode_serve")
+    "x92s_bpe_encode_serve", "mm04_audio_vad")
 
   test("document-family queries survive a degenerate corpus") {
     for (name <- docQueries) {

@@ -66,4 +66,39 @@ class MultimodalSpec extends SparkSpec {
       assert(hm >= 0L && hm <= 3L)
     }
   }
+
+  test("mm04: VAD stats match an independent per-doc reference " +
+    "(window energy, islands, longest run)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // independent reference: same spec, different spelling (per-doc
+    // in-memory scan instead of the engine's dataset plumbing)
+    def ref(text: String): Option[(Long, Long, Long, Long)] = {
+      if (text.isEmpty) None
+      else {
+        val voiced = text.codePoints().toArray.grouped(16).map { g =>
+          g.map(c => c.toLong * c).sum >= 5000L * g.length
+        }.toVector
+        val runs = collection.mutable.ArrayBuffer[Long]()
+        var cur = 0L
+        for (v <- voiced) {
+          if (v) cur += 1
+          else if (cur > 0) { runs += cur; cur = 0 }
+        }
+        if (cur > 0) runs += cur
+        Some((voiced.length.toLong, voiced.count(identity).toLong,
+          runs.length.toLong, if (runs.isEmpty) 0L else runs.max))
+      }
+    }
+    val got = rows("mm04_audio_vad").map { r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_windows"),
+        r.getAs[Long]("n_voiced"), r.getAs[Long]("n_segments"),
+        r.getAs[Long]("max_run"))
+    }.toMap
+    val want = docs.flatMap { case (id, t) => ref(t).map(id -> _) }
+    assert(got.keySet == want.keySet,
+      s"doc coverage ${got.size} vs ${want.size}")
+    for ((id, w) <- want)
+      assert(got(id) == w, s"doc $id: got ${got(id)} want $w")
+  }
 }
