@@ -46,6 +46,13 @@ object BpeQueries {
   private val Rounds = 6
   private val Sep = "\u0001" // the JVM twin of the in-SQL chr(1) separator
 
+  /** Initial character segmentation of a `word` column — the chr(1)-
+    * separated symbol list every encode path starts from.
+    */
+  private val initReprSql =
+    """concat_ws(chr(1), transform(sequence(1, length(word)),
+       i -> substring(word, i, 1)))""".replace('\n', ' ')
+
   /** Vocabulary-sized training table: distinct words with corpus counts
     * and the initial character segmentation.
     */
@@ -54,9 +61,7 @@ object BpeQueries {
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .withColumn("repr", expr(
-        """concat_ws(chr(1), transform(sequence(1, length(word)),
-           i -> substring(word, i, 1)))""".replace('\n', ' ')))
+      .withColumn("repr", expr(initReprSql))
 
   /** Adjacent symbol pairs of the current segmentation, weighted by word
     * frequency. `sequence(a, b)` DESCENDS when b < a, so single-symbol
@@ -144,13 +149,27 @@ object BpeQueries {
     * division of two exact BIGINTs, bit-identical cross-engine.
     */
   private[graft] def encodeFertility(s: SparkSession, d: String,
+      encoded: DataFrame): DataFrame =
+    fertilityOf(
+      Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("source", "word").agg(count(lit(1)).as("w_cnt")),
+      encoded)
+
+  /** The fertility rollup given an occurrence table
+    * (source, word, w_cnt) and an encoded type table (word, repr) —
+    * shared by the batch paths (which derive occurrences from the
+    * corpus scan) and the streaming twin st19 (whose DRAINED state IS
+    * the occurrence table). Vocabulary-keyed shuffle join, no
+    * broadcast hint (the x66 lesson); fertility is one IEEE division
+    * of exact BIGINTs.
+    */
+  private[graft] def fertilityOf(occ: DataFrame,
       encoded: DataFrame): DataFrame = {
     val enc = encoded.select(col("word"),
       size(split(col("repr"), Sep)).cast("bigint").as("n_sub"))
-    Tables.documents(s, d)
-      .select(col("source"), explode(split(col("text"), " ")).as("word"))
-      .filter(length(col("word")) > 0)
-      .groupBy("source", "word").agg(count(lit(1)).as("w_cnt"))
+    occ
       .join(enc, Seq("word"))
       .groupBy("source")
       .agg(sum(col("w_cnt")).as("n_words"),
@@ -160,6 +179,32 @@ object BpeQueries {
       .orderBy("source")
   }
 
+  /** Encode a frame of word TYPES (a `word` column) under an ordered
+    * merge list: initial character segmentation, then each merge
+    * applied as the [[applyMerge]] fold. A pure map over a
+    * vocabulary-sized frame where whole-stage codegen fuses the HOF
+    * chain — the st18 lesson says the SAME fold interpreted inside a
+    * streaming stateful segment prices ~50× batch, so streaming
+    * consumers keep word-count state and defer encoding to this batch
+    * path post-drain.
+    */
+  private[graft] def encodeTypes(words: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(words.withColumn("repr", expr(initReprSql))) {
+      case (w, (a, b)) => w.withColumn("repr", applyMerge(col("repr"), a, b))
+    }
+
+  /** The ordered (sym_a, sym_b) merge list from the persisted artifact
+    * — ≤ `Rounds` rows of constant driver state.
+    */
+  private[graft] def servedMerges(s: SparkSession, d: String)
+      : Seq[(String, String)] =
+    AuditServe.mergesFrom(s, d)
+      .select("round", "sym_a", "sym_b").collect()
+      .sortBy(_.getAs[Long]("round"))
+      .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b")))
+      .toSeq
+
   /** The serve-path encoder: re-derives the word table (one corpus
     * scan) and applies the PERSISTED merge table — ≤ `Rounds` rows
     * collected to the driver (constant-size state) and replayed as
@@ -167,15 +212,8 @@ object BpeQueries {
     * per-round pair-count aggregations entirely. Row-identical to the
     * self-contained path (BpeSpec + the shared oracle pin it).
     */
-  private def encodedFromServe(s: SparkSession, d: String): DataFrame = {
-    val ms = AuditServe.mergesFrom(s, d)
-      .select("round", "sym_a", "sym_b").collect()
-      .sortBy(_.getAs[Long]("round"))
-    ms.foldLeft(wordTable(s, d)) { (w, m) =>
-      w.withColumn("repr", applyMerge(col("repr"),
-        m.getAs[String]("sym_a"), m.getAs[String]("sym_b")))
-    }
-  }
+  private def encodedFromServe(s: SparkSession, d: String): DataFrame =
+    encodeTypes(wordTable(s, d), servedMerges(s, d))
 
   /** The oracle replays the identical loop as `Rounds` chained CTE
     * triples: pairs → best-by-(n DESC, pair) → the same greedy fold as
@@ -228,9 +266,13 @@ SELECT * FROM ($selects) ORDER BY round"""
   }
 
   /** Same CTE chain, final word table instead of the merge rows:
-    * per-source fertility from the w`Rounds` segmentation.
+    * per-source fertility from the w`Rounds` segmentation. Shared by
+    * x92, the serve twin x92s, and the streaming twin st19 (identical
+    * rows by construction: the drained word-count state equals the
+    * batch occurrence table, and the frozen serve merges equal the
+    * trained merges on the same corpus version).
     */
-  private def fertilityOracle: String = s"""
+  private[graft] def fertilityOracle: String = s"""
 WITH w0 AS (
   SELECT word, CAST(count(*) AS BIGINT) AS cnt,
     array_to_string(list_transform(generate_series(1, length(word)),

@@ -612,7 +612,35 @@ FROM t GROUP BY lang ORDER BY lang"""),
           .orderBy("band", "bkey")
       },
       Some(graft.operators.SrpQueries.bucketStatsSql),
-      "streaming SRP sign-bucket rollup == batch band-key population"))
+      "streaming SRP sign-bucket rollup == batch band-key population"),
+
+    // ── Streaming BPE encode against the FROZEN merge table (the text
+    // twin of st16's frozen-books discipline): arriving documents fold
+    // into per-(source, word) count state — the Heaps-sublinear
+    // word-TYPE statistic, exactly the table the trainer itself runs
+    // on — and the subword fold is DEFERRED to the vocabulary-sized
+    // drain, where batch whole-stage codegen fuses the aggregate() HOF
+    // chain (the st18 lesson: the same fold interpreted per-occurrence
+    // inside the stateful segment prices ~50× batch). count is a
+    // monoid, so the drained occurrence table — and therefore the
+    // fertility rollup — equals x92s bit-for-bit at any arrival order.
+    "st19_stream_bpe_encode" -> QueryDef(
+      (s, d) => {
+        import graft.operators.{AuditServe, BpeQueries}
+        AuditServe.prepare(s, d)
+        val agg = EventStream.readDocuments(s, d)
+          .select(col("source"),
+            explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy("source", "word").agg(count(lit(1)).as("w_cnt"))
+        val occ = EventStream.runToMemory(s, agg,
+          s"st19_sink_${System.nanoTime}")
+        BpeQueries.fertilityOf(occ,
+          BpeQueries.encodeTypes(occ.select("word").distinct(),
+            BpeQueries.servedMerges(s, d)))
+      },
+      Some(graft.operators.BpeQueries.fertilityOracle),
+      "streaming word-type state + frozen-merge encode == x92 fertility"))
 
   /** st13's sketch size — small enough that every SF's per-source
     * fingerprint count (≥ 24) exercises the estimator branch, not the

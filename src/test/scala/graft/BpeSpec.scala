@@ -13,13 +13,21 @@ class BpeSpec extends SparkSpec {
 
   private def corpusDir(texts: String*): String = {
     val d = java.nio.file.Files.createTempDirectory("bpe").toString
+    // testdata layout is one parquet FILE per table (not a directory):
+    // the st19 file-stream source globs on the leaf name, so the fixture
+    // must match that shape or the stream silently reads nothing
+    val stage = s"$d/_stage"
     texts.zipWithIndex
       .map { case (t, i) => (i.toLong, t, "en", "src0") }
       .toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars",
         org.apache.spark.sql.functions.length(
           org.apache.spark.sql.functions.col("text")).cast("long"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$d/documents.parquet"))
     d
   }
 
@@ -147,5 +155,20 @@ class BpeSpec extends SparkSpec {
     spark.catalog.clearCache()
     assert(self == served, s"self $self vs served $served")
     assert(self.nonEmpty)
+  }
+
+  test("the streaming twin's drained word-count state yields the batch " +
+      "fertility rows (st19 == x92)") {
+    // the stream keeps (source, word) counts and defers the subword
+    // fold to the post-drain batch encode — identical rows to the
+    // self-contained x92 by the monoid-state argument
+    val dir = corpusDir("xa xa xa ab", "ab xab", "zz zz z")
+    def rows(name: String) = SparkEntry.queries(name)(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val batch = rows("x92_bpe_fertility")
+    val streamed = rows("st19_stream_bpe_encode")
+    spark.catalog.clearCache()
+    assert(batch == streamed, s"batch $batch vs streamed $streamed")
+    assert(streamed.nonEmpty)
   }
 }
