@@ -1706,6 +1706,93 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
 FROM scored GROUP BY doc_id ORDER BY doc_id"""),
       "add-one-smoothed bigram LM per-doc mean log-prob, exact integers"),
 
+    // ── Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen
+    // & Goodman 1999 §3) — the smoothing production perplexity filters
+    // (CCNet's KenLM models) actually run, upgrading x39's add-one:
+    // continuation probability for the backoff mass instead of a uniform
+    // prior. The standard discount D = 3/4 makes every probability an
+    // exact integer rational,
+    //   P(w|prev) = [(4·c(prev,w) − 3)·N₁₊(··) + 3·N₁₊(prev·)·N₁₊(·w)]
+    //               / (4·c(prev·)·N₁₊(··))
+    // (c ≥ 1 for every scored bigram because the corpus scores itself,
+    // so max(c − D, 0) = c − D unconditionally), and the numerators
+    // telescope to the denominator over the vocab — Σ_w P(w|prev) = 1
+    // EXACTLY, pinned as a BIGINT identity in KneserNeySpec. One IEEE
+    // division of exact BIGINTs is bit-identical cross-engine; each ln
+    // is micro-nat fixed-pointed alone (the x36/x39 discipline); all
+    // aggregation is integer. Count tables — bigram count (pair-keyed),
+    // prefix total + distinct-continuation count (ONE prev-keyed agg),
+    // distinct-history count (w-keyed over the TYPE table, not the
+    // corpus), total bigram types (1-row broadcast) — all derive from
+    // one pair fan-out; every join is key-partitioned. BIGINT bound:
+    // 4·c(prev·)·N₁₊(··) < 2⁶³ holds to ~10⁹ prefix tokens × 10⁹ bigram
+    // types; past that the two products widen to DECIMAL(38,0) (the x77
+    // precedent) — documented, far beyond any tested SF.
+    "x93_kneser_ney" -> QueryDef(
+      (s, d) => {
+        val pairs = Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("pair", explode(expr(PairExprSpark)))
+          .select(col("doc_id"), col("pair"))
+        val cb = pairs.groupBy("pair").agg(count(lit(1)).as("cb"))
+        val pv = pairs
+          .withColumn("prev", expr("split(pair, ' ')[0]"))
+          .groupBy("prev")
+          .agg(count(lit(1)).as("cp"),
+            countDistinct(col("pair")).as("n1p"))
+        val cw = cb
+          .withColumn("w", expr("split(pair, ' ')[1]"))
+          .groupBy("w").agg(count(lit(1)).as("n1w"))
+        val nb = cb.agg(count(lit(1)).as("nbt"))
+        pairs.join(cb, "pair")
+          .withColumn("prev", expr("split(pair, ' ')[0]"))
+          .withColumn("w", expr("split(pair, ' ')[1]"))
+          .join(pv, "prev")
+          .join(cw, "w")
+          .crossJoin(broadcast(nb))
+          .withColumn("lp_micro", expr(
+            s"CAST(floor(ln(CAST((4L*cb - 3L)*nbt + 3L*n1p*n1w AS DOUBLE)" +
+              s" / CAST(4L*cp*nbt AS DOUBLE)) * $LpScale + 0.5d)" +
+              " AS BIGINT)"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("lp_micro")).as("lp_micro_sum"))
+          .withColumn("avg_logprob",
+            col("lp_micro_sum").cast("double") /
+              (col("n_bigrams").cast("double") * LpScale.toDouble))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+p AS (
+  SELECT doc_id, unnest($PairListDuck) AS pair
+  FROM t
+),
+cb AS (SELECT pair, CAST(count(*) AS BIGINT) AS cb FROM p GROUP BY 1),
+pv AS (SELECT split_part(pair, ' ', 1) AS prev,
+         CAST(count(*) AS BIGINT) AS cp,
+         CAST(count(DISTINCT pair) AS BIGINT) AS n1p
+       FROM p GROUP BY 1),
+cw AS (SELECT split_part(pair, ' ', 2) AS w,
+         CAST(count(*) AS BIGINT) AS n1w FROM cb GROUP BY 1),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS nbt FROM cb),
+scored AS (
+  SELECT p.doc_id,
+    CAST(floor(ln(CAST((4*cb.cb - 3)*nb.nbt + 3*pv.n1p*cw.n1w AS DOUBLE)
+      / CAST(4*pv.cp*nb.nbt AS DOUBLE)) * $LpScale + 0.5) AS BIGINT)
+      AS lp_micro
+  FROM p JOIN cb USING (pair)
+  JOIN pv ON split_part(p.pair, ' ', 1) = pv.prev
+  JOIN cw ON split_part(p.pair, ' ', 2) = cw.w
+  CROSS JOIN nb
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+  CAST(sum(lp_micro) AS BIGINT) AS lp_micro_sum,
+  CAST(sum(lp_micro) AS DOUBLE)
+    / (CAST(count(*) AS DOUBLE) * $LpScale) AS avg_logprob
+FROM scored GROUP BY doc_id ORDER BY doc_id"""),
+      "interpolated Kneser-Ney bigram LM per-doc score, exact integers"),
+
     // ── Within-doc token entropy: Shannon entropy of each document's own
     // token distribution — the self-information complement of x36 (which
     // scores docs under the CORPUS LM). Low entropy = repetitive/
