@@ -716,6 +716,130 @@ SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
 FROM t LEFT JOIN agg a USING (doc_id)
 ORDER BY doc_id"""
 
+  /** Winnowing position bound: selected positions are recovered from a
+    * min() over STRING keys `fp ‖ lpad(WinnowBig − i)`, so positions
+    * must sort DESCENDING inside equal fingerprints (rightmost-min
+    * tiebreak) — encoded as the zero-padded complement. 10⁸ bounds the
+    * per-document token position, far past any real document (a 100 TB
+    * corpus is wide, not deep; the longest driver doc is ~5·10³
+    * tokens). Width 8 keeps the key at a fixed 40 chars.
+    */
+  private val WinnowBig = 100000000L
+
+  /** Winnowing window: every run of [[WinnowWin]] consecutive gram
+    * hashes selects its minimum (rightmost on ties), so any verbatim
+    * token match of length ≥ WinnowWin + 5 − 1 = 8 tokens between two
+    * documents is GUARANTEED to share a selected fingerprint, while
+    * only ~2/(WinnowWin+1) of grams are kept (Schleimer et al. 2003,
+    * theorem 1 — the density/guarantee trade the MOSS service ships).
+    */
+  private val WinnowWin = 4
+
+  /** Local document fingerprinting by winnowing (the declared
+    * `x94_winnowing`): the SELECTION-based member of the sub-document
+    * dedup family — x53 picks chunk boundaries by content (CDC), x69
+    * keeps EVERY 5-gram and pays a corpus-sized fingerprint table;
+    * winnowing keeps ~2/(w+1) of them yet still catches every match of
+    * ≥ w+k−1 tokens, which is why plagiarism/overlap pipelines run it
+    * at web scale (reference: MOSS; Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003).
+    *
+    * Shape: gram+hash is the x69 map-side fan-out; selection is ONE
+    * doc_id-keyed window pass (the only corpus shuffle), where the
+    * rightmost-min-of-window rule is spelled as `min()` over the
+    * 40-char string key `fp ‖ lpad(WinnowBig − i)` — fp first makes it
+    * min-by-hash, the complemented position makes ties pick the larger
+    * i; both engines compare strings identically so the selected set is
+    * bit-identical. Short docs (1 ≤ grams < w) winnow their whole gram
+    * list as one window; the df ≥ 2 match test then runs over the
+    * SELECTED table only — a ~2/(w+1)-sized groupBy instead of x69's
+    * full gram table, the scale dividend of selecting first.
+    */
+  def winnowing(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documentsSpread(s, d)
+      .select(col("doc_id"), expr("split(text, ' ')").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pos = docs.filter(size(col("w")) >= 5)
+      .select(col("doc_id"), (size(col("w")) - 4).as("ng"),
+        explode(expr(
+          """transform(sequence(1, size(w) - 4),
+               i -> struct(i, md5(cast(concat_ws(' ', slice(w, i, 5))
+                                       as binary)) AS fp))""")).as("g"))
+      .select(col("doc_id"), col("ng"), col("g.i").as("i"),
+        concat(col("g.fp"),
+          lpad((lit(WinnowBig) - col("g.i")).cast("string"), 8, "0"))
+          .as("key"))
+    val byPos = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.currentRow, WinnowWin - 1)
+    val sel = pos
+      .withColumn("mk", min(col("key")).over(byPos))
+      .withColumn("cnt", count(lit(1)).over(byPos))
+      .filter(col("cnt") === WinnowWin ||
+        (col("i") === 1 && col("ng") < WinnowWin))
+      .select(col("doc_id"), substring(col("mk"), 1, 32).as("fp"),
+        (lit(WinnowBig) - substring(col("mk"), 33, 8).cast("bigint"))
+          .as("p"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shared = sel.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2).select("fp")
+    val perDoc = sel.join(shared.withColumn("hit", lit(1)), Seq("fp"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_selected"),
+        sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_matched"))
+    docs
+      .select(col("doc_id"),
+        greatest(size(col("w")) - 4, lit(0)).cast("bigint").as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_selected"), lit(0L)).cast("bigint")
+          .as("n_selected"),
+        coalesce(col("n_matched"), lit(0L)).cast("bigint")
+          .as("n_matched"))
+      .orderBy("doc_id")
+  }
+
+  private val winnowingOracle: String = s"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT t.doc_id, len(w) - 4 AS ng, u.i AS i,
+    md5(array_to_string(w[u.i:u.i+4], ' '))
+      || lpad(CAST($WinnowBig - u.i AS VARCHAR), 8, '0') AS key
+  FROM t, LATERAL unnest(generate_series(1, len(w) - 4)) AS u(i)
+  WHERE len(w) >= 5
+),
+win AS (
+  SELECT doc_id, ng, i,
+    min(key) OVER (PARTITION BY doc_id ORDER BY i
+      ROWS BETWEEN CURRENT ROW AND ${WinnowWin - 1} FOLLOWING) AS mk,
+    count(*) OVER (PARTITION BY doc_id ORDER BY i
+      ROWS BETWEEN CURRENT ROW AND ${WinnowWin - 1} FOLLOWING) AS cnt
+  FROM g
+),
+sel AS (
+  SELECT DISTINCT doc_id, substr(mk, 1, 32) AS fp,
+    $WinnowBig - CAST(substr(mk, 33, 8) AS BIGINT) AS p
+  FROM win
+  WHERE cnt = $WinnowWin OR (i = 1 AND ng < $WinnowWin)
+),
+sh AS (SELECT fp FROM sel GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+pd AS (
+  SELECT sel.doc_id, CAST(count(*) AS BIGINT) AS n_selected,
+    CAST(sum(CASE WHEN sh.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_matched
+  FROM sel LEFT JOIN sh ON sel.fp = sh.fp
+  GROUP BY sel.doc_id
+)
+SELECT t.doc_id,
+  CAST(greatest(len(t.w) - 4, 0) AS BIGINT) AS n_grams,
+  coalesce(pd.n_selected, 0) AS n_selected,
+  coalesce(pd.n_matched, 0) AS n_matched
+FROM t LEFT JOIN pd USING (doc_id)
+ORDER BY doc_id"""
+
   /** Prefix-filtered set-similarity self-join (the declared
     * `x70_prefix_jaccard`): all document pairs with shingle-set Jaccard
     * ≥ 1/2, found PPJoin-style — the high-threshold scale path that
@@ -843,6 +967,11 @@ ORDER BY doc_a, doc_b"""
       (s, d) => dupSpans(s, d),
       Some(dupSpansOracle),
       "duplicated 5-gram windows coalesced into maximal spans per doc"),
+
+    "x94_winnowing" -> QueryDef(
+      (s, d) => winnowing(s, d),
+      Some(winnowingOracle),
+      "winnowed (MOSS) fingerprint selection + cross-doc match counts"),
 
     // ── Exact dedup: hash-groupBy on a normalized prefix fingerprint,
     // keep-min-id canonical (distributed `dropDuplicates` with provenance)
