@@ -58,6 +58,17 @@ object PipelineQueries {
   /** Retained minimum hashes per group in the x21 KMV sketch. */
   private val KmvK = 256
 
+  /** Count-Min sketch geometry (x95): CmsD independent hash rows of
+    * CmsW counters. Error bound: overcount ≤ e·N/CmsW per probe with
+    * probability 1 − e^−CmsD over the hash draw; state = CmsD·CmsW
+    * BIGINTs regardless of corpus size. 256 buckets is deliberately
+    * small for the tested SFs so collisions actually exercise the
+    * min-over-rows estimator; a production monitor widens CmsW, never
+    * the query shape.
+    */
+  private val CmsD = 4
+  private val CmsW = 256
+
   /** x32's shuffle seed (any string; changing it reshuffles) and shard
     * count (scaled to corpus size in production; fixed for the oracle).
     */
@@ -1070,6 +1081,74 @@ SELECT e.l_returnflag AS l_returnflag, CAST(ex.n_exact AS BIGINT) AS n_exact,
 FROM est e JOIN ex ON e.l_returnflag = ex.l_returnflag
 ORDER BY l_returnflag"""),
       "native KMV sketch aggregate: O(K) mergeable state, oracle-exact"),
+
+    // ── Count-Min sketch heavy-hitter estimation (Cormode &
+    // Muthukrishnan 2005): the frequency-sketch sibling of x21's
+    // distinct-count KMV — CmsD=4 hash rows × CmsW=256 buckets of plain
+    // BIGINT sums, built over the VOCABULARY rollup (one corpus-sized
+    // shuffle, Heaps-sublinear input to every later stage), estimate =
+    // min over rows of the probed counter. The sketch is a d·w-row SUM
+    // monoid: shard/stream sketches merge by adding counters without
+    // rescan (the x52 minhash argument), and d·w is CONSTANT in corpus
+    // size — the state a 100 TB ingest monitor actually keeps. Hashes
+    // are the md5-derived integers both engines spell identically, so
+    // estimates are deterministic and oracle-exact; exact counts ride
+    // along, and `overcount` = est − exact exhibits the one-sided error
+    // bound (est ≥ exact ALWAYS — CmsSpec pins the guarantee and
+    // replays the whole sketch in the JVM).
+    "x95_cms_heavy_hitters" -> QueryDef(
+      (s, d) => {
+        val vocab = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("cnt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        def bucket(rCol: String): String =
+          s"pmod(CAST(conv(substr(md5(concat(CAST($rCol AS STRING), '|', " +
+            s"term)), 1, 15), 16, 10) AS BIGINT), $CmsW)"
+        val sketch = vocab
+          .withColumn("r", explode(expr(s"sequence(0, ${CmsD - 1})")))
+          .withColumn("b", expr(bucket("r")))
+          .groupBy("r", "b").agg(sum(col("cnt")).as("counter"))
+        val probes = vocab.orderBy(desc("cnt"), col("term")).limit(10)
+        probes
+          .withColumn("r", explode(expr(s"sequence(0, ${CmsD - 1})")))
+          .withColumn("b", expr(bucket("r")))
+          .join(sketch, Seq("r", "b"))
+          .groupBy("term", "cnt")
+          .agg(min(col("counter")).as("cms_est"))
+          .select(col("term"), col("cnt").as("n_exact"),
+            col("cms_est").cast("bigint").as("cms_est"),
+            (col("cms_est") - col("cnt")).cast("bigint").as("overcount"))
+          .orderBy(desc("n_exact"), col("term"))
+      },
+      Some(s"""
+WITH v AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY 1
+),
+rr AS (SELECT unnest(generate_series(0, ${CmsD - 1})) AS r),
+hv AS (
+  SELECT v.term, v.cnt, rr.r,
+    CAST(('0x' || substr(md5(CAST(rr.r AS VARCHAR) || '|' || v.term),
+      1, 15)) AS BIGINT) % $CmsW AS b
+  FROM v CROSS JOIN rr
+),
+sk AS (SELECT r, b, CAST(sum(cnt) AS BIGINT) AS counter
+       FROM hv GROUP BY 1, 2),
+probes AS (SELECT term, cnt FROM v ORDER BY cnt DESC, term LIMIT 10),
+est AS (
+  SELECT p.term, p.cnt, min(sk.counter) AS cms_est
+  FROM probes p CROSS JOIN rr
+  JOIN sk ON sk.r = rr.r
+    AND sk.b = CAST(('0x' || substr(md5(CAST(rr.r AS VARCHAR) || '|'
+      || p.term), 1, 15)) AS BIGINT) % $CmsW
+  GROUP BY 1, 2
+)
+SELECT term, cnt AS n_exact, CAST(cms_est AS BIGINT) AS cms_est,
+  CAST(cms_est - cnt AS BIGINT) AS overcount
+FROM est ORDER BY n_exact DESC, term"""),
+      "count-min sketch: constant mergeable state, one-sided error"),
 
     // ── Entity resolution: same-nation name pairs within edit distance 1
     // — the metadata-dedup sibling of the text dedup family (x05-x14
