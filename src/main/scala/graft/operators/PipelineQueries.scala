@@ -66,8 +66,35 @@ object PipelineQueries {
     * min-over-rows estimator; a production monitor widens CmsW, never
     * the query shape.
     */
-  private val CmsD = 4
-  private val CmsW = 256
+  private[graft] val CmsD = 4
+  private[graft] val CmsW = 256
+
+  /** The engines' shared CMS hash: row-salted md5 → positive long mod
+    * CmsW. `rCol` is the hash-row column name; the term column must be
+    * named `term`.
+    */
+  private[graft] def cmsBucketExpr(rCol: String): String =
+    s"pmod(CAST(conv(substr(md5(concat(CAST($rCol AS STRING), '|', " +
+      s"term)), 1, 15), 16, 10) AS BIGINT), $CmsW)"
+
+  /** The raw CMS counter table as DuckDB SQL — st20's drained state and
+    * the `sk` CTE of x95's oracle are this same rollup.
+    */
+  private[graft] val cmsSketchSql: String = s"""
+WITH v AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY 1
+),
+rr AS (SELECT unnest(generate_series(0, ${CmsD - 1})) AS r),
+hv AS (
+  SELECT v.term, v.cnt, rr.r,
+    CAST(('0x' || substr(md5(CAST(rr.r AS VARCHAR) || '|' || v.term),
+      1, 15)) AS BIGINT) % $CmsW AS b
+  FROM v CROSS JOIN rr
+)
+SELECT CAST(r AS BIGINT) AS r, b, CAST(sum(cnt) AS BIGINT) AS counter
+FROM hv GROUP BY 1, 2 ORDER BY r, b"""
 
   /** x32's shuffle seed (any string; changing it reshuffles) and shard
     * count (scaled to corpus size in production; fixed for the oracle).
@@ -1102,17 +1129,14 @@ ORDER BY l_returnflag"""),
           .select(explode(split(col("text"), " ")).as("term"))
           .groupBy("term").agg(count(lit(1)).as("cnt"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        def bucket(rCol: String): String =
-          s"pmod(CAST(conv(substr(md5(concat(CAST($rCol AS STRING), '|', " +
-            s"term)), 1, 15), 16, 10) AS BIGINT), $CmsW)"
         val sketch = vocab
           .withColumn("r", explode(expr(s"sequence(0, ${CmsD - 1})")))
-          .withColumn("b", expr(bucket("r")))
+          .withColumn("b", expr(cmsBucketExpr("r")))
           .groupBy("r", "b").agg(sum(col("cnt")).as("counter"))
         val probes = vocab.orderBy(desc("cnt"), col("term")).limit(10)
         probes
           .withColumn("r", explode(expr(s"sequence(0, ${CmsD - 1})")))
-          .withColumn("b", expr(bucket("r")))
+          .withColumn("b", expr(cmsBucketExpr("r")))
           .join(sketch, Seq("r", "b"))
           .groupBy("term", "cnt")
           .agg(min(col("counter")).as("cms_est"))

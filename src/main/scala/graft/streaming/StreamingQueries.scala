@@ -640,7 +640,34 @@ FROM t GROUP BY lang ORDER BY lang"""),
             BpeQueries.servedMerges(s, d)))
       },
       Some(graft.operators.BpeQueries.fertilityOracle),
-      "streaming word-type state + frozen-merge encode == x92 fertility"))
+      "streaming word-type state + frozen-merge encode == x92 fertility"),
+
+    // ── Streaming Count-Min sketch (the ingest half of x95's pitch):
+    // arriving documents' tokens fan out ×CmsD map-side into (row,
+    // bucket) rows — like st18, a pure stateless projection, no
+    // artifact, no vocab-sized state — feeding a ≤ CmsD·CmsW-key SUM
+    // monoid. That constant bound is the whole point of the sketch: the
+    // maintained frequency state is the same 1024 counters at any
+    // corpus size, where st19's word-type state grows with the
+    // vocabulary. Drained counters equal x95's batch sketch at any
+    // arrival order (sum is a monoid), so the continuous monitor and
+    // the batch probe path read the same numbers.
+    "st20_stream_cms_sketch" -> QueryDef(
+      (s, d) => {
+        import graft.operators.PipelineQueries
+        val agg = EventStream.readDocuments(s, d)
+          .select(explode(split(col("text"), " ")).as("term"))
+          .withColumn("r",
+            explode(expr(s"sequence(0, ${PipelineQueries.CmsD - 1})")))
+          .withColumn("b", expr(PipelineQueries.cmsBucketExpr("r")))
+          .groupBy("r", "b").agg(count(lit(1)).as("counter"))
+        EventStream.runToMemory(s, agg, s"st20_sink_${System.nanoTime}")
+          .select(col("r").cast("bigint").as("r"), col("b"),
+            col("counter").cast("bigint").as("counter"))
+          .orderBy("r", "b")
+      },
+      Some(graft.operators.PipelineQueries.cmsSketchSql),
+      "streaming CMS counters == batch sketch (constant-state monitor)"))
 
   /** st13's sketch size — small enough that every SF's per-source
     * fingerprint count (≥ 24) exercises the estimator branch, not the
