@@ -46,7 +46,10 @@ class EdgeCorpusSpec extends SparkSpec {
     "x42s_canonical_serve", "x43_split_leakage", "x43s_leakage_serve",
     "x45_quality_drift", "x45s_drift_serve", "x47_lsh_recall_audit",
     "x47s_recall_serve", "x91_bpe_train", "x92_bpe_fertility",
-    "x92s_bpe_encode_serve", "mm04_audio_vad")
+    "x92s_bpe_encode_serve", "mm04_audio_vad",
+    // the KN scorer must drop gram-free docs (0/1 token), the winnower
+    // must zero them, the CMS must sketch the dup-flood tokens
+    "x93_kneser_ney", "x94_winnowing", "x95_cms_heavy_hitters")
 
   test("document-family queries survive a degenerate corpus") {
     for (name <- docQueries) {
