@@ -584,6 +584,69 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
       .orderBy("q_id", "rank")
   }
 
+  /** Hard-negative mining for contrastive retrieval training (the
+    * declared `x96_hard_negatives`) — the targeted complement of x44's
+    * random negatives: for each probe, the highest-cosine candidates in
+    * its probed IVF buckets whose x41 semantic-dedup CLUSTER differs
+    * from the probe's. Near-but-not-duplicate is exactly the negative a
+    * contrastive trainer wants (random negatives are too easy; same-
+    * cluster "negatives" are false negatives that corrupt the loss —
+    * the standard ANCE/contriever mining recipe, restated over the
+    * engine's own index + clusters).
+    *
+    * Shape: candidate generation IS x12's nprobe scan (map-only probe
+    * routing + bucket equi-join); the cluster-exclusion joins are
+    * vec_id-keyed against the |V|-row cluster table (probe side is
+    * ≤ NQueries rows, candidate side key-partitioned); top-K is the
+    * same per-probe window. Everything reuses the shared spellings, so
+    * the oracle composes [[duckEmbClusterCtes]] + [[duckProbeCte]]
+    * verbatim.
+    */
+  private def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = quantizedCached(s, d)
+    val cent = trainedCentroids(e)
+    val clusters = embClusterAssignment(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probes = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("qe").as("q_qe"),
+        col("qn").as("q_qn"))
+    val wk = Window.partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
+    probeBuckets(probes, cent)
+      .join(assignedBuckets(e, cent), "bucket")
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(clusters.select(col("vec_id").as("q_id"),
+        col("cluster_id").as("q_cluster")), "q_id")
+      .join(clusters, "vec_id")
+      .filter(col("cluster_id") =!= col("q_cluster"))
+      .withColumn("cos", expr(sparkCos("q_qe", "q_qn", "qe", "qn")))
+      .withColumn("rank", row_number().over(wk).cast("bigint"))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cos"))
+      .orderBy("q_id", "rank")
+  }
+
+  private lazy val x96Oracle: String = s"""
+WITH $duckEmbClusterCtes,
+${duckProbeCte("pb")},
+cscore AS (
+  SELECT pb.q_id, a.vec_id AS neighbor_id,
+    ${duckCos("pb.q_qe", "pb.q_qn", "a.qe", "a.qn")} AS cos
+  FROM pb JOIN assigned a USING (bucket)
+  WHERE a.vec_id != pb.q_id
+),
+flt AS (
+  SELECT s.q_id, s.neighbor_id, s.cos
+  FROM cscore s
+  JOIN clusters cq ON cq.vec_id = s.q_id
+  JOIN clusters cn ON cn.vec_id = s.neighbor_id
+  WHERE cq.cluster_id <> cn.cluster_id
+)
+SELECT q_id, CAST(rn AS BIGINT) AS rank, neighbor_id, cos
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        ORDER BY cos DESC, neighbor_id) AS rn FROM flt)
+WHERE rn <= $K ORDER BY q_id, rank"""
+
   /** Train the IVF index ONCE and persist it — the production serve path
     * amortizes centroid training and corpus assignment across every
     * query instead of paying them per search. The centroid table is a
@@ -1464,6 +1527,16 @@ FROM clusters ORDER BY vec_id"""),
       },
       Some(x87Oracle),
       "CSLS serve path: rescored retrieval from the persisted index"),
+
+    // ── Hard-negative mining (see [[hardNegatives]]): x12's nprobe
+    // candidates minus the probe's own x41 semantic-dedup cluster —
+    // near-but-not-duplicate, the contrastive-training negative that
+    // random sampling (x44) can't produce and same-cluster picks would
+    // poison as false negatives.
+    "x96_hard_negatives" -> QueryDef(
+      (s, d) => hardNegatives(s, d),
+      Some(x96Oracle),
+      "ANN hard negatives: top-k probed candidates outside own cluster"),
 
     // ── IVF append-without-retrain (see [[ivfAppend]]): new-batch
     // vectors assign map-only against centroids FROZEN on the old
