@@ -20,44 +20,58 @@ object Prof {
       val t0 = System.nanoTime(); val r = f
       println(f"PROF $name ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    SparkEntry.queries("x70_prefix_jaccard")(spark, "/root/testdata/sf0.001")
+    // warm the JVM/codegen on the tiny SF
+    SparkEntry.queries("x46_part_pagerank")(spark, "/root/testdata/sf0.001")
       .count()
     spark.catalog.clearCache()
 
-    // x70 stage split
-    val t = Tables.documentsSpread(spark, sfDir)
-      .withColumn("sh", expr("shingles3(text)"))
-      .select(col("doc_id"), expr(
-        """array_sort(transform(sh,
-             x -> CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT)))""")
-        .as("hs"))
+    // x46 stage split at sfDir
+    val sets = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(collect_set(col("pk")).as("pks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    time("t_materialize")(println("t=" + t.count()))
-    val pref = t.select(col("doc_id"),
-      explode(expr("slice(hs, 1, size(hs) div 2 + 1)")).as("hv"),
-      size(col("hs")).as("sz"))
-    val cand = pref.as("a").join(pref.as("b"),
-        col("a.hv") === col("b.hv") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          lit(2) * least(col("a.sz"), col("b.sz")) >=
-            greatest(col("a.sz"), col("b.sz")))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .distinct()
+    time("sets")(println("sets=" + sets.count()))
+    val wout = sets
+      .select(explode(col("pks")).as("src"),
+        (size(col("pks")) - 1).cast("bigint").as("k"))
+      .groupBy("src").agg(sum(col("k")).as("wout"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    time("cand")(println("cand=" + cand.count()))
-    val ver = cand
-      .join(t.select(col("doc_id").as("da"), col("hs").as("hsa")), Seq("da"))
-      .join(t.select(col("doc_id").as("db"), col("hs").as("hsb")), Seq("db"))
-      .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        size(array_intersect(col("hsa"), col("hsb"))).cast("bigint")
-          .as("inter"),
-        size(col("hsa")).cast("bigint").as("sa"),
-        size(col("hsb")).cast("bigint").as("sb"))
-      .filter(col("inter") * 2 >= col("sa") + col("sb") - col("inter"))
-    time("verify")(println("ver=" + ver.count()))
-    time("x70_full_cold") {
-      spark.catalog.clearCache()
-      SparkEntry.queries("x70_prefix_jaccard")(spark, sfDir).count()
+    time("wout+scal") {
+      println(wout.agg(count(lit(1)), count(when(col("wout") > 0, 1)))
+        .head())
+    }
+    val pairs = sets
+      .select(explode(col("pks")).as("src"), col("pks"))
+      .select(col("src"), explode(col("pks")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val ew = pairs.join(broadcast(wout), Seq("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("ew")(println("ew=" + ew.count()))
+    val nodes = wout.filter(col("wout") > 0)
+      .select(col("src").as("node"))
+    val nodesC = time("nodes_ckpt")(nodes.localCheckpoint(true))
+    val n = nodesC.count()
+    val base = s"(CAST(1000000000000 AS BIGINT) div ${n}L)"
+    var rank = nodesC.select(col("node"), expr(base).as("rank"))
+    for (r <- 1 to 3) {
+      val rsrc = rank.withColumnRenamed("node", "src")
+      val next = ew.join(broadcast(rsrc), Seq("src"))
+        .select(col("dst").as("node"),
+          expr("(rank * w) div wout").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("contrib"))
+        .select(col("node"),
+          expr(s"($base * 15) div 100 + (85 * contrib) div 100")
+            .as("rank"))
+      rank = time(s"round$r")(
+        if (r < 3) next.localCheckpoint(true)
+        else { next.persist(); next.count(); next })
+    }
+    time("final")(
+      rank.orderBy(col("rank").desc, col("node")).limit(100).count())
+    spark.catalog.clearCache()
+    time("x46_full_cold") {
+      SparkEntry.queries("x46_part_pagerank")(spark, sfDir).count()
     }
     spark.stop()
   }

@@ -154,23 +154,28 @@ e AS (
     // on src; the persisted cache keeps that partitioning, and each
     // round exchanges only the node-sized rank table against it. Both
     // paths compute identical integer states (GraphFlipSpec).
-    val useBroadcast = wout.count() < flipAt
+    // ONE pass over the cached wout frame yields both driver scalars:
+    // the flip bound (total wout rows ≥ |nodes|) and n itself
+    // (wout > 0 rows — a part has an out-edge iff some order pairs it
+    // with another part iff wout > 0, so that filter IS the oracle's
+    // SELECT DISTINCT src FROM ew). Folding them saves a per-run job
+    // vs counting twice; at this query's size driver-job dispatch is a
+    // measurable slice of the total.
+    val scal = wout.agg(count(lit(1)).as("rows"),
+      count(when(col("wout") > 0, 1)).as("n")).head()
+    val useBroadcast = scal.getLong(0) < flipAt
+    val n = scal.getLong(1)
     val ew = pairsFrom(sets)
       .join(if (useBroadcast) broadcast(wout) else wout, Seq("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // node table derived from the CACHED |nodes|-row wout frame, not a
-    // distinct over the 2.4M-row edge cache: a part has an out-edge iff
-    // some order pairs it with another part iff wout > 0, so
-    // {src : wout(src) > 0} IS the oracle's SELECT DISTINCT src FROM ew
-    // — same set, no edge-table shuffle. Materialized once
-    // (localCheckpoint truncates the lineage under the rounds) and
-    // |nodes| read off the materialized blocks — the scalar lands in
-    // the plan as a LITERAL, which is exactly what the oracle's scalar
-    // subquery evaluates to.
+    // distinct over the 2.4M-row edge cache. Materialized once
+    // (localCheckpoint truncates the lineage under the rounds); n
+    // already landed above, so the plan's uniform base rank is a
+    // LITERAL — exactly what the oracle's scalar subquery evaluates to.
     val nodes = wout.filter(col("wout") > 0)
       .select(col("src").as("node"))
       .localCheckpoint(true)
-    val n = nodes.count()
     // degenerate graph (no multi-item order anywhere → no edges, n = 0):
     // the uniform base rank would be `div 0` — ANSI throws — and the
     // oracle's scalar subquery would divide by zero too. An empty graph
@@ -181,14 +186,16 @@ e AS (
         col("node").as("rank_fp")).limit(0)
     val base = s"(CAST($PrScale AS BIGINT) div ${n}L)"
     var rank = nodes.select(col("node"), expr(base).as("rank"))
-    for (_ <- 1 to PrRounds) {
-      // Each round is MATERIALIZED (eager localCheckpoint, the
-      // Components discipline): the small-side build then collects 20k
-      // finished rows instead of re-planning the whole nested round
-      // chain, and lineage stays constant-depth. On a cluster, swap for
-      // reliable checkpoints as in Components.
+    for (r <- 1 to PrRounds) {
+      // Each NON-FINAL round is MATERIALIZED (eager localCheckpoint,
+      // the Components discipline): the small-side build then collects
+      // 20k finished rows instead of re-planning the whole nested round
+      // chain, and lineage stays constant-depth. The last round flows
+      // straight into the one downstream consumer (TakeOrdered), so
+      // checkpointing it would only add a materialization job. On a
+      // cluster, swap for reliable checkpoints as in Components.
       val rsrc = rank.withColumnRenamed("node", "src")
-      rank = ew
+      val next = ew
         .join(if (useBroadcast) broadcast(rsrc) else rsrc, Seq("src"))
         .select(col("dst").as("node"),
           expr("(rank * w) div wout").as("c"))
@@ -196,7 +203,7 @@ e AS (
         .select(col("node"),
           expr(s"($base * 15) div 100 + (85 * contrib) div 100")
             .as("rank"))
-        .localCheckpoint(true)
+      rank = if (r < PrRounds) next.localCheckpoint(true) else next
     }
     rank.select(col("node").as("p_partkey"), col("rank").as("rank_fp"))
       .orderBy(col("rank_fp").desc, col("p_partkey"))
