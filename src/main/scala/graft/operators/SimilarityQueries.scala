@@ -610,9 +610,19 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
     val probes = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("qe").as("q_qe"),
         col("qn").as("q_qn"))
+    hardNegativesOf(probes, cent, assignedBuckets(e, cent), clusters)
+  }
+
+  /** The hard-negative reduction over any (probes, centroids,
+    * assignment, clusters) inputs — factored so the self-contained x96
+    * and the persisted-artifact serve path ([[hardNegativesFrom]]) share
+    * ONE spelling, the [[purityOf]]/[[silhouetteOf]] discipline.
+    */
+  private def hardNegativesOf(probes: DataFrame, cent: DataFrame,
+      assigned: DataFrame, clusters: DataFrame): DataFrame = {
     val wk = Window.partitionBy("q_id").orderBy(desc("cos"), col("vec_id"))
     probeBuckets(probes, cent)
-      .join(assignedBuckets(e, cent), "bucket")
+      .join(assigned, "bucket")
       .filter(col("vec_id") =!= col("q_id"))
       .join(clusters.select(col("vec_id").as("q_id"),
         col("cluster_id").as("q_cluster")), "q_id")
@@ -624,6 +634,28 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
       .select(col("q_id"), col("rank"), col("vec_id").as("neighbor_id"),
         col("cos"))
       .orderBy("q_id", "rank")
+  }
+
+  /** x96's mining served from the persisted IVF index + persisted
+    * clusters — zero retraining and zero re-clustering (the two
+    * artifact reads [[silhouetteFrom]] also consumes); probes are the
+    * same map-only quantization of the probe rows. Results identical to
+    * the self-contained query (HardNegativeSpec pins frame equality).
+    */
+  def hardNegativesFrom(s: SparkSession, dir: String, ivfPath: String,
+      clustersPath: String): DataFrame = {
+    // the serve path never touches [[quantized]], so the native
+    // dot_long registration (inside sparkCos) must happen here
+    graft.GraftExtensions.install(s)
+    val probes = quantized(s, dir).filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("qe").as("q_qe"),
+        col("qn").as("q_qn"))
+    hardNegativesOf(probes,
+      s.read.parquet(s"$ivfPath/centroids"),
+      s.read.parquet(s"$ivfPath/assignment")
+        .select(col("vec_id"), col("qe"), col("qn"),
+          col("bucket").cast("bigint").as("bucket")),
+      clustersFrom(s, clustersPath))
   }
 
   private lazy val x96Oracle: String = s"""
@@ -1537,6 +1569,19 @@ FROM clusters ORDER BY vec_id"""),
       (s, d) => hardNegatives(s, d),
       Some(x96Oracle),
       "ANN hard negatives: top-k probed candidates outside own cluster"),
+
+    // ── x96's mining served from the persisted IVF index + clusters
+    // (the x12s/x64s/x86s discipline): identical rows — the oracle
+    // string IS x96's — with zero k-means and zero re-clustering, so
+    // the row prices what a serve-tier miner pays per probe batch.
+    "x96s_negatives_serve" -> QueryDef(
+      (s, d) => {
+        prepareServe(s, d)
+        hardNegativesFrom(s, d, s"${serveRoot(d)}/ivf",
+          s"${serveRoot(d)}/clusters")
+      },
+      Some(x96Oracle),
+      "hard-negative serve path: mining from persisted index + clusters"),
 
     // ── IVF append-without-retrain (see [[ivfAppend]]): new-batch
     // vectors assign map-only against centroids FROZEN on the old

@@ -49,4 +49,17 @@ class HardNegativeSpec extends SparkSpec {
       "x96 equals x12 — the near-dup exclusion excluded nothing, " +
         "the test corpus no longer exercises the operator")
   }
+
+  test("x96s: the serve path answers from persisted artifacts with " +
+      "frame-identical rows") {
+    def frame(name: String) =
+      SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toSeq
+    val self = frame("x96_hard_negatives")
+    spark.catalog.clearCache()
+    val served = frame("x96s_negatives_serve")
+    spark.catalog.clearCache()
+    assert(served == self, "served mining drifted from the declared query")
+  }
 }
