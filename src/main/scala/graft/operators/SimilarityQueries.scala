@@ -1076,7 +1076,8 @@ ORDER BY p.cluster_id"""
     */
   val serveRows: Set[String] = Set("x12s_ann_serve", "x64s_purity_serve",
     "x82s_pq_serve", "x85s_ivfpq_serve", "x86s_silhouette_serve",
-    "x87s_csls_serve", "st16_stream_pq_encode", "st17_stream_ivf_assign")
+    "x87s_csls_serve", "x96s_negatives_serve",
+    "st16_stream_pq_encode", "st17_stream_ivf_assign")
 
   /** The artifact subdirectories [[prepareServe]] must produce. */
   private val ArtifactDirs =
