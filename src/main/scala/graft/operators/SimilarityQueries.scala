@@ -1348,7 +1348,90 @@ FROM (SELECT *, row_number() OVER (PARTITION BY q_id
         ORDER BY csls DESC, dst) AS rn FROM csc)
 WHERE rn <= $K ORDER BY q_id, rank"""
 
+  /** Per-label embedding-norm QC (the declared `dq10_embed_norms`) —
+    * the data-quality audit an embedding INGEST runs before anything
+    * downstream trusts the vectors: dead vectors (all-zero after
+    * quantization — a failed encoder call or a padding row) and norm
+    * outliers (|‖v‖² − median| > 3·MAD — truncation, double-write, or a
+    * mis-scaled batch), per label slice. x51's robust-statistic
+    * discipline applied to the vector table: the lower median and MAD
+    * of the EXACT int64 quantized squared norm are rank-selected
+    * integers (no float stats anywhere), so the flag predicate is exact
+    * integer algebra and hash-identical cross-engine. Shape: one
+    * label-keyed window pass per statistic over |V| rows, medians
+    * broadcast back — the same envelope as x51 on documents.
+    */
+  private def embedNormAudit(s: SparkSession, d: String): DataFrame = {
+    val e = quantizedCached(s, d).select(col("vec_id"), col("label"),
+      col("qn"))
+    def lowerMedian(df: DataFrame, v: String, out: String) = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("label").orderBy(col(v), col("vec_id"))))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("label")))
+      .filter(expr("rn = (cnt + 1) div 2"))
+      .select(col("label"), col(v).as(out))
+    val med = lowerMedian(e, "qn", "med_norm")
+    val dev = e.join(broadcast(med), Seq("label"))
+      .withColumn("adev", abs(col("qn") - col("med_norm")))
+    val mad = lowerMedian(
+      dev.select(col("label"), col("vec_id"), col("adev")),
+      "adev", "mad_norm")
+    dev.join(broadcast(mad), Seq("label"))
+      .groupBy(col("label"), col("med_norm"), col("mad_norm"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("qn") === 0L, 1L).otherwise(0L)).as("n_dead"),
+        sum(when(col("adev") > lit(3L) * col("mad_norm"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("label"), col("n_vecs"), col("n_dead"),
+        col("med_norm"), col("mad_norm"), col("n_outliers"),
+        (col("n_outliers").cast("double") / col("n_vecs"))
+          .as("outlier_share"))
+      .orderBy("label")
+  }
+
+  private lazy val dq10Oracle: String = s"""
+WITH $duckQuantizedCte,
+nmed AS (
+  SELECT label, qn AS med_norm FROM (
+    SELECT label, qn,
+      row_number() OVER (PARTITION BY label ORDER BY qn, vec_id) AS rn,
+      count(*) OVER (PARTITION BY label) AS cnt
+    FROM e)
+  WHERE rn = (cnt + 1) // 2
+),
+ndev AS (
+  SELECT e.label, e.vec_id, e.qn, m.med_norm,
+    abs(e.qn - m.med_norm) AS adev
+  FROM e JOIN nmed m ON e.label = m.label
+),
+nmad AS (
+  SELECT label, adev AS mad_norm FROM (
+    SELECT label, adev, vec_id,
+      row_number() OVER (PARTITION BY label ORDER BY adev, vec_id) AS rn,
+      count(*) OVER (PARTITION BY label) AS cnt
+    FROM ndev)
+  WHERE rn = (cnt + 1) // 2
+)
+SELECT v.label, CAST(count(*) AS BIGINT) AS n_vecs,
+  CAST(sum(CASE WHEN v.qn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dead,
+  v.med_norm, a.mad_norm,
+  CAST(sum(CASE WHEN v.adev > 3 * a.mad_norm THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_outliers,
+  CAST(sum(CASE WHEN v.adev > 3 * a.mad_norm THEN 1 ELSE 0 END)
+    AS DOUBLE) / count(*) AS outlier_share
+FROM ndev v JOIN nmad a ON v.label = a.label
+GROUP BY v.label, v.med_norm, a.mad_norm
+ORDER BY v.label"""
+
   def defs: Map[String, QueryDef] = Map(
+    // ── Embedding-norm ingest QC (see [[embedNormAudit]]): dead
+    // vectors + robust norm outliers per label, rank-selected integer
+    // median/MAD (the x51 discipline on the vector table).
+    "dq10_embed_norms" -> QueryDef(
+      (s, d) => embedNormAudit(s, d),
+      Some(dq10Oracle),
+      "embedding-norm QC: dead vectors + 3-MAD outliers per label"),
+
 
     "x74_pca_power" -> QueryDef(
       pcaPower,

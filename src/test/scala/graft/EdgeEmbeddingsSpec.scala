@@ -40,7 +40,8 @@ class EdgeEmbeddingsSpec extends SparkSpec {
         "x41_embed_dedup_clusters", "x59_embed_dim_stats",
         "x63_knn_hubness", "x86_cluster_silhouette",
         "x87_csls_rescore", "x88_ivf_append",
-        "x89_srp_lsh_ann", "x89c_srp_bandcap", "x90_srp_recall")) {
+        "x89_srp_lsh_ann", "x89c_srp_bandcap", "x90_srp_recall",
+        "x96_hard_negatives", "dq10_embed_norms")) {
       val rows =
         try SparkEntry.queries(name)(spark, dir).collect()
         catch { case e: Throwable =>
@@ -49,6 +50,17 @@ class EdgeEmbeddingsSpec extends SparkSpec {
       spark.catalog.clearCache()
       assert(rows != null, name)
     }
+  }
+
+  test("dq10 flags the zero vector as dead in its label slice") {
+    val rows = SparkEntry.queries("dq10_embed_norms")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Long]("n_dead")))
+      .toMap
+    spark.catalog.clearCache()
+    assert(rows(0)._2 == 1L, s"label 0 must report its dead vector: $rows")
+    assert(rows(1)._2 == 0L && rows(2)._2 == 0L, s"no false deads: $rows")
   }
 
   test("PQ family survives a 6-vector corpus (n < Codes seeds, zero / " +
