@@ -138,6 +138,12 @@ object Bench {
       case s if s.endsWith(".") => s + "0"
       case s                    => s
     }
+    // Sub-second rollup so a TRUNCATED record (the driver keeps only the
+    // slowest entries from the bounded stdout line) still accounts for
+    // the full total: total ≈ sum(retained queries) + sum_under_1s.
+    val under1 = results.filter { case (_, dt, ok) => ok && dt < 1.0 }
+    val nUnder1 = under1.size
+    val sumUnder1 = under1.map(_._2).sum
     def render(entries: Seq[(String, Double, Boolean)],
                fmt: Double => String): String = {
       val qs = entries
@@ -149,6 +155,7 @@ object Bench {
       val pts = passTotals.map(fmt).mkString("[", ",", "]")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
         s""","n_queries":${results.size},"passes":$passes""" +
+        s""","n_under_1s":$nUnder1,"sum_under_1s":${fmt(sumUnder1)}""" +
         s""","pass_totals":$pts,"queries":$qs$errs,"sf":"$sfDir"}"""
     }
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",

@@ -52,11 +52,13 @@ object GraftExtensions {
     (FunctionIdentifier("srp_band_keys"),
       new ExpressionInfo(classOf[SrpBandKeys].getName, "srp_band_keys"),
       (args: Seq[Expression]) => args match {
-        case Seq(a, Literal(bands: Int, _), Literal(bits: Int, _)) =>
-          SrpBandKeys(a, bands, bits)
+        case Seq(a, Literal(bands: Int, _), Literal(bits: Int, _),
+            Literal(dims: Int, _)) =>
+          SrpBandKeys(a, bands, bits, dims)
         case other => throw new IllegalArgumentException(
-          "srp_band_keys(arr, bands, bits): expected (array, integer " +
-            s"literal, integer literal), got $other")
+          "srp_band_keys(arr, bands, bits, dims): expected (array, 3 " +
+            s"integer literals — dims is the expected vector length), " +
+            s"got $other")
       }),
     (FunctionIdentifier("kmv_sketch"),
       new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),

@@ -24,12 +24,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * one — the HOF form's per-bit `CASE WHEN NULL >= 0` zero-bit is a
   * semantics nobody relies on, and SrpBandKeysSpec pins the non-null
   * equivalence exhaustively).
+  *
+  * `dims` is the REQUIRED vector dimensionality: the hyperplane weights
+  * are a function of component INDEX, so a vector of the wrong length
+  * would silently hash under a truncated/extended weight set and
+  * diverge from the fixed-`dims` HOF twin and DuckDB oracle. A
+  * malformed vector fails loudly here instead (the only place the
+  * actual length is visible).
   */
-case class SrpBandKeys(child: Expression, bands: Int, bits: Int)
+case class SrpBandKeys(child: Expression, bands: Int, bits: Int, dims: Int)
     extends UnaryExpression with CodegenFallback {
 
   require(bands > 0 && bits > 0 && bits <= 62,
     s"band shape out of range: $bands x $bits")
+  require(dims > 0, s"dims must be positive: $dims")
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -47,6 +55,9 @@ case class SrpBandKeys(child: Expression, bands: Int, bits: Int)
   override def nullSafeEval(input: Any): Any = {
     val x = input.asInstanceOf[ArrayData]
     val n = x.numElements()
+    if (n != dims) throw new IllegalArgumentException(
+      s"srp_band_keys: input vector has $n elements, expected $dims — " +
+        "a malformed vector must fail loudly, not hash divergently")
     val v = new Array[Long](n)
     var i = 0
     while (i < n) {
@@ -79,4 +90,7 @@ case class SrpBandKeys(child: Expression, bands: Int, bits: Int)
 
   override protected def withNewChildInternal(
       newChild: Expression): SrpBandKeys = copy(child = newChild)
+
+  // the old 3-arg copy shape is gone on purpose: every caller must say
+  // what dimensionality it expects (see the class doc)
 }

@@ -83,7 +83,7 @@ object SrpQueries {
   private[graft] def bandKeys(e: DataFrame): DataFrame = {
     graft.GraftExtensions.install(e.sparkSession)
     e.withColumn("bkeys",
-        expr(s"srp_band_keys(qe, $Bands, $BitsPerBand)"))
+        expr(s"srp_band_keys(qe, $Bands, $BitsPerBand, $Dims)"))
       .select(col("vec_id"), col("qe"), col("qn"),
         posexplode(col("bkeys")).as(Seq("band", "bkey")))
   }

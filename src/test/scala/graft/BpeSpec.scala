@@ -157,6 +157,27 @@ class BpeSpec extends SparkSpec {
     assert(self.nonEmpty)
   }
 
+  test("checkpointed and unchecked lineage paths train identical merges " +
+      "(the CheckpointEvery discipline changes cost, never results)") {
+    // 16 rounds over a corpus with ≥ 16 distinct pairs, so the loop
+    // crosses several checkpoint boundaries; checkpointEvery=1 (most
+    // aggressive truncation) must equal checkpointEvery=1000 (never
+    // truncates — the pre-fix lineage shape)
+    val rnd = new scala.util.Random(7)
+    val docs = Vector.fill(3)(Vector.fill(40)(
+      (1 to (2 + rnd.nextInt(5))).map(_ => "abcd" (rnd.nextInt(4)))
+        .mkString).mkString(" "))
+    val dir = corpusDir(docs: _*)
+    def trained(every: Int) =
+      BpeQueries.trainLoop(spark, dir, rounds = 16,
+        checkpointEvery = every)._2
+    val ckpt = trained(1)
+    val plain = trained(1000)
+    spark.catalog.clearCache()
+    assert(ckpt == plain, s"ckpt $ckpt vs plain $plain")
+    assert(ckpt.length == 16, s"expected 16 merges, got ${ckpt.length}")
+  }
+
   test("the streaming twin's drained word-count state yields the batch " +
       "fertility rows (st19 == x92)") {
     // the stream keeps (source, word) counts and defers the subword
