@@ -96,7 +96,7 @@ object SimilarityQueries {
     * re-reading and re-quantizing per pass (MEMORY_AND_DISK spills, never
     * OOMs; Verify/Bench clear caches between queries).
     */
-  private[operators] def quantizedCached(s: SparkSession, d: String): DataFrame =
+  private[graft] def quantizedCached(s: SparkSession, d: String): DataFrame =
     quantized(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private[operators] val duckQuantizedCte =
@@ -137,6 +137,18 @@ object SimilarityQueries {
     * grows as C·d = √n·d; past ~1e8 vectors the documented next step is
     * two-level (coarse→fine) assignment, which reuses this same fold
     * per level.
+    *
+    * THE √n BROADCAST HAS A CEILING, AND THE ROUTERS FLIP AUTOMATICALLY
+    * AT IT: the packed centroid row costs ~600 B/centroid (64 int64
+    * components + id + norm), so at the advertised 10¹¹-vector scale
+    * √n ≈ 3·10⁵ centroids is a ~200 MB broadcast built through a
+    * driver-side collect — the same OOM-class risk the graph rounds
+    * flip away from at [[GraphQueries.BroadcastNodeLimit]]. Past
+    * [[BroadcastCentroidLimit]] centroids, [[assignedBuckets]] and
+    * [[probeBuckets]] stop broadcasting and run the shuffle-shaped
+    * spelling instead (cartesian fan-out over a PROJECTED key/vec/norm
+    * frame + key-partitioned argmax/top-N — see [[nearestCentroidShuffle]]);
+    * IvfFlipSpec pins both paths row-identical.
     */
   private[graft] def initCentroids(e: DataFrame): DataFrame = {
     val budget = e.agg(
@@ -193,6 +205,28 @@ object SimilarityQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** Centroid count above which the consumer-facing routers
+    * ([[assignedBuckets]], [[probeBuckets]]) stop broadcasting the
+    * packed centroid table and flip to the shuffle spelling — the
+    * [[GraphQueries.BroadcastNodeLimit]] discipline applied to the IVF
+    * router. At ~600 B per packed centroid (64 int64 components + id +
+    * norm + array overhead), 131072 centroids ≈ 80 MB of single-row
+    * broadcast state assembled through a driver collect; past that the
+    * broadcast is the memory risk, while the shuffle path's cost is two
+    * row-key-partitioned exchanges that scale out. Under the √n budget
+    * this bound corresponds to a ~1.7·10¹⁰-vector corpus; beyond it the
+    * per-row O(√n·d) scoring itself dominates and the documented next
+    * step is two-level coarse→fine routing (see [[initCentroids]]).
+    * Both paths compute identical rows (IvfFlipSpec pins this); the
+    * flip costs one count() of the (persisted or on-disk) centroid
+    * table per query chain. Training iterations ([[assignNearest]])
+    * keep the broadcast fold: their interim centroid frames are
+    * unpersisted plan fragments a count() would double-evaluate, and
+    * past this bound a corpus retrains via sampled/two-level training
+    * long before Lloyd-over-everything is the plan.
+    */
+  private[graft] val BroadcastCentroidLimit = 131072L
+
   /** The whole centroid table packed into ONE broadcast row
     * (`collect_list` of ≤ NCentroids structs) — the shape every
     * assignment/probe pass folds over so scoring is a pure map stage.
@@ -229,6 +263,33 @@ object SimilarityQueries {
                            THEN x ELSE acc END)"""))
       .drop("cents")
 
+  /** The shuffle-shaped twin of [[nearestCentroid]] for past-the-limit
+    * centroid tables (see [[BroadcastCentroidLimit]]): fan out a
+    * PROJECTED (key, vec, norm) frame against the un-broadcast centroid
+    * table (cartesian — no 80 MB+ driver-assembled packed row), argmax
+    * per key with `max(struct(cos, −c_id, c_id))` — which partially
+    * aggregates map-side, so the exchange carries at most one row per
+    * (key, input partition) — then one key-partitioned join back to the
+    * full input row. Tie semantics are identical to the fold: equal
+    * cosines fall through to the highest −c_id = lowest c_id, and the
+    * zero-norm guard in [[sparkCos]] means no NaN can enter the struct
+    * ordering. Adds the same `best STRUCT<id, cos>` column.
+    */
+  private def nearestCentroidShuffle(e: DataFrame, cent: DataFrame,
+      vec: String, nrm: String, key: String): DataFrame = {
+    val best = e.select(col(key), col(vec).as("__v"), col(nrm).as("__n"))
+      .crossJoin(cent)
+      .select(col(key),
+        expr(sparkCos("c_qe", "c_qn", "__v", "__n")).as("cos"),
+        col("c_id"))
+      .groupBy(key)
+      .agg(max(struct(col("cos"), (-col("c_id")).as("neg"),
+        col("c_id").as("id"))).as("mx"))
+      .select(col(key),
+        struct(col("mx.id").as("id"), col("mx.cos").as("cos")).as("best"))
+    e.join(best, key)
+  }
+
   /** One nearest-centroid assignment pass (training-time spelling). */
   private def assignNearest(e: DataFrame, cent: DataFrame): DataFrame =
     nearestCentroid(e, cent)
@@ -243,7 +304,7 @@ object SimilarityQueries {
     * the oracle's `//`. The trained table is persisted: consumers
     * broadcast it more than once (bucket assignment + probe routing).
     */
-  private[operators] def trainedCentroids(e: DataFrame): DataFrame = {
+  private[graft] def trainedCentroids(e: DataFrame): DataFrame = {
     val session = e.sparkSession
     import session.implicits._
     val fin = (1 to KmeansIters).foldLeft(initCentroids(e)) { (cent, _) =>
@@ -516,16 +577,26 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
   }
 
   /** Corpus → nearest-centroid bucket assignment (the IVF partitioning
-    * step): broadcast packed centroids, map-only argmax fold
-    * ([[nearestCentroid]]) — no fan-out, no window shuffle. Persisted
+    * step): below [[BroadcastCentroidLimit]] centroids, broadcast packed
+    * centroids + map-only argmax fold ([[nearestCentroid]]) — no
+    * fan-out, no window shuffle; past it, the automatic flip to
+    * [[nearestCentroidShuffle]] (row-identical, IvfFlipSpec). Persisted
     * because every consumer (x10 stats, x11 self-join, x12 search) reads
     * it more than once.
     */
   private[operators] def assignedBuckets(e: DataFrame, cent: DataFrame): DataFrame =
-    nearestCentroid(e, cent)
+    assignedBuckets(e, cent, BroadcastCentroidLimit)
+
+  private[graft] def assignedBuckets(e: DataFrame, cent: DataFrame,
+      flipAt: Long): DataFrame = {
+    val scored =
+      if (cent.count() < flipAt) nearestCentroid(e, cent)
+      else nearestCentroidShuffle(e, cent, "qe", "qn", "vec_id")
+    scored
       .select(col("vec_id"), col("qe"), col("qn"),
         col("best.id").as("bucket"), col("best.cos").as("centroid_cos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
   /** Probe routing — the same map-only shape as [[nearestCentroid]],
     * widened to top-NProbe: score the packed centroid array, sort the
@@ -535,22 +606,42 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
     * with zero shuffle — the serve path stays map-only however many
     * probes arrive. Shared by [[nprobeTopK]] and the IVFADC composite
     * (`x85_ivfpq_search`). Yields (q_id, q_qe, q_qn, bucket).
+    *
+    * Past [[BroadcastCentroidLimit]] centroids the packed row itself is
+    * the problem, and routing flips to the fan-out + per-probe window
+    * spelling (one q_id-keyed shuffle; identical total order, so
+    * identical buckets — IvfFlipSpec).
     */
   private[operators] def probeBuckets(probes: DataFrame,
       cent: DataFrame): DataFrame =
-    probes
-      .crossJoin(broadcast(packedCentroids(cent)))
-      .withColumn("topb", expr(s"""
-        slice(array_sort(
-          transform(cents, c -> named_struct('id', c.c_id, 'cos',
-            ${sparkCos("c.c_qe", "c.c_qn", "q_qe", "q_qn")})),
-          (l, r) -> CASE WHEN l.cos > r.cos THEN -1
-                         WHEN l.cos < r.cos THEN 1
-                         WHEN l.id < r.id THEN -1
-                         WHEN l.id > r.id THEN 1 ELSE 0 END),
-          1, $NProbe)"""))
-      .select(col("q_id"), col("q_qe"), col("q_qn"),
-        explode(expr("transform(topb, t -> t.id)")).as("bucket"))
+    probeBuckets(probes, cent, BroadcastCentroidLimit)
+
+  private[graft] def probeBuckets(probes: DataFrame, cent: DataFrame,
+      flipAt: Long): DataFrame =
+    if (cent.count() < flipAt)
+      probes
+        .crossJoin(broadcast(packedCentroids(cent)))
+        .withColumn("topb", expr(s"""
+          slice(array_sort(
+            transform(cents, c -> named_struct('id', c.c_id, 'cos',
+              ${sparkCos("c.c_qe", "c.c_qn", "q_qe", "q_qn")})),
+            (l, r) -> CASE WHEN l.cos > r.cos THEN -1
+                           WHEN l.cos < r.cos THEN 1
+                           WHEN l.id < r.id THEN -1
+                           WHEN l.id > r.id THEN 1 ELSE 0 END),
+            1, $NProbe)"""))
+        .select(col("q_id"), col("q_qe"), col("q_qn"),
+          explode(expr("transform(topb, t -> t.id)")).as("bucket"))
+    else
+      probes
+        .crossJoin(cent)
+        .withColumn("cos",
+          expr(sparkCos("c_qe", "c_qn", "q_qe", "q_qn")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))))
+        .filter(col("__rn") <= NProbe)
+        .select(col("q_id"), col("q_qe"), col("q_qn"),
+          col("c_id").as("bucket"))
 
   /** The probe-routing CTE (`name(q_id, q_qe, q_qn, bucket)`) in DuckDB
     * SQL — the oracle twin of [[probeBuckets]], shared by the x12
