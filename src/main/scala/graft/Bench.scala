@@ -78,7 +78,7 @@ object Bench {
     // warm-up: every query once at the smallest SF (plans, codegen, JIT,
     // streaming machinery), then a clean slate for the timed pass
     ordered.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count()
+      try Caches.scope(spark)(fn(spark, warmDir).count())
       catch { case _: Throwable => () }
     }
     spark.catalog.clearCache()
@@ -111,7 +111,9 @@ object Bench {
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          // scoped: cache release is part of the query's own contract
+          // now (Caches.scope), so the timed pass measures it too
+          try { Caches.scope(spark)(fn(spark, sfDir).count()); true }
           catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Query-scoped cache tracking: every `persist` a query builder takes is
+  * paired with an `unpersist` when the query's scope closes, so a
+  * long-lived session embedding the registry (the [[Graft]] facade's
+  * advertised use) does not accumulate MEMORY_AND_DISK blocks per query
+  * executed — and does not depend on a harness-side
+  * `spark.catalog.clearCache()` to stay bounded.
+  *
+  * Mechanics: builders persist through [[scoped]] (a drop-in
+  * `.transform(Caches.scoped)` where `.persist(MEMORY_AND_DISK)` used to
+  * be). When a [[scope]] is active on the thread, the frame is
+  * registered and unpersisted (non-blocking) when the scope closes —
+  * AFTER the scope body has consumed the result, so caches still serve
+  * every multi-branch read inside the query. With no active scope the
+  * call degrades to a bare persist (ad-hoc notebook use keeps its
+  * caches; `spark.catalog.clearCache()` remains the manual lever).
+  *
+  * The scope close also sweeps RAW persisted RDDs that appeared during
+  * the body and survived the tracked unpersists — that catches the
+  * eager `localCheckpoint` materializations the iterative queries use
+  * (graph rounds, BPE training, BSP components), whose backing RDDs are
+  * persisted by Spark without a `Dataset.unpersist` handle.
+  * CacheScopeSpec pins `sparkContext.getPersistentRDDs` empty after
+  * scoped runs of every persist-taking query family.
+  */
+object Caches {
+
+  private val scopes =
+    new ThreadLocal[List[scala.collection.mutable.ArrayBuffer[Dataset[_]]]] {
+      override def initialValue: List[
+        scala.collection.mutable.ArrayBuffer[Dataset[_]]] = Nil
+    }
+
+  /** Persist at MEMORY_AND_DISK (spills, never OOMs) and register with
+    * the innermost active scope. Usage: `df.transform(Caches.scoped)`.
+    */
+  def scoped[T](ds: Dataset[T]): Dataset[T] =
+    scopedAs(ds, StorageLevel.MEMORY_AND_DISK)
+
+  def scopedAs[T](ds: Dataset[T], level: StorageLevel): Dataset[T] = {
+    ds.persist(level)
+    scopes.get() match {
+      case head :: _ => head += ds
+      case Nil       => ()
+    }
+    ds
+  }
+
+  /** Run `body` with cache tracking: frames persisted through [[scoped]]
+    * inside it are unpersisted on exit, then any other persisted RDD
+    * that appeared during the body (localCheckpoint backings, untracked
+    * persists) is swept. Nest-safe: an inner scope releases only its
+    * own additions.
+    */
+  def scope[T](spark: SparkSession)(body: => T): T = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+    scopes.set(buf :: scopes.get())
+    try body
+    finally {
+      scopes.set(scopes.get() match { case _ :: t => t; case Nil => Nil })
+      buf.foreach { ds =>
+        try ds.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+      }
+      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!before.contains(id)) {
+          try rdd.unpersist(blocking = false)
+          catch { case _: Throwable => () }
+        }
+      }
+    }
+  }
+}

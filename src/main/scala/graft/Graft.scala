@@ -457,9 +457,24 @@ object Graft {
   /** Streaming surface: see [[streaming.EventStream]]. */
   def streams: streaming.EventStream.type = streaming.EventStream
 
-  /** Any declared capability by registry name (the driver's view). */
+  /** Any declared capability by registry name (the driver's view).
+    * Returns the lazy frame; caches the query takes stay alive until
+    * `spark.catalog.clearCache()` (or use [[runScoped]], which releases
+    * them as soon as your consumer returns).
+    */
   def run(name: String, spark: SparkSession, dir: String): DataFrame =
     SparkEntry.queries(name)(spark, dir)
+
+  /** Run a declared capability and release every cache it took once
+    * `consume` (write, collect, aggregate — anything that drains the
+    * frame) returns: the long-lived-session spelling of [[run]], so a
+    * service embedding the registry never accumulates per-query cached
+    * blocks (see [[Caches.scope]]; CacheScopeSpec pins zero persisted
+    * RDDs after scoped runs).
+    */
+  def runScoped[T](name: String, spark: SparkSession, dir: String)(
+      consume: DataFrame => T): T =
+    Caches.scope(spark)(consume(SparkEntry.queries(name)(spark, dir)))
 
   /** Register every table present in `dir` as a temp view (plus the
     * extension functions: `dot_long`, `minhash_sigs`, `simhash_bits`,

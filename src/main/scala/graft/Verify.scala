@@ -22,13 +22,17 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // scoped run: every persist the query takes (and every
+      // localCheckpoint backing) is released when the scope closes
+      try Caches.scope(spark) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // queries persist reused branches; drop them before the next query
-      // so 60+ runs in one session don't accumulate cached blocks
+      // belt-and-braces behind the scope (serve-artifact builders manage
+      // their own caches outside it)
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -138,7 +138,7 @@ object BpeQueries {
       : (DataFrame, Seq[(Long, String, String, String, Long)]) = {
     require(checkpointEvery >= 1, s"checkpointEvery: $checkpointEvery")
     val w0 = wordTable(s, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.scoped)
     var words = w0
     var foldsSinceCkpt = 0
     val merges = Seq.newBuilder[(Long, String, String, String, Long)]

@@ -148,7 +148,7 @@ bands AS (
     val docs = docs0
       .withColumn("sh", expr("shingles3(text)"))
       .select(col("doc_id"), col("lang"), col("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.scoped)
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
     val fullPosting = docs.select(col("doc_id"), col("lang"),
       explode(col("sh")).as("shingle"))
@@ -245,7 +245,7 @@ sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t)"""
       .withColumn("sh", expr("shingles3(text)"))
       .select(col("doc_id"), col("lang"),
         expr("n_chars div 200").as("bkt"), col("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.scoped)
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
     val fullPosting = docs.select(col("doc_id"), col("lang"), col("bkt"),
       explode(col("sh")).as("shingle"))
@@ -289,7 +289,7 @@ sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t)"""
       .withColumn("sigs", expr(s"minhash_sigs(sh, $K)"))
       .select(col("doc_id") +:
         (0 until K).map(i => col("sigs").getItem(i).as(s"sig$i")): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.scoped)
   }
 
   /** LSH band-collision candidate pairs from a minhash-signature frame.
@@ -446,7 +446,7 @@ ORDER BY doc_a, doc_b"""
     val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // star edges, not the pair list: identical components, linear
     // (not quadratic) in band-bucket size — see [[lshStarEdges]]
-    val cand = lshStarEdges(lshSigs(s, d)).persist(disk)
+    val cand = lshStarEdges(lshSigs(s, d)).transform(ds => graft.Caches.scopedAs(ds, disk))
     Components.connectedComponents(cand, "doc_a", "doc_b",
         Tables.documents(s, d).select(col("doc_id")), "doc_id",
         CcRounds)
@@ -640,7 +640,7 @@ $rounds"""
     // persist the cheap token arrays once
     val docs = Tables.documentsSpread(s, d)
       .select(col("doc_id"), expr("split(text, ' ')").as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.scoped)
     // one struct array per doc, exploded — the window text never leaves
     // the map side; only (doc_id, start, 16-byte fp) is shuffled.
     // sequence() guard: size(w) >= 5 rows only (a shorter doc has no
@@ -760,7 +760,7 @@ ORDER BY doc_id"""
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documentsSpread(s, d)
       .select(col("doc_id"), expr("split(text, ' ')").as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.scoped)
     val pos = docs.filter(size(col("w")) >= 5)
       .select(col("doc_id"), (size(col("w")) - 4).as("ng"),
         explode(expr(
@@ -782,7 +782,7 @@ ORDER BY doc_id"""
         (lit(WinnowBig) - substring(col("mk"), 33, 8).cast("bigint"))
           .as("p"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.scoped)
     val shared = sel.groupBy("fp")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2).select("fp")
@@ -892,7 +892,7 @@ ORDER BY doc_id"""
         """array_sort(transform(sh,
              x -> CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT)))""")
         .as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.scoped)
     // the whole prefix build is map-side: the array is already hash-
     // sorted, keep the first sz div 2 + 1 elements, explode only those
     val pref = t.select(col("doc_id"),

@@ -104,7 +104,7 @@ object GraphQueries {
   private def copurchaseEdges(s: SparkSession, d: String,
       orderCap: Option[Int] = None): DataFrame =
     pairsFrom(cappedSets(orderSets(s, d), orderCap))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.scoped)
 
   /** The DuckDB spelling of [[copurchaseEdges]] (CTEs `li`, `e`). */
   private val edgeCtes: String =
@@ -131,7 +131,7 @@ e AS (
     // transition table is edge-sized and persisted — every PageRank
     // round scans IT directly.
     val sets = cappedSets(orderSets(s, d), orderCap)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.scoped)
     // persisted: the flip-decision count below materializes this one
     // explode+agg pass and the transition build then reads the cache —
     // the decision costs a count over |nodes| cached rows, not a second
@@ -140,7 +140,7 @@ e AS (
       .select(explode(col("pks")).as("src"),
         (size(col("pks")) - 1).cast("bigint").as("k"))
       .groupBy("src").agg(sum(col("k")).as("wout"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.scoped)
     // AUTOMATIC broadcast→shuffle flip, decided BEFORE the transition
     // table is built so the |nodes|-row wout hint flips along with the
     // per-round rank hint. wout.count() bounds |nodes| from above (a
@@ -167,7 +167,7 @@ e AS (
     val n = scal.getLong(1)
     val ew = pairsFrom(sets)
       .join(if (useBroadcast) broadcast(wout) else wout, Seq("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.scoped)
     // node table derived from the CACHED |nodes|-row wout frame, not a
     // distinct over the 2.4M-row edge cache. Materialized once
     // (localCheckpoint truncates the lineage under the rounds); n
@@ -273,9 +273,9 @@ LIMIT 100"""
       flipAt: Long, orderCap: Option[Int]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sets = cappedSets(orderSets(s, d), orderCap)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.scoped)
     val edges = pairsFrom(sets)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.scoped)
     // node set from the pre-pair sets, not a distinct over the edge
     // cache (the x46 move): a part is a node iff some order pairs it
     // with another part iff it sits in a ≥2-item set — the same set as
@@ -382,7 +382,7 @@ FROM l$LpRounds ORDER BY p_partkey"""
       when(fwd, col("src")).otherwise(col("dst")).as("u"),
       when(fwd, col("dst")).otherwise(col("src")).as("v"),
       when(fwd, col("ddeg")).otherwise(col("sdeg")).as("vdeg"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.scoped)
     val wedge = eo.as("ab").join(eo.as("ac"),
       col("ab.u") === col("ac.u") &&
         (col("ab.vdeg") < col("ac.vdeg") ||

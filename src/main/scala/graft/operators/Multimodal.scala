@@ -143,7 +143,7 @@ object Multimodal {
     import org.apache.spark.sql.expressions.Window
     val flag = audioWindows(binaryDocs(spark, dir)).toDF()
       .withColumn("voiced", col("e") >= col("ns") * lit(5000L))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.scoped)
     val agg = flag.groupBy("doc_id").agg(
       count(lit(1)).as("n_windows"),
       sum(when(col("voiced"), lit(1L)).otherwise(lit(0L))).as("n_voiced"))

@@ -232,7 +232,7 @@ est AS (
           "CAST(9 AS BIGINT))").as("bkt"))
     val perSrc = scored.groupBy(col("source"), col("bkt"))
       .agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.scoped)
     val srcTot = perSrc.groupBy(col("source"))
       .agg(sum(col("cnt")).as("n_src"))
     val glob = perSrc.groupBy(col("bkt"))
@@ -1128,7 +1128,7 @@ ORDER BY l_returnflag"""),
         val vocab = Tables.documents(s, d)
           .select(explode(split(col("text"), " ")).as("term"))
           .groupBy("term").agg(count(lit(1)).as("cnt"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.Caches.scoped)
         val sketch = vocab
           .withColumn("r", explode(expr(s"sequence(0, ${CmsD - 1})")))
           .withColumn("b", expr(cmsBucketExpr("r")))
@@ -1984,10 +1984,10 @@ FROM terms GROUP BY doc_id ORDER BY doc_id"""),
         val toks = Tables.documents(s, d)
           .select(col("doc_id"), col("source"),
             explode(split(col("text"), " ")).as("token"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.Caches.scoped)
         val dt = toks.groupBy(col("doc_id"), col("source").as("actual"),
           col("token")).agg(count(lit(1)).as("k"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.Caches.scoped)
         val cnt = toks.groupBy(col("source"), col("token"))
           .agg(count(lit(1)).as("c"))
         val tot = toks.groupBy(col("source")).agg(count(lit(1)).as("n"))
@@ -2085,7 +2085,7 @@ FROM top GROUP BY actual, predicted ORDER BY actual, predicted"""),
           s"CAST(floor(ln(CAST($x AS DOUBLE)) * $LpScale + 0.5d) AS BIGINT)"
         val t = Tables.documentsSpread(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("w"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.Caches.scoped)
         val pairs = t.filter(size(col("w")) >= 2)
           .select(explode(expr(
             """flatten(transform(sequence(1, size(w) - 1),
@@ -2096,7 +2096,7 @@ FROM top GROUP BY actual, predicted ORDER BY actual, predicted"""),
                        AS b))))""")).as("p"))
           .select(col("p.a").as("a"), col("p.b").as("b"))
         val cab = pairs.groupBy("a", "b").agg(count(lit(1)).as("cab"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.Caches.scoped)
         val uni = t.select(explode(col("w")).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("c"))
         val tot = uni.agg(sum(col("c")).as("t"))
@@ -2403,7 +2403,7 @@ FROM a ORDER BY lang"""),
         val toks = Tables.documentsSpread(s, d)
           .select(col("lang"), col("doc_id"),
             explode(split(col("text"), " ")).as("token"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.Caches.scoped)
         val dl = toks.groupBy("lang", "doc_id")
           .agg(count(lit(1)).as("dl"))
         val lstats = dl.groupBy("lang")
@@ -2518,7 +2518,7 @@ WHERE rn <= $BmTopDocs ORDER BY lang, term, rank"""),
           .select(col("source"), explode(split(col("text"), " "))
             .as("token"))
           .groupBy("source", "token").agg(count(lit(1)).as("c_st"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.Caches.scoped)
         val ct = st.groupBy("token").agg(sum("c_st").as("c_t"))
         val ns = st.groupBy("source").agg(sum("c_st").as("n_src"),
           count(lit(1)).as("n_terms"))

@@ -115,7 +115,7 @@ object PqQueries {
     val session = e.sparkSession
     import session.implicits._
     val es = subVectors(e)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.scoped)
     val init = es.filter(col("vec_id") < Codes)
       .select(col("sub"), col("vec_id").as("c_id"), col("sqe").as("c_qe"))
     val fin = (1 to PqIters).foldLeft(init) { (cb, _) =>
@@ -133,7 +133,7 @@ object PqQueries {
         .map { case ((sub, code), (sv, n)) => (sub, code, sv.map(_ / n)) }
         .toDF("sub", "c_id", "c_qe")
     }
-    fin.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fin.transform(graft.Caches.scoped)
   }
 
   /** ALL codebooks packed into ONE broadcast row (≤ M·Ks structs ≈ 1 KB
@@ -365,7 +365,7 @@ WHERE rn <= ${SimilarityQueries.K} ORDER BY q_id, rank"""
     adcRanked(s, d)
       .filter(col("rank") <= Rerank)
       .select(col("q_id"), col("vec_id"), col("rank"), col("adc_dist"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.scoped)
 
   /** Exact full-vector re-rank of a (q_id, vec_id) shortlist: only
     * these candidates ever touch their original vectors, so the exact

@@ -97,7 +97,7 @@ object SimilarityQueries {
     * OOMs; Verify/Bench clear caches between queries).
     */
   private[graft] def quantizedCached(s: SparkSession, d: String): DataFrame =
-    quantized(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    quantized(s, d).transform(graft.Caches.scoped)
 
   private[operators] val duckQuantizedCte =
     s"""e AS (
@@ -327,7 +327,7 @@ object SimilarityQueries {
         }
         .toDF("c_id", "c_qe", "c_qn")
     }
-    fin.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fin.transform(graft.Caches.scoped)
   }
 
   /** The same Lloyd chain as [[trainedCentroids]] in DuckDB SQL: CTEs
@@ -521,7 +521,7 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
   private def silhouetteOf(memIn: DataFrame,
       bucketCap: Option[Int]): DataFrame = {
     val memFull = memIn
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.scoped)
     val mem = cappedByBucket(memFull, bucketCap)
     val pairs = mem.as("a").join(mem.as("b"),
         col("a.bucket") === col("b.bucket") &&
@@ -529,7 +529,7 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
       .select(col("a.vec_id").as("i"),
         col("a.cluster_id").as("ci"), col("b.cluster_id").as("cj"),
         expr(PqQueries.sparkSq("a.qe", "b.qe")).as("dd"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.scoped)
     val intra = pairs.filter(col("ci") === col("cj"))
       .groupBy(col("i").as("iv"))
       .agg(expr("(sum(dd) * CAST(1000000 AS BIGINT)) div count(1)")
@@ -595,7 +595,7 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
     scored
       .select(col("vec_id"), col("qe"), col("qn"),
         col("best.id").as("bucket"), col("best.cos").as("centroid_cos"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.scoped)
   }
 
   /** Probe routing — the same map-only shape as [[nearestCentroid]],
@@ -697,7 +697,7 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
     val e = quantizedCached(s, d)
     val cent = trainedCentroids(e)
     val clusters = embClusterAssignment(s, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.scoped)
     val probes = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("qe").as("q_qe"),
         col("qn").as("q_qn"))
@@ -906,18 +906,42 @@ SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs,
   CAST(min(cm) AS BIGINT) AS min_cos_micro
 FROM fba GROUP BY bucket ORDER BY bucket"""
 
-  /** x87's CSLS retrieval served from the persisted IVF assignment —
-    * zero retraining; same reduction as the declared query.
+  /** Build the CSLS rescoring statistics artifact from the persisted
+    * IVF assignment: the |V|-row (v, rm) table of per-vector kNN-mean
+    * cosines — the HALF of x87's work that does not depend on which
+    * probes arrive. Persisting it is what makes CSLS servable: the
+    * full bucket-local pair join (every vector × its bucket) and the
+    * per-vector top-k window run ONCE per corpus version here, and the
+    * serve path pays only probe-side candidate generation. The same
+    * (cos DESC, dst) windows and [[tdiv]] mean as the self-contained
+    * query, so served rows replay bit-identically (shared x87 oracle).
     */
-  def cslsFrom(s: SparkSession, ivfPath: String): DataFrame = {
+  def buildCslsStats(s: SparkSession, ivfPath: String,
+      path: String): Unit =
+    cslsMeans(cslsPairs(
+        s.read.parquet(s"$ivfPath/assignment")
+          .select(col("vec_id"), col("qe"), col("qn"),
+            col("bucket").cast("bigint").as("bucket"))))
+      .write.mode("overwrite").parquet(path)
+
+  /** x87's CSLS retrieval served from the persisted IVF assignment +
+    * persisted rescoring statistics ([[buildCslsStats]]) — zero
+    * retraining AND zero re-derivation of the corpus-wide kNN means:
+    * the serve pass computes only the PROBE-side candidate pairs
+    * (≤ NQueries probes joined to their buckets) and joins the stored
+    * (v, rm) table twice. Same final reduction as the declared query.
+    */
+  def cslsFrom(s: SparkSession, ivfPath: String,
+      rmPath: String): DataFrame = {
     // the serve path never touches [[quantized]], so the native-expression
     // registration (dot_long in sparkCos) must happen here
     graft.GraftExtensions.install(s)
-    cslsOf(
-      s.read.parquet(s"$ivfPath/assignment")
-        .select(col("vec_id"), col("qe"), col("qn"),
-          col("bucket").cast("bigint").as("bucket")),
-      None)
+    val assigned = s.read.parquet(s"$ivfPath/assignment")
+      .select(col("vec_id"), col("qe"), col("qn"),
+        col("bucket").cast("bigint").as("bucket"))
+    val probePairs = cslsPairs(
+      assigned.filter(col("vec_id") < NQueries), assigned)
+    cslsFinal(probePairs, s.read.parquet(rmPath))
   }
 
   /** Serve nprobe top-k for `dir`'s probe set from a persisted index —
@@ -994,7 +1018,7 @@ FROM fba GROUP BY bucket ORDER BY bucket"""
       .select(col("vec_id"), (col("pos") + 1).cast("int").as("dim"),
         expr(s"CAST(floor(CAST(x AS DOUBLE) * $PcaScale + 0.5d) AS BIGINT)")
           .as("xf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.scoped)
     def tdivJvm(a: Long, b: Long): Long = a / b // Long / truncates = div
     def isqrtJvm(sq: BigInt): Long =
       math.floor(math.sqrt(sq.toDouble)).toLong // same dbl path as SQL
@@ -1173,7 +1197,7 @@ ORDER BY p.cluster_id"""
   /** The artifact subdirectories [[prepareServe]] must produce. */
   private val ArtifactDirs =
     Seq("ivf/centroids", "ivf/assignment", "clusters", "pq/books",
-      "pq/codes", "pqres/books", "pqres/codes")
+      "pq/codes", "pqres/books", "pqres/codes", "csls_rm")
 
   def prepareServe(s: SparkSession, dir: String): Unit = synchronized {
     val root = serveRoot(dir)
@@ -1182,6 +1206,7 @@ ORDER BY p.cluster_id"""
       buildClusters(s, dir, s"$root/clusters")
       PqQueries.buildPq(s, dir, s"$root/pq")
       PqQueries.buildIvfPq(s, s"$root/ivf", s"$root/pqres")
+      buildCslsStats(s, s"$root/ivf", s"$root/csls_rm")
       new java.io.File(s"$root/_READY").createNewFile()
       s.catalog.clearCache() // build-side persists must not leak
     }
@@ -1226,26 +1251,53 @@ ORDER BY p.cluster_id"""
 
   /** The CSLS reduction over any (vec_id, qe, qn, bucket) assignment
     * frame — factored so the declared x87 and the persisted-index serve
-    * path ([[cslsFrom]]) share ONE spelling.
+    * path ([[cslsFrom]]) share ONE spelling of every stage.
     */
   private def cslsOf(assignedIn: DataFrame,
       bucketCap: Option[Int]): DataFrame = {
     val assigned = cappedByBucket(assignedIn, bucketCap)
-    val pairs = assigned.as("a").join(assigned.as("b"),
+    val pairs = cslsPairs(assigned).transform(graft.Caches.scoped)
+    cslsFinal(pairs.filter(col("src") < NQueries), cslsMeans(pairs))
+  }
+
+  /** Bucket-local scored pairs (src, dst, cm): every `left` vector
+    * against every OTHER vector of its bucket on the `right` side, the
+    * cosine fixed-pointed to micro-units. The two-argument form is what
+    * lets the serve path price only probe-side pairs: left = the
+    * ≤ NQueries probe rows, right = the full assignment.
+    */
+  private def cslsPairs(left: DataFrame): DataFrame = cslsPairs(left, left)
+
+  private def cslsPairs(left: DataFrame, right: DataFrame): DataFrame =
+    left.as("a").join(right.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
         expr(s"""CAST(floor((${sparkCos("a.qe", "a.qn", "b.qe", "b.qn")})
                  * 1000000.0d + 0.5d) AS BIGINT)""".replace('\n', ' '))
           .as("cm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Per-vector kNN-mean table (v, rm): top-K cosines per src by the
+    * (cm DESC, dst) total order, mean as the sign-split truncating
+    * division (top-k cosines CAN all be negative, where `div` and `//`
+    * disagree). This is the corpus-wide statistic [[buildCslsStats]]
+    * persists.
+    */
+  private def cslsMeans(pairs: DataFrame): DataFrame = {
     val wk = Window.partitionBy("src").orderBy(desc("cm"), col("dst"))
-    val r = pairs.withColumn("rn", row_number().over(wk))
+    pairs.withColumn("rn", row_number().over(wk))
       .filter(col("rn") <= K)
       .groupBy(col("src").as("v"))
       .agg(expr(tdiv("sum(cm)", "count(1)", "div")).as("rm"))
+  }
+
+  /** Final CSLS ranking: candidate pairs joined to the (v, rm) table on
+    * both endpoints, csls = 2·cm − r(src) − r(dst) as exact integer
+    * algebra, one per-probe window.
+    */
+  private def cslsFinal(probePairs: DataFrame, r: DataFrame): DataFrame = {
     val wq = Window.partitionBy("q_id").orderBy(desc("csls"), col("dst"))
-    pairs.filter(col("src") < NQueries)
+    probePairs
       .join(r.as("ra"), col("src") === col("ra.v"))
       .join(r.as("rb"), col("dst") === col("rb.v"))
       .select(col("src").as("q_id"), col("dst"), col("cm"),
@@ -1279,7 +1331,7 @@ ORDER BY p.cluster_id"""
       .withColumn("rn", row_number().over(wk))
       .filter(col("rn") <= K)
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.scoped)
     val ind = knn.groupBy(col("dst")).agg(count(lit(1)).as("ic"))
     val outd = knn.groupBy(col("src")).agg(count(lit(1)).as("oc"))
     full.select(col("vec_id"), col("bucket"))
@@ -1730,7 +1782,7 @@ FROM clusters ORDER BY vec_id"""),
     "x87s_csls_serve" -> QueryDef(
       (s, d) => {
         prepareServe(s, d)
-        cslsFrom(s, s"${serveRoot(d)}/ivf")
+        cslsFrom(s, s"${serveRoot(d)}/ivf", s"${serveRoot(d)}/csls_rm")
       },
       Some(x87Oracle),
       "CSLS serve path: rescored retrieval from the persisted index"),
@@ -1793,7 +1845,7 @@ FROM clusters ORDER BY vec_id"""),
           posexplode(col("qe")).as(Seq("dim", "v")))
         val perL = dims.groupBy("label", "dim")
           .agg(sum(col("v")).as("sl"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.Caches.scoped)
         val nL = e.groupBy("label").agg(count(lit(1)).as("n_label"))
         val glob = perL.groupBy("dim").agg(sum(col("sl")).as("sg"))
         val nAll = e.agg(count(lit(1)).as("n_all"))

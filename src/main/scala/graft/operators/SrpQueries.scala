@@ -127,7 +127,7 @@ object SrpQueries {
       bandCap: Option[Int] = None): DataFrame = {
     graft.GraftExtensions.install(e.sparkSession) // rescoring uses dot_long
     val keysFull = bandKeys(e)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.scoped)
     val corpus = cappedByBandKey(
       keysFull.select(col("vec_id"), col("band"), col("bkey")), bandCap)
     // multi-probe fan-out: per (probe, band), the exact key plus its

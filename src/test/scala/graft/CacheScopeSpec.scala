@@ -1,0 +1,58 @@
+package graft
+
+/** Pins the persist/unpersist discipline (Caches.scope): after a scoped
+  * run of any registry query, the SparkContext holds NO persisted RDDs
+  * beyond what existed before the run — neither `persist`ed frames
+  * (released via the tracked Dataset handles) nor `localCheckpoint`
+  * backings (released by the scope-end sweep). A long-lived session
+  * embedding the registry must not depend on a harness-side
+  * `clearCache()` to stay bounded.
+  *
+  * The query list covers every persist-taking builder family: LSH/
+  * n-gram dedup, BSP connected components (checkpointing), the IVF/PQ/
+  * SRP similarity stack, CSLS, the iterative graph rounds
+  * (checkpointing), BM25, BPE training (checkpointing), audio VAD, the
+  * corpus pipeline, and the flagship join pipeline.
+  */
+class CacheScopeSpec extends SparkSpec {
+
+  private val covered = Seq(
+    "x06_dedup_minhash_lsh",  // DedupQueries: lshSigs/bands persists
+    "x08_ngram_jaccard",      // DedupQueries: shingle df persists
+    "x14_dedup_clusters",     // Components BSP: persists + checkpoints
+    "x12_ann_ivf_search",     // SimilarityQueries: corpus/centroids/assignment
+    "x41_embed_dedup_clusters", // bucket-local union-find chain
+    "x87_csls_rescore",       // pair-table persist
+    "x81_pq_codebooks",       // PqQueries persists
+    "x89_srp_lsh_ann",        // SrpQueries band-key persist
+    "x46_part_pagerank",      // GraphQueries: persists + localCheckpoints
+    "x61_label_communities",  // label rounds
+    "x65_bm25_rank",          // PipelineQueries persists
+    "x91_bpe_train",          // BpeQueries: word table + checkpoints
+    "mm04_audio_vad",         // Multimodal window persist
+    "corpus_curate",          // corpus pipeline
+    "loan_detail")            // flagship joins
+
+  test("scoped runs leave zero new persisted RDDs behind") {
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    for (name <- covered) {
+      val n = Graft.runScoped(name, spark, sf)(_.count())
+      assert(n > 0, s"$name returned no rows")
+      val leaked = spark.sparkContext.getPersistentRDDs
+        .filter { case (id, _) => !before.contains(id) }
+      assert(leaked.isEmpty,
+        s"$name leaked ${leaked.size} persisted RDDs: " +
+          leaked.map { case (id, r) => s"$id:${r.name}" }.mkString(", "))
+    }
+  }
+
+  test("an unscoped run still caches (ad-hoc use keeps its caches), " +
+      "and clearCache remains the manual lever") {
+    spark.catalog.clearCache()
+    Graft.run("x06_dedup_minhash_lsh", spark, sf).count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "expected the unscoped run to keep its caches")
+    spark.catalog.clearCache()
+  }
+}
