@@ -160,41 +160,133 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Fixed-point scale of the DCT cosine table: 2¹⁴ keeps every
+    * intermediate inside int64 with headroom — |row-pass value| ≤
+    * 255·16384·32 ≈ 1.3·10⁸, |coefficient| ≤ that ·16384·32 ≈ 7.0·10¹⁶,
+    * and the 63-term mean comparison `coeff·63 > Σ` tops out at
+    * ~4.4·10¹⁸ < 2⁶³.
+    */
+  private[graft] val PhashCosScale = 16384L
+
+  /** The 8×32 DCT-II cosine table, fixed-pointed once at class init:
+    * `C[k][n] = round(cos(π·(2n+1)·k / 64) · 2¹⁴)`. The SAME array
+    * renders into the DuckDB oracle as integer literals
+    * ([[MultimodalQueries]]), so both engines multiply identical
+    * integers — no cross-engine libm surface at all.
+    */
+  private[graft] val PhashCos: Array[Array[Long]] =
+    Array.tabulate(8, 32) { (k, n) =>
+      Math.round(math.cos(math.Pi * (2 * n + 1) * k / 64.0) *
+        PhashCosScale.toDouble)
+    }
+
+  /** REAL 64-point DCT perceptual hash over a 32×32 grayscale plane
+    * (row-major, values 0-255) — the standard pHash recipe (Zauner,
+    * "Implementation and Benchmarking of Perceptual Image Hash
+    * Functions", 2010; public algorithm) in exact integer arithmetic:
+    *
+    *   1. separable 2-D DCT-II, keeping only the top-left 8×8
+    *      low-frequency block: rows first (`T[m][v] = Σ_n p[m·32+n] ·
+    *      C[v][n]`), then columns (`X[u][v] = Σ_m T[m][v] · C[u][m]`) —
+    *      integer multiply-adds against the fixed-point [[PhashCos]]
+    *      table, exact in int64 (see [[PhashCosScale]]);
+    *   2. one bit per non-DC coefficient: set iff the coefficient
+    *      exceeds the MEAN of the 63 non-DC coefficients, spelled as
+    *      the exact integer comparison `X[u][v]·63 > Σ` (no division);
+    *   3. bit k−1 of the hash is coefficient k = u·8+v in scan order
+    *      (k = 1..63) — 63 bits, so the hash is always non-negative
+    *      and arithmetic shifts band-slice it safely on both engines.
+    *
+    * Similar planes agree on low-frequency structure, so their sign
+    * patterns differ in few bits — Hamming distance IS perceptual
+    * distance (MultimodalSpec pins identical → 0, mild noise → small,
+    * different structure → large).
+    */
+  private[graft] def phash64(pix: Array[Long]): Long = {
+    require(pix.length == 1024, s"expected 32x32 plane, got ${pix.length}")
+    val t = Array.ofDim[Long](32, 8)
+    var m = 0
+    while (m < 32) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L
+        var n = 0
+        while (n < 32) { s += pix(m * 32 + n) * PhashCos(v)(n); n += 1 }
+        t(m)(v) = s
+        v += 1
+      }
+      m += 1
+    }
+    val x = Array.ofDim[Long](8, 8)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L
+        m = 0
+        while (m < 32) { s += t(m)(v) * PhashCos(u)(m); m += 1 }
+        x(u)(v) = s
+        v += 1
+      }
+      u += 1
+    }
+    var sum = 0L
+    var k = 1
+    while (k < 64) { sum += x(k / 8)(k % 8); k += 1 }
+    var h = 0L
+    k = 1
+    while (k < 64) {
+      if (x(k / 8)(k % 8) * 63L > sum) h |= 1L << (k - 1)
+      k += 1
+    }
+    h
+  }
+
+  /** STUB "decode to luma plane" — the codec stand-in (the
+    * [[fakeDecode]] discipline): a 32×32 plane tiled cyclically from
+    * the first 64 code points of the payload (code points, not bytes —
+    * the cross-engine convention mm01/mm04 established), each mapped to
+    * 0-255 by `cp mod 256`; an empty payload decodes to the zero plane.
+    * Payloads sharing their leading content therefore decode to the
+    * SAME plane (hash distance 0) and near-identical leads to nearby
+    * planes — which is what gives the real pHash above real pairs on
+    * this corpus. Swap this for an actual image decoder + luma resize
+    * and nothing downstream changes.
+    */
+  private[graft] def leadPlane(content: Array[Byte]): Array[Long] = {
+    val cps = new String(content, java.nio.charset.StandardCharsets.UTF_8)
+      .codePoints().limit(64).toArray
+    if (cps.isEmpty) new Array[Long](1024)
+    else Array.tabulate(1024)(i => (cps(i % cps.length) % 256).toLong)
+  }
+
   /** Perceptual-hash near-dup over the binary payloads — the IMAGE-DEDUP
     * shape of a multimodal corpus pipeline (x13's banded-Hamming
-    * machinery applied to the media column). A real pipeline computes a
-    * 64-bit DCT pHash from the decoded luma plane; the codec is absent
-    * here, so the hash stands in as 60 bits of the payload digest the
-    * [[decodeFeatures]] pass already extracts (clearly-marked fake,
-    * exactly like `fakeDecode`'s dimensions): byte-identical payloads
-    * collide at distance 0, so the candidate/verify machinery — the
-    * real, tested part — exercises end-to-end and swaps to a true pHash
-    * with no plan change.
+    * machinery applied to the media column). The hash is the REAL
+    * integer-exact DCT pHash ([[phash64]]) over the decoded plane; only
+    * the plane decode itself remains a labeled codec stub
+    * ([[leadPlane]]). Hashing runs inside the partition-local decode
+    * pass (one codec context per partition, the [[decodeFeatures]]
+    * shape) — exactly where a production pipeline computes it, so the
+    * corpus is never shuffled with payload bytes attached.
     *
-    * The stand-in digests the first 64 code points of the decoded
-    * payload (a "thumbnail" of the leading content — mm01's `first_cp`
-    * code-point convention, so both engines slice identically under
-    * multibyte text): payloads sharing their lead collide at distance 0,
-    * which gives the candidate machinery real pairs on this corpus
-    * (full-payload digests never collide here).
-    *
-    * Shape: 4 bands × 15 bits per hash; a pair within Hamming ≤ 3 MUST
-    * agree on ≥ 1 band (pigeonhole), so only band-equal pairs enter the
-    * join, and the exact `bit_count(xor)` test — carried WITH the band
-    * rows, x13-style, so collisions die before the distinct — prunes the
-    * rest. Never an all-pairs scan; per-band fan-out is bounded by
-    * bucket population exactly like the LSH families (the same
-    * cap levers would apply at scale).
+    * Shape: 4 bands × 16 bits over the 63-bit hash; a pair within
+    * Hamming ≤ 3 MUST agree on ≥ 1 band (pigeonhole), so only
+    * band-equal pairs enter the join, and the exact `bit_count(xor)`
+    * test — carried WITH the band rows, x13-style, so collisions die
+    * before the distinct — prunes the rest. Never an all-pairs scan;
+    * per-band fan-out is bounded by bucket population exactly like the
+    * LSH families (the same cap levers would apply at scale).
     */
   def phashNearDup(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val h = binaryDocs(spark, dir).toDF()
-      .select(col("doc_id"), expr(
-        """CAST(conv(substr(md5(substring(decode(content, 'UTF-8'), 1, 64)),
-           1, 15), 16, 10) AS BIGINT)""").as("ph"))
+    import spark.implicits._
+    val h = binaryDocs(spark, dir)
+      .mapPartitions(_.map(d => (d.doc_id, phash64(leadPlane(d.content)))))
+      .toDF("doc_id", "ph")
     val bands = h.select(col("doc_id"), col("ph"),
         explode(expr("""transform(sequence(0, 3), i -> named_struct(
-          'bi', i, 'bv', shiftright(ph, i * 15) & 32767))""")).as("bd"))
+          'bi', i, 'bv', shiftright(ph, i * 16) & 65535))""")).as("bd"))
       .select(col("doc_id"), col("ph"),
         col("bd.bi").as("bi"), col("bd.bv").as("bv"))
     bands.as("a").join(bands.as("b"),
