@@ -243,58 +243,116 @@ object Multimodal {
   }
 
   /** STUB "decode to luma plane" — the codec stand-in (the
-    * [[fakeDecode]] discipline): a 32×32 plane tiled cyclically from
-    * the first 64 code points of the payload (code points, not bytes —
-    * the cross-engine convention mm01/mm04 established), each mapped to
-    * 0-255 by `cp mod 256`; an empty payload decodes to the zero plane.
-    * Payloads sharing their leading content therefore decode to the
-    * SAME plane (hash distance 0) and near-identical leads to nearby
-    * planes — which is what gives the real pHash above real pairs on
-    * this corpus. Swap this for an actual image decoder + luma resize
+    * [[fakeDecode]] discipline), DISCRIMINATIVE by construction: the
+    * payload's code points split into 16-codepoint chunks (code points,
+    * not bytes — the cross-engine convention mm01/mm04 established),
+    * and each of the 64 row-blocks of the 32×32 plane takes the 16 MD5
+    * bytes of `chunk(j mod nc) + "#" + j` — chunk content keyed by the
+    * block index, so:
+    *
+    *   - identical payloads → identical planes → pHash distance 0;
+    *   - a small edit (the corpus's suffix-append near-dups) changes
+    *     only the blocks reading the edited chunk (~1024/nc cells),
+    *     so same-chunk-count near-dups land at SMALL hamming;
+    *   - unrelated payloads differ in every chunk, so every block is
+    *     an independent digest → planes are effectively random → large
+    *     hamming (no shared-tail or periodic structure anywhere — the
+    *     `#j` salt keeps even a 1-chunk payload's plane aperiodic).
+    *
+    * Like a real pHash under crop/shift, the stub loses near-dup pairs
+    * whose edit changes the chunk count (grid realignment) — recall is
+    * partial by design, exactly the production perceptual-hash
+    * trade-off. Swap this for an actual image decoder + luma resize
     * and nothing downstream changes.
     */
-  private[graft] def leadPlane(content: Array[Byte]): Array[Long] = {
-    val cps = new String(content, java.nio.charset.StandardCharsets.UTF_8)
-      .codePoints().limit(64).toArray
-    if (cps.isEmpty) new Array[Long](1024)
-    else Array.tabulate(1024)(i => (cps(i % cps.length) % 256).toLong)
+  private[graft] def digestPlane(content: Array[Byte]): Array[Long] = {
+    val s = new String(content, java.nio.charset.StandardCharsets.UTF_8)
+    val ncp = s.codePointCount(0, s.length)
+    val nc = math.max(1, (ncp + 15) / 16)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Long](1024)
+    var j = 0
+    while (j < 64) {
+      val from = (j % nc) * 16
+      val chunk =
+        if (from >= ncp) ""
+        else {
+          val st = s.offsetByCodePoints(0, from)
+          s.substring(st, s.offsetByCodePoints(st, math.min(16, ncp - from)))
+        }
+      md.reset()
+      val h = md.digest((chunk + "#" + j).getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      var i = 0
+      while (i < 16) {
+        out(j * 16 + i) = java.lang.Byte.toUnsignedLong(h(i))
+        i += 1
+      }
+      j += 1
+    }
+    out
   }
+
+  /** Verified-hamming threshold of the near-dup join. With 4 bands ×
+    * 16 bits, pairs within hamming ≤ 3 are GUARANTEED a band collision
+    * (pigeonhole); 4..7 is the honest-LSH probabilistic range — a pair
+    * surfaces iff its flipped bits leave some band clean. Both engines
+    * replay the identical band-then-verify contract, so the recall cut
+    * is deterministic, not a correctness surface.
+    */
+  private[graft] val PhashHammingMax = 7L
 
   /** Perceptual-hash near-dup over the binary payloads — the IMAGE-DEDUP
     * shape of a multimodal corpus pipeline (x13's banded-Hamming
     * machinery applied to the media column). The hash is the REAL
     * integer-exact DCT pHash ([[phash64]]) over the decoded plane; only
     * the plane decode itself remains a labeled codec stub
-    * ([[leadPlane]]). Hashing runs inside the partition-local decode
+    * ([[digestPlane]]). Hashing runs inside the partition-local decode
     * pass (one codec context per partition, the [[decodeFeatures]]
     * shape) — exactly where a production pipeline computes it, so the
     * corpus is never shuffled with payload bytes attached.
     *
-    * Shape: 4 bands × 16 bits over the 63-bit hash; a pair within
-    * Hamming ≤ 3 MUST agree on ≥ 1 band (pigeonhole), so only
-    * band-equal pairs enter the join, and the exact `bit_count(xor)`
-    * test — carried WITH the band rows, x13-style, so collisions die
-    * before the distinct — prunes the rest. Never an all-pairs scan;
-    * per-band fan-out is bounded by bucket population exactly like the
-    * LSH families (the same cap levers would apply at scale).
+    * Shape: 4 bands × 16 bits over the 63-bit hash; only band-equal
+    * pairs enter the join, and the exact `bit_count(xor) ≤`
+    * [[PhashHammingMax]] test — carried WITH the band rows, x13-style,
+    * so collisions die before the distinct — prunes the rest. Never an
+    * all-pairs scan; per-band fan-out is bounded by bucket population
+    * exactly like the LSH families.
+    *
+    * `bandCap` is the hot-band skew lever (the x06c pattern): a
+    * (band, value) bucket holding more than `bandCap` docs — a burst
+    * of byte-identical thumbnails at corpus scale — fans out
+    * quadratically inside the join; capped, the bucket is dropped from
+    * BOTH sides, bounding any key's fan-out to bandCap². Documented
+    * semantics change, not an optimization: pairs whose ONLY collision
+    * is a dropped band stop surfacing. The default `None` is the exact
+    * banded join the mm03 oracle replays; mm03c pins the capped path.
     */
-  def phashNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def phashNearDup(spark: SparkSession, dir: String,
+      bandCap: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val h = binaryDocs(spark, dir)
-      .mapPartitions(_.map(d => (d.doc_id, phash64(leadPlane(d.content)))))
+      .mapPartitions(_.map(d => (d.doc_id, phash64(digestPlane(d.content)))))
       .toDF("doc_id", "ph")
-    val bands = h.select(col("doc_id"), col("ph"),
+    val allBands = h.select(col("doc_id"), col("ph"),
         explode(expr("""transform(sequence(0, 3), i -> named_struct(
           'bi', i, 'bv', shiftright(ph, i * 16) & 65535))""")).as("bd"))
       .select(col("doc_id"), col("ph"),
         col("bd.bi").as("bi"), col("bd.bv").as("bv"))
+    val bands = bandCap.fold(allBands) { cap =>
+      val hot = allBands.groupBy(col("bi"), col("bv"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > cap)
+        .select("bi", "bv")
+      allBands.join(hot, Seq("bi", "bv"), "left_anti")
+    }
     bands.as("a").join(bands.as("b"),
         col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("CAST(bit_count(a.ph ^ b.ph) AS BIGINT)").as("hamming"))
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= PhashHammingMax)
       .distinct()
       .orderBy("doc_a", "doc_b")
   }

@@ -5,6 +5,62 @@ import graft.QueryDef
 /** Declared multimodal queries — see [[Multimodal]] for the plumbing. */
 object MultimodalQueries {
 
+  /** Hot-band cap for the declared capped twin mm03c (see x06c for the
+    * pattern): small enough to bite on this corpus so the twin pins a
+    * result genuinely different from mm03.
+    */
+  private val PhashTwinBandCap = 2
+
+  /** The [[Multimodal.PhashCos]] fixed-point DCT table rendered as a
+    * 256-row `(k, n, c)` VALUES literal — the promise the engine-side
+    * doc makes: both engines multiply the SAME integers.
+    */
+  private def phashCosValues: String =
+    (for { k <- 0 until 8; n <- 0 until 32 }
+      yield s"($k,$n,${Multimodal.PhashCos(k)(n)})").mkString(", ")
+
+  /** Shared oracle CTE chain: digest-plane decode → separable integer
+    * DCT (rows then columns) → 63-term mean-comparison bits → 63-bit
+    * hash → 4×16-bit band rows. Replays [[Multimodal.digestPlane]] and
+    * [[Multimodal.phash64]] exactly: every intermediate fits int64
+    * (see [[Multimodal.PhashCosScale]]), and DuckDB's HUGEINT
+    * aggregation is exact, so equality is by construction.
+    */
+  private def phashOracleCtes: String = s"""ct(k, n, c) AS (VALUES $phashCosValues),
+grp AS (
+  SELECT doc_id, j,
+    md5(substr(text, ((j % greatest(1, (length(text)+15)//16))*16)+1, 16)
+        || '#' || CAST(j AS VARCHAR)) AS h
+  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
+),
+cell AS (
+  SELECT doc_id, j*16 + i AS p,
+    CAST(('0x' || substr(h, i*2+1, 2)) AS BIGINT) AS pv
+  FROM grp CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i)
+),
+rowpass AS (
+  SELECT doc_id, p // 32 AS m, ct.k AS v, sum(pv * ct.c) AS t
+  FROM cell JOIN ct ON ct.n = p % 32
+  GROUP BY 1, 2, 3
+),
+colpass AS (
+  SELECT r.doc_id, ct.k AS u, r.v AS v, sum(r.t * ct.c) AS x
+  FROM rowpass r JOIN ct ON ct.n = r.m
+  GROUP BY 1, 2, 3
+),
+coef AS (SELECT doc_id, u*8 + v AS kk, x FROM colpass),
+tot AS (SELECT doc_id, sum(x) FILTER (WHERE kk >= 1) AS s FROM coef GROUP BY 1),
+ph AS (
+  SELECT c.doc_id,
+    CAST(sum(CASE WHEN c.kk >= 1 AND c.x * 63 > t.s
+             THEN (CAST(1 AS BIGINT) << (c.kk - 1)) ELSE 0 END) AS BIGINT) AS ph
+  FROM coef c JOIN tot t USING (doc_id) GROUP BY 1
+),
+bands AS (
+  SELECT doc_id, ph, bi, (ph >> (bi * 16)) & 65535 AS bv
+  FROM ph CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS bi) bb
+)"""
+
   def defs: Map[String, QueryDef] = Map(
     "mm01_binary_features" -> QueryDef(
       (s, d) => Multimodal.features(s, d),
@@ -34,25 +90,48 @@ object MultimodalQueries {
       "frame sampling + resize fan-out (explode per sampled frame)"),
 
     // ── Image-dedup shape over the media column: banded Hamming join on
-    // the (stubbed) perceptual hash — see [[Multimodal.phashNearDup]].
+    // the integer-exact DCT pHash — see [[Multimodal.phashNearDup]]. The
+    // oracle replays the WHOLE pipeline in SQL: the digest-plane decode,
+    // both DCT passes against the [[Multimodal.PhashCos]] table rendered
+    // below as integer literals, the 63-term mean comparison, and the
+    // band-then-verify join — so both engines multiply identical
+    // integers end to end.
     "mm03_phash_neardup" -> QueryDef(
       (s, d) => Multimodal.phashNearDup(s, d),
-      Some("""WITH h AS (
-  SELECT doc_id,
-    CAST(('0x' || substr(md5(substr(text, 1, 64)), 1, 15)) AS BIGINT) AS ph
-  FROM documents
-),
-bands AS (
-  SELECT doc_id, ph, bi, (ph >> (bi * 15)) & 32767 AS bv
-  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS bi) bb
-)
+      Some(s"""WITH $phashOracleCtes
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
   CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
 FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
   AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.ph, b.ph)) <= 3
+WHERE bit_count(xor(a.ph, b.ph)) <= ${Multimodal.PhashHammingMax}
 ORDER BY doc_a, doc_b"""),
       "perceptual-hash near-dup over binary payloads (banded Hamming)"),
+
+    // ── mm03 with the bandCap hot-band lever ENGAGED — the x06c
+    // discipline: the capped posting set is what a 100 TB image-dedup
+    // run joins (a burst of byte-identical thumbnails is a quadratic
+    // band bucket), so its semantics get their own oracle row. A
+    // (band, value) bucket with more than PhashTwinBandCap members is
+    // dropped from both sides before the pair join. The cap bites on
+    // this corpus (buckets reach 3-4 members), so this row pins a
+    // result genuinely different from mm03.
+    "mm03c_phash_bandcap" -> QueryDef(
+      (s, d) => Multimodal.phashNearDup(s, d, Some(PhashTwinBandCap)),
+      Some(s"""WITH $phashOracleCtes,
+hot AS (
+  SELECT bi, bv FROM bands GROUP BY 1, 2 HAVING count(*) > $PhashTwinBandCap
+),
+kept AS (
+  SELECT b.doc_id, b.ph, b.bi, b.bv FROM bands b
+  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.bi = b.bi AND h.bv = b.bv)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+FROM kept a JOIN kept b ON a.bi = b.bi AND a.bv = b.bv
+  AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ph, b.ph)) <= ${Multimodal.PhashHammingMax}
+ORDER BY doc_a, doc_b"""),
+      "mm03 with the bandCap skew lever engaged (capped-path semantics)"),
 
     // ── Audio shape: duration-proportional window decode + VAD
     // segmentation — see [[Multimodal.audioWindows]]/[[audioVad]].

@@ -36,35 +36,106 @@ class MultimodalSpec extends SparkSpec {
       }
   }
 
-  test("mm03: pairs are ordered and deduped, hamming in [0,3], and a " +
-    "hamming-0 pair shares its 64-codepoint payload lead") {
+  // ── independent pHash replay (functional spelling vs the engine's
+  // imperative loops; cosine table recomputed from the formula, not
+  // shared) used by the mm03/mm03c tests below.
+  private lazy val refCos: IndexedSeq[IndexedSeq[Long]] =
+    for (k <- 0 until 8) yield
+      for (n <- 0 until 32) yield
+        Math.round(math.cos(math.Pi * (2 * n + 1) * k / 64.0) * 16384.0)
+
+  private def refPlane(text: String): IndexedSeq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val ncp = text.codePointCount(0, text.length)
+    val nc = math.max(1, (ncp + 15) / 16)
+    (0 until 64).flatMap { j =>
+      val from = (j % nc) * 16
+      val chunk = if (from >= ncp) "" else {
+        val st = text.offsetByCodePoints(0, from)
+        text.substring(st,
+          text.offsetByCodePoints(st, math.min(16, ncp - from)))
+      }
+      md.reset()
+      md.digest((chunk + "#" + j).getBytes("UTF-8")).take(16)
+        .map(b => (b & 0xff).toLong)
+    }
+  }
+
+  private def refHash(pix: IndexedSeq[Long]): Long = {
+    val t = for (m <- 0 until 32) yield
+      for (v <- 0 until 8) yield
+        (0 until 32).map(n => pix(m * 32 + n) * refCos(v)(n)).sum
+    val x = for (u <- 0 until 8) yield
+      for (v <- 0 until 8) yield
+        (0 until 32).map(m => t(m)(v) * refCos(u)(m)).sum
+    val s = (1 until 64).map(k => x(k / 8)(k % 8)).sum
+    (1 until 64).foldLeft(0L) { (h, k) =>
+      if (x(k / 8)(k % 8) * 63L > s) h | (1L << (k - 1)) else h
+    }
+  }
+
+  /** Band-then-verify replay over the whole corpus; `cap` drops hot
+    * (band, value) buckets from both sides like the engine's bandCap.
+    */
+  private def refPairs(docs: Map[Long, String],
+      cap: Option[Int]): Set[(Long, Long, Long)] = {
+    val h = docs.map { case (id, t) => id -> refHash(refPlane(t)) }
+    val buckets = h.toSeq
+      .flatMap { case (id, ph) =>
+        (0 until 4).map(bi => (bi.toLong, (ph >> (bi * 16)) & 65535L) -> id)
+      }
+      .groupBy(_._1).values.map(_.map(_._2))
+      .filter(g => cap.forall(g.size <= _))
+    buckets.flatMap(g => g.sorted.combinations(2).map(c => (c(0), c(1))))
+      .toSet
+      .map { p: (Long, Long) =>
+        (p._1, p._2, java.lang.Long.bitCount(h(p._1) ^ h(p._2)).toLong)
+      }
+      .filter(_._3 <= 7L)
+  }
+
+  private def checkPhashQuery(name: String, cap: Option[Int]): Unit = {
     val docs = spark.read.parquet(s"$sf/documents.parquet").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
-    def lead64(s: String): String = {
-      // first 64 CODE POINTS (the hash's slicing unit), not chars
-      val n = s.codePointCount(0, s.length)
-      s.substring(0, s.offsetByCodePoints(0, math.min(64, n)))
+    val prs = rows(name)
+    val got = prs.map(r => (r.getAs[Long]("doc_a"),
+      r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
+    val want = refPairs(docs, cap)
+    assert(got.toSet == want,
+      s"$name != replay (${got.length} vs ${want.size} pairs)")
+    assert(got.length == want.size, s"$name has duplicate rows")
+    assert(got.sortBy(p => (p._1, p._2)).sameElements(got), s"$name order")
+    assert(got.nonEmpty, s"$name found no pairs on this corpus")
+    got.foreach { case (a, b, hm) =>
+      assert(a < b && hm >= 0L && hm <= 7L, s"($a,$b,$hm) out of contract")
     }
-    val prs = rows("mm03_phash_neardup")
-    // expectation derived from the corpus, not assumed of it: every
-    // lead-sharing pair must surface at hamming 0, so the query is
-    // empty iff the (possibly regenerated) corpus has no such pairs
-    val leadPairs = docs.toSeq.groupBy { case (_, t) => lead64(t) }
-      .values.filter(_.size > 1)
-      .flatMap(g => g.map(_._1).sorted.combinations(2).map(c => (c(0), c(1))))
-      .toSet
-    val zeroPairs = prs.filter(_.getAs[Long]("hamming") == 0L)
-      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
-    assert(zeroPairs == leadPairs,
-      s"hamming-0 pairs != lead-sharing pairs (${zeroPairs.size} vs ${leadPairs.size})")
-    val seen = scala.collection.mutable.Set[(Long, Long)]()
-    prs.foreach { r =>
-      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
-      val hm = r.getAs[Long]("hamming")
-      assert(a < b, s"pair ($a,$b) not ordered")
-      assert(seen.add((a, b)), s"pair ($a,$b) duplicated")
-      assert(hm >= 0L && hm <= 3L)
-    }
+  }
+
+  test("mm03: exact match against an independent plane+DCT+band replay") {
+    checkPhashQuery("mm03_phash_neardup", None)
+  }
+
+  test("mm03c: capped twin matches the replay and differs from mm03") {
+    checkPhashQuery("mm03c_phash_bandcap", Some(2))
+    // the cap must BITE on this corpus or the twin pins nothing
+    assert(rows("mm03c_phash_bandcap").length <
+      rows("mm03_phash_neardup").length, "bandCap did not bite")
+  }
+
+  test("phash64: identical planes → 0, mild noise → small, " +
+    "unrelated planes → large hamming") {
+    val rnd = new scala.util.Random(42)
+    val base = Array.fill(1024)(rnd.nextInt(256).toLong)
+    val noisy = base.clone()
+    for (i <- Seq(17, 403, 700, 999))
+      noisy(i) = (noisy(i) + 40L) % 256L
+    val other = Array.fill(1024)(rnd.nextInt(256).toLong)
+    def hm(a: Array[Long], b: Array[Long]) = java.lang.Long.bitCount(
+      graft.operators.Multimodal.phash64(a) ^
+        graft.operators.Multimodal.phash64(b))
+    assert(hm(base, base.clone()) == 0)
+    assert(hm(base, noisy) <= 7, s"mild noise moved ${hm(base, noisy)} bits")
+    assert(hm(base, other) >= 15, s"unrelated planes only ${hm(base, other)}")
   }
 
   test("mm04: VAD stats match an independent per-doc reference " +
