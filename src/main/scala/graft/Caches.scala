@@ -26,6 +26,23 @@ import org.apache.spark.storage.StorageLevel
   * persisted by Spark without a `Dataset.unpersist` handle.
   * CacheScopeSpec pins `sparkContext.getPersistentRDDs` empty after
   * scoped runs of every persist-taking query family.
+  *
+  * Concurrency: scopes are thread-local, but `getPersistentRDDs` is
+  * context-global — a closing scope must NOT unpersist a concurrent
+  * scope's mid-flight persists (silent recompute) or its
+  * `localCheckpoint` backings (whose lineage is truncated — a sweep
+  * there fails the victim with missing-checkpoint-block errors, not a
+  * recompute). So the raw-RDD sweep is DEFERRED while other scopes
+  * overlap: each closing scope banks its orphan candidates, and the
+  * LAST open scope to close sweeps the bank. Tracked [[scoped]] frames
+  * are still released by their own scope immediately (each thread only
+  * touches its own), so under concurrency the only blocks that outlive
+  * their query are untracked checkpoint backings, and only until the
+  * overlap window drains. One caveat stands: a bare `.persist` taken on
+  * a NON-scoped thread while any scope is open is indistinguishable
+  * from an orphan and will be swept with the bank — inside a shared
+  * long-lived session, run queries through scopes (or [[Graft.runScoped]])
+  * uniformly rather than mixing in unmanaged persists.
   */
 object Caches {
 
@@ -34,6 +51,16 @@ object Caches {
       override def initialValue: List[
         scala.collection.mutable.ArrayBuffer[Dataset[_]]] = Nil
     }
+
+  /** Open-scope bookkeeping for the deferred raw-RDD sweep: count of
+    * scopes currently open across ALL threads, plus the banked orphan
+    * RDD ids awaiting the last-closer's sweep. Guarded by [[lock]];
+    * RDD ids are per-SparkContext (one live context per JVM in every
+    * supported deployment).
+    */
+  private val lock = new Object
+  private var openScopes = 0
+  private val bankedOrphans = scala.collection.mutable.Set.empty[Int]
 
   /** Persist at MEMORY_AND_DISK (spills, never OOMs) and register with
     * the innermost active scope. Usage: `df.transform(Caches.scoped)`.
@@ -53,12 +80,19 @@ object Caches {
   /** Run `body` with cache tracking: frames persisted through [[scoped]]
     * inside it are unpersisted on exit, then any other persisted RDD
     * that appeared during the body (localCheckpoint backings, untracked
-    * persists) is swept. Nest-safe: an inner scope releases only its
-    * own additions.
+    * persists) is swept — immediately when this is the only open scope,
+    * deferred to the last closer when scopes overlap (see the class doc:
+    * a global sweep under concurrency would kill a sibling scope's
+    * mid-flight blocks). Nest-safe: an inner scope releases only its own
+    * tracked additions; the raw-RDD bank drains when the OUTERMOST
+    * scopes have all closed.
     */
   def scope[T](spark: SparkSession)(body: => T): T = {
     val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.keySet
+    val before = lock.synchronized {
+      openScopes += 1
+      sc.getPersistentRDDs.keySet
+    }
     val buf = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
     scopes.set(buf :: scopes.get())
     try body
@@ -68,10 +102,18 @@ object Caches {
         try ds.unpersist(blocking = false)
         catch { case _: Throwable => () }
       }
-      sc.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!before.contains(id)) {
-          try rdd.unpersist(blocking = false)
-          catch { case _: Throwable => () }
+      lock.synchronized {
+        openScopes -= 1
+        bankedOrphans ++= sc.getPersistentRDDs.keySet.diff(before)
+        if (openScopes == 0) {
+          val live = sc.getPersistentRDDs
+          bankedOrphans.foreach { id =>
+            live.get(id).foreach { rdd =>
+              try rdd.unpersist(blocking = false)
+              catch { case _: Throwable => () }
+            }
+          }
+          bankedOrphans.clear()
         }
       }
     }

@@ -471,6 +471,17 @@ object Graft {
     * service embedding the registry never accumulates per-query cached
     * blocks (see [[Caches.scope]]; CacheScopeSpec pins zero persisted
     * RDDs after scoped runs).
+    *
+    * CONTRACT — `consume` must fully drain the frame before returning.
+    * If it returns the lazy DataFrame itself (or anything still holding
+    * one), a LATER action on it does not merely recompute: the scope has
+    * already swept the query's `localCheckpoint` backings, whose lineage
+    * is truncated, so the action fails with missing-checkpoint-block
+    * errors (`SparkException: Checkpoint block ... not found`). Return
+    * materialized results — collected rows, counts, a completed write —
+    * never the frame. Safe to call concurrently from multiple threads:
+    * overlapping scopes defer the shared raw-RDD sweep to the last
+    * closer (see [[Caches]]).
     */
   def runScoped[T](name: String, spark: SparkSession, dir: String)(
       consume: DataFrame => T): T =

@@ -698,7 +698,7 @@ WHERE rn <= ${SimilarityQueries.K} ORDER BY q_id, rank"""),
         SimilarityQueries.prepareServe(s, d)
         val root = SimilarityQueries.serveRoot(d)
         ivfpqFrom(s, d,
-          s.read.parquet(s"$root/ivf/centroids"),
+          SimilarityQueries.centroidsFrom(s, s"$root/ivf"),
           s.read.parquet(s"$root/pqres/books"),
           s.read.parquet(s"$root/pqres/codes")
             .select(col("vec_id"), col("enc"),

@@ -24,10 +24,10 @@ object Serve {
 
   /** Version of the embeddings-keyed builders (IVF index, semantic
     * clusters, PQ books + codes — [[SimilarityQueries.prepareServe]]):
-    * v9 = the CSLS rescoring statistics (`csls_rm`) joined the
-    * artifact set.
+    * v10 = the router-flip count manifest (`centroid_count.txt`)
+    * joined the artifact set.
     */
-  private[operators] val IndexBuilderVersion = 9
+  private[operators] val IndexBuilderVersion = 10
 
   /** Version of the documents-keyed audit builders ([[AuditServe]]):
     * v8 = the BPE merge table (`bpemerges`) joined the artifact set.

@@ -218,14 +218,57 @@ object SimilarityQueries {
     * per-row O(√n·d) scoring itself dominates and the documented next
     * step is two-level coarse→fine routing (see [[initCentroids]]).
     * Both paths compute identical rows (IvfFlipSpec pins this); the
-    * flip costs one count() of the (persisted or on-disk) centroid
-    * table per query chain. Training iterations ([[assignNearest]])
-    * keep the broadcast fold: their interim centroid frames are
-    * unpersisted plan fragments a count() would double-evaluate, and
-    * past this bound a corpus retrains via sampled/two-level training
-    * long before Lloyd-over-everything is the plan.
+    * flip probe costs at most one count() of the (persisted) centroid
+    * table per query chain — memoized per table instance
+    * ([[centroidCount]]), and on the serve paths not even that: the
+    * count persists into the index manifest at build time and
+    * [[centroidsFrom]] seeds the memo from it, so constructing a serve
+    * plan runs ZERO jobs (IvfIndexSpec pins the job count). Training
+    * iterations ([[assignNearest]]) keep the broadcast fold: their
+    * interim centroid frames are unpersisted plan fragments a count()
+    * would double-evaluate, and past this bound a corpus retrains via
+    * sampled/two-level training long before Lloyd-over-everything is
+    * the plan.
     */
   private[graft] val BroadcastCentroidLimit = 131072L
+
+  /** Per-instance memo for the router flip probes: one query chain
+    * passes the SAME persisted centroid frame to [[assignedBuckets]]
+    * and [[probeBuckets]], so the second probe must not re-run the
+    * count job. Weak keys (Dataset equality is reference equality), so
+    * entries die with their frames.
+    */
+  private val centCounts = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, java.lang.Long]())
+
+  private def centroidCount(cent: DataFrame): Long = {
+    val cached = centCounts.get(cent)
+    if (cached != null) cached.longValue
+    else { val n = cent.count(); centCounts.put(cent, n); n }
+  }
+
+  /** Manifest file carrying the centroid count next to the persisted
+    * centroid table, written by [[buildIndex]] and read by
+    * [[centroidsFrom]] — the serve paths' routers decide the
+    * broadcast/shuffle flip from it without any Spark action.
+    */
+  private def countManifest(indexPath: String) =
+    java.nio.file.Paths.get(s"$indexPath/centroid_count.txt")
+
+  /** Read a persisted centroid table, seeding the flip-probe memo from
+    * the build-time manifest when present (absent on pre-v10 roots —
+    * the router then falls back to one memoized count()).
+    */
+  private[operators] def centroidsFrom(s: SparkSession,
+      indexPath: String): DataFrame = {
+    val cent = s.read.parquet(s"$indexPath/centroids")
+    val mf = countManifest(indexPath)
+    if (java.nio.file.Files.exists(mf))
+      centCounts.put(cent,
+        java.lang.Long.valueOf(
+          java.nio.file.Files.readString(mf).trim.toLong))
+    cent
+  }
 
   /** The whole centroid table packed into ONE broadcast row
     * (`collect_list` of ≤ NCentroids structs) — the shape every
@@ -590,7 +633,7 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
   private[graft] def assignedBuckets(e: DataFrame, cent: DataFrame,
       flipAt: Long): DataFrame = {
     val scored =
-      if (cent.count() < flipAt) nearestCentroid(e, cent)
+      if (centroidCount(cent) <= flipAt) nearestCentroid(e, cent)
       else nearestCentroidShuffle(e, cent, "qe", "qn", "vec_id")
     scored
       .select(col("vec_id"), col("qe"), col("qn"),
@@ -618,7 +661,7 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
 
   private[graft] def probeBuckets(probes: DataFrame, cent: DataFrame,
       flipAt: Long): DataFrame =
-    if (cent.count() < flipAt)
+    if (centroidCount(cent) <= flipAt)
       probes
         .crossJoin(broadcast(packedCentroids(cent)))
         .withColumn("topb", expr(s"""
@@ -742,7 +785,7 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
       .select(col("vec_id").as("q_id"), col("qe").as("q_qe"),
         col("qn").as("q_qn"))
     hardNegativesOf(probes,
-      s.read.parquet(s"$ivfPath/centroids"),
+      centroidsFrom(s, ivfPath),
       s.read.parquet(s"$ivfPath/assignment")
         .select(col("vec_id"), col("qe"), col("qn"),
           col("bucket").cast("bigint").as("bucket")),
@@ -789,6 +832,10 @@ WHERE rn <= $K ORDER BY q_id, rank"""
     // bucket lands in exactly one task after the hash repartition).
     cent.coalesce(1).write.mode("overwrite")
       .parquet(s"$indexPath/centroids")
+    // the router-flip manifest: serve-path plan construction reads the
+    // centroid count from here instead of running a count() job
+    java.nio.file.Files.writeString(countManifest(indexPath),
+      centroidCount(cent).toString)
     assignedBuckets(e, cent)
       .select(col("vec_id"), col("qe"), col("qn"), col("bucket"))
       .repartition(col("bucket"))
@@ -954,7 +1001,7 @@ FROM fba GROUP BY bucket ORDER BY bucket"""
       .select(col("vec_id").as("q_id"), col("qe").as("q_qe"),
         col("qn").as("q_qn"))
     nprobeTopK(probes,
-      s.read.parquet(s"$indexPath/centroids"),
+      centroidsFrom(s, indexPath),
       s.read.parquet(s"$indexPath/assignment"))
   }
 

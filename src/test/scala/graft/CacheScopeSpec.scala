@@ -47,6 +47,43 @@ class CacheScopeSpec extends SparkSpec {
     }
   }
 
+  test("a closing scope does not sweep a concurrent scope's mid-flight " +
+      "blocks; the last closer drains everything") {
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // Scope B opens, persists AND localCheckpoints, then parks at a
+    // barrier while scope A (a full checkpoint-taking query) opens and
+    // closes on another thread. Under the pre-fix global sweep, A's
+    // close would unpersist B's checkpoint backing and B's later read
+    // would die with missing-checkpoint-block errors.
+    val bReady = new java.util.concurrent.CountDownLatch(1)
+    val aDone = new java.util.concurrent.CountDownLatch(1)
+    @volatile var bSum = -1L
+    val bThread = new Thread(() =>
+      Caches.scope(spark) {
+        import spark.implicits._
+        val mid = spark.range(0, 10000).map(_ + 1).toDF("v")
+          .transform(Caches.scoped)
+        mid.count() // materialize the persist
+        val ck = mid.localCheckpoint(true)
+        bReady.countDown()
+        aDone.await()
+        // reads AFTER a's scope closed must still be served
+        bSum = ck.selectExpr("sum(v)").collect()(0).getLong(0)
+      })
+    bThread.start()
+    bReady.await()
+    Graft.runScoped("x46_part_pagerank", spark, sf)(_.count())
+    aDone.countDown()
+    bThread.join()
+    assert(bSum == 10000L * 10001L / 2, s"B read wrong sum $bSum")
+    val leaked = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => !before.contains(id) }
+    assert(leaked.isEmpty,
+      s"last closer left ${leaked.size} RDDs: " +
+        leaked.map { case (id, r) => s"$id:${r.name}" }.mkString(", "))
+  }
+
   test("an unscoped run still caches (ad-hoc use keeps its caches), " +
       "and clearCache remains the manual lever") {
     spark.catalog.clearCache()

@@ -27,6 +27,36 @@ class IvfIndexSpec extends SparkSpec {
     assert(parts.length > 1, s"expected bucket=* dirs, got ${parts.length}")
   }
 
+  test("serve-plan construction runs zero count() jobs: the router " +
+    "flip reads the centroid count from the index manifest") {
+    // warm the artifacts so construction below is pure plan building
+    operators.SimilarityQueries.prepareServe(spark, sf)
+    spark.catalog.clearCache()
+    val countJobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val site = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .getOrElse("")
+        if (site.startsWith("count at")) countJobs.incrementAndGet()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      for (name <- Seq("x12s_ann_serve", "x85s_ivfpq_serve",
+          "x87s_csls_serve", "x96s_negatives_serve")) {
+        SparkEntry.queries(name)(spark, sf) // build the plan, no action
+      }
+      // listener bus is async; any count() job would have RUN (blocking)
+      // during construction above, so a short drain pause suffices
+      Thread.sleep(1000)
+      assert(countJobs.get() == 0,
+        s"serve-plan construction ran ${countJobs.get()} count() jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    spark.catalog.clearCache()
+  }
+
   test("st17: streaming assignment state against frozen centroids " +
     "equals the per-bucket rollup of the declared x10 assignment") {
     // independent recomputation: micro-round x10's centroid_cos in the
