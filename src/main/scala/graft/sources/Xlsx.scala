@@ -10,12 +10,14 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{NumericType, StringType, StructField, StructType}
 
-/** Excel scan (S4): the reference ingests xlsx routinely
+/** Excel scan (S4): the reference ingests workbooks routinely
   * (`/root/reference/utils/gsheets_utils.py:177-181`, pandas
-  * `read_excel`). No xlsx library ships in this environment, so this is a
-  * minimal self-contained reader for the public OOXML SpreadsheetML
-  * format (ECMA-376): an xlsx file is a zip of XML parts with strings
-  * interned in `xl/sharedStrings.xml`. "First worksheet" means the first
+  * `read_excel`) — BOTH the 2007+ zip/XML `.xlsx` and the legacy
+  * 97-2003 binary `.xls`, which [[parse]] dispatches on file magic
+  * (zip → here, OLE2/CFB → [[Xls]]). No xlsx library ships in this
+  * environment, so this is a minimal self-contained reader for the
+  * public OOXML SpreadsheetML format (ECMA-376): an xlsx file is a zip
+  * of XML parts with strings interned in `xl/sharedStrings.xml`. "First worksheet" means the first
   * `<sheet>` in `xl/workbook.xml` resolved through
   * `xl/_rels/workbook.xml.rels` — sheet ORDER is defined by the
   * workbook part, not by part filenames (a workbook whose sheets were
@@ -171,7 +173,19 @@ object Xlsx {
     * order comes from `xl/workbook.xml` (see class doc); the numeric-
     * suffix fallback covers stripped-down workbooks without one.
     */
-  private[graft] def parse(bytes: Array[Byte]): Vector[Vector[String]] = {
+  /** Format dispatch — the pandas `read_excel` duality: zip magic →
+    * OOXML ([[parseXlsx]]), CFB magic → BIFF8 ([[Xls.parse]]), anything
+    * else fails loudly NAMING the format instead of a zip error.
+    */
+  private[graft] def parse(bytes: Array[Byte]): Vector[Vector[String]] =
+    if (Xls.isCfb(bytes)) Xls.parse(bytes)
+    else if (bytes.length >= 2 && bytes(0) == 'P'.toByte &&
+        bytes(1) == 'K'.toByte) parseXlsx(bytes)
+    else throw new IllegalArgumentException(
+      "not an Excel workbook: expected an OOXML zip (.xlsx) or an " +
+        "OLE2/BIFF8 compound file (.xls)")
+
+  private def parseXlsx(bytes: Array[Byte]): Vector[Vector[String]] = {
     val parts = scala.collection.mutable.Map.empty[String, Array[Byte]]
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     try {
