@@ -18,6 +18,7 @@ object SparkEntry {
       operators.PqQueries.defs ++
       operators.SrpQueries.defs ++
       operators.BpeQueries.defs ++
+      operators.UnigramQueries.defs ++
       operators.EventQueries.defs ++
       operators.ReportingQueries.defs ++
       operators.PipelineQueries.defs ++
