@@ -895,18 +895,23 @@ ORDER BY lang, source"""),
     */
   private[graft] def repPerDoc(toks: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    // BOTH gram sizes fan out of ONE corpus scan (a union of two
+    // per-k branches would scan the token table twice — at corpus
+    // scale that is two reads of the whole dataset for one rollup).
     // sequence(k, size) DESCENDS when size < k (the documented Spark
-    // gotcha) — the n_tokens >= k guard rows it out before fan-out
-    def grams(k: Int) = {
+    // gotcha) — the per-k CASE guard emits an empty array instead.
+    def gramArr(k: Int) = {
       val parts = (k - 1 to 0 by -1)
         .map(j => s"element_at(tk, i - $j)").mkString(", ")
-      toks.where(col("n_tokens") >= k).select(col("doc_id"),
-        lit(k).as("g"),
-        explode(expr(
-          s"transform(sequence($k, CAST(size(tk) AS INT)), i -> concat_ws(' ', $parts))"))
-          .as("gram"))
+      s"""CASE WHEN n_tokens >= $k THEN
+            transform(sequence($k, CAST(size(tk) AS INT)),
+              i -> named_struct('g', $k, 'gram', concat_ws(' ', $parts)))
+          ELSE CAST(array() AS ARRAY<STRUCT<g: INT, gram: STRING>>) END"""
     }
-    grams(2).unionByName(grams(3))
+    toks.where(col("n_tokens") >= 2)
+      .select(col("doc_id"), explode(expr(
+        s"concat(${gramArr(2)}, ${gramArr(3)})".replace('\n', ' '))).as("gg"))
+      .select(col("doc_id"), col("gg.g").as("g"), col("gg.gram").as("gram"))
       .groupBy("doc_id", "g", "gram").count()
       .groupBy("doc_id", "g").agg(
         max("count").as("topc"), sum("count").as("total"),
