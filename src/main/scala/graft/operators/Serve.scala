@@ -30,9 +30,10 @@ object Serve {
   private[operators] val IndexBuilderVersion = 10
 
   /** Version of the documents-keyed audit builders ([[AuditServe]]):
-    * v8 = the BPE merge table (`bpemerges`) joined the artifact set.
+    * v9 = the unigram piece table (`unipieces`) joined the artifact
+    * set.
     */
-  private[operators] val AuditBuilderVersion = 8
+  private[operators] val AuditBuilderVersion = 9
 
   private[operators] def root(dir: String, dataFile: String,
       version: Int): String = {
@@ -87,7 +88,8 @@ object AuditServe {
     * a rebuild instead of failing path-not-found forever.
     */
   private val ArtifactDirs =
-    Seq("lshcand", "quality", "clusters", "ngjacc", "bpemerges")
+    Seq("lshcand", "quality", "clusters", "ngjacc", "bpemerges",
+      "unipieces")
 
   /** Every DECLARED row that READS this family's serve root — the
     * [[graft.Bench]] pre-build set, co-located like
@@ -95,7 +97,8 @@ object AuditServe {
     */
   val serveRows: Set[String] = Set("x42s_canonical_serve",
     "x43s_leakage_serve", "x45s_drift_serve", "x47s_recall_serve",
-    "x92s_bpe_encode_serve", "st19_stream_bpe_encode")
+    "x92s_bpe_encode_serve", "x98s_unigram_serve",
+    "st19_stream_bpe_encode")
 
   /** Build the audit artifacts once per data version — idempotent
     * behind a _READY marker PLUS a presence check of every artifact
@@ -125,6 +128,8 @@ object AuditServe {
         .write.mode("overwrite").parquet(s"$r/ngjacc")
       BpeQueries.trainMerges(s, dir)
         .write.mode("overwrite").parquet(s"$r/bpemerges")
+      UnigramQueries.pieceTable(s, dir)
+        .write.mode("overwrite").parquet(s"$r/unipieces")
       marker.createNewFile()
       s.catalog.clearCache() // build-side persists must not leak
     }
@@ -156,4 +161,10 @@ object AuditServe {
     */
   def mergesFrom(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"${root(dir)}/bpemerges")
+
+  /** The persisted unigram piece table (piece, cnt, lp_micro) — the
+    * x97 trainer's output, the `bpemerges` sibling model file.
+    */
+  def piecesFrom(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${root(dir)}/unipieces")
 }

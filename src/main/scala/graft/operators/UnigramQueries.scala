@@ -171,13 +171,15 @@ object UnigramQueries {
       .map(r => (r.getAs[String]("piece"), r.getAs[Long]("c")))
       .toSeq
 
-  /** Run the trainer; returns (final vocabulary, final-round
-    * segmentation) — the vocabulary is the model file analog, the
-    * segmentation is what produced its counts (the pair x98 reports
-    * fertility over, keeping the two rows consistent by construction).
-    * Per round: ONE aggregation job whose result is constant-size
-    * driver state (the BPE trainer's shape — here ≤ SeedSize +
-    * alphabet rows instead of one argmax row).
+  /** Run the trainer; returns (final vocabulary, the corpus segmented
+    * UNDER that final vocabulary) — the vocabulary is the model file
+    * analog, and the segmentation is what shipping the model produces
+    * (one more E-step past the last M-step — the encode a production
+    * pipeline runs, so the self-contained x98 and the served x98s are
+    * row-identical by construction). Per round: ONE aggregation job
+    * whose result is constant-size driver state (the BPE trainer's
+    * shape — here ≤ SeedSize + alphabet rows instead of one argmax
+    * row).
     */
   private[graft] def trainLoop(s: SparkSession, d: String)
       : (Seq[(String, Long, Long)], DataFrame) = {
@@ -187,12 +189,31 @@ object UnigramQueries {
         .collect()
         .map(r => (r.getAs[String]("piece"), r.getAs[Long]("c")))
         .toSeq)
-    var seg: DataFrame = null
-    for (_ <- 1 to EmRounds) {
-      seg = segment(wt, vocab)
-      vocab = vocabOf(stepCounts(seg))
-    }
-    (vocab, seg)
+    for (_ <- 1 to EmRounds)
+      vocab = vocabOf(stepCounts(segment(wt, vocab)))
+    (vocab, segment(wt, vocab))
+  }
+
+  /** The trained piece table as a frame — x97's output and the
+    * artifact [[AuditServe.prepare]] persists (the tokenizer model
+    * file, the `bpemerges` sibling).
+    */
+  private[graft] def pieceTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    trainLoop(s, d)._1.toDF("piece", "cnt", "lp_micro")
+      .orderBy(col("cnt").desc, col("piece"))
+  }
+
+  /** Serve-path encode: segment the corpus under the PERSISTED piece
+    * table (constant-size driver state read from the artifact),
+    * skipping the trainer's rounds entirely — the x92s discipline.
+    */
+  private[graft] def encodedFromServe(s: SparkSession,
+      d: String): DataFrame = {
+    val pieces = AuditServe.piecesFrom(s, d).collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("lp_micro"))).toSeq
+    segment(wordTable(s, d), pieces)
   }
 
   // ── oracle generation: the same trainer as chained MATERIALIZED
@@ -204,7 +225,8 @@ object UnigramQueries {
   FROM (SELECT piece, c, sum(c) OVER () AS t FROM ($src))
 )"""
 
-  private def roundCtes(r: Int): String = {
+  /** Edges + DP chain + segmentation under vocabulary v`r`. */
+  private def dpCtes(r: Int): String = {
     val parts = Seq.newBuilder[String]
     parts += s"""ed$r AS MATERIALIZED (
   SELECT w.word, i - 1 AS i, i - 1 + l AS j, v.lp,
@@ -232,13 +254,17 @@ object UnigramQueries {
 )"""
     parts += s"seg$r AS MATERIALIZED (SELECT word, r AS repr " +
       s"FROM d${r}_$OracleDpChain WHERE pos = length(word))"
-    parts += s"""c$r AS MATERIALIZED (
-  SELECT piece, CAST(sum(cnt) AS BIGINT) AS c FROM (
-    SELECT wt.cnt, unnest(string_split(s.repr, chr(1))) AS piece
-    FROM seg$r s JOIN wt USING (word)) GROUP BY 1)"""
-    parts += vocabCte(r + 1, s"SELECT piece, c FROM c$r")
     parts.result().mkString(",\n")
   }
+
+  /** One EM round: DP under v`r`, counts, re-estimated v`r+1`. */
+  private def roundCtes(r: Int): String =
+    Seq(dpCtes(r),
+      s"""c$r AS MATERIALIZED (
+  SELECT piece, CAST(sum(cnt) AS BIGINT) AS c FROM (
+    SELECT wt.cnt, unnest(string_split(s.repr, chr(1))) AS piece
+    FROM seg$r s JOIN wt USING (word)) GROUP BY 1)""",
+      vocabCte(r + 1, s"SELECT piece, c FROM c$r")).mkString(",\n")
 
   /** Shared CTE prefix: word table → seed vocabulary → EmRounds
     * (edges → DP chain → segmentation → counts → re-estimated vocab).
@@ -269,10 +295,15 @@ object UnigramQueries {
     s"WITH $oracleCtes\nSELECT piece, c AS cnt, lp AS lp_micro " +
       s"FROM v${EmRounds + 1} ORDER BY cnt DESC, piece"
 
+  /** Fertility of the corpus segmented under the FINAL vocabulary —
+    * one more DP chain past the last M-step (the encode shipping the
+    * model runs), shared verbatim by x98 and its serve twin x98s.
+    */
   private def fertilityOracle: String = s"""WITH $oracleCtes,
+${dpCtes(EmRounds + 1)},
 enc AS MATERIALIZED (
   SELECT word, CAST(len(string_split(repr, chr(1))) AS BIGINT) AS n_sub
-  FROM seg$EmRounds),
+  FROM seg${EmRounds + 1}),
 occ AS MATERIALIZED (
   SELECT source, word, CAST(count(*) AS BIGINT) AS w_cnt FROM (
     SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
@@ -289,12 +320,7 @@ GROUP BY source ORDER BY source"""
     // ── The unigram trainer: the piece table a SentencePiece-style
     // tokenizer ships (piece, final count, fixed-point log-prob).
     "x97_unigram_train" -> QueryDef(
-      (s, d) => {
-        import s.implicits._
-        val (vocab, _) = trainLoop(s, d)
-        vocab.toDF("piece", "cnt", "lp_micro")
-          .orderBy(col("cnt").desc, col("piece"))
-      },
+      (s, d) => pieceTable(s, d),
       Some(trainOracle),
       s"unigram-LM (SentencePiece) tokenizer training: $EmRounds " +
         "hard-EM rounds over the word-type table"),
@@ -310,5 +336,17 @@ GROUP BY source ORDER BY source"""
       },
       Some(fertilityOracle),
       "per-source fertility of the corpus under the trained unigram " +
-        "model (the x92 comparison row)"))
+        "model (the x92 comparison row)"),
+
+    // ── Serve twin: encode under the PERSISTED piece table (constant
+    // driver state from the artifact), skipping the trainer's rounds.
+    // Row-identical to x98 (shared oracle), the x92s discipline.
+    "x98s_unigram_serve" -> QueryDef(
+      (s, d) => {
+        AuditServe.prepare(s, d)
+        BpeQueries.encodeFertility(s, d, encodedFromServe(s, d))
+      },
+      Some(fertilityOracle),
+      "per-source unigram fertility served from the persisted piece " +
+        "table"))
 }

@@ -36,23 +36,23 @@ class UnigramSpec extends SparkSpec {
       }
     }
     var vocab = lps(cnt)
-    var seg = Map.empty[String, String]
+    def segmentAll(): Map[String, String] = wt.keys.map { w =>
+      val best = Array.fill[Option[(Long, Int, String)]](w.length + 1)(None)
+      best(0) = Some((0L, 0, ""))
+      for (j <- 1 to w.length) {
+        val cands = for {
+          i <- math.max(0, j - MaxP) until j
+          b <- best(i).toSeq
+          lp <- vocab.get(w.substring(i, j)).toSeq
+        } yield (b._1 + lp, b._2 + 1,
+          if (b._3.isEmpty) w.substring(i, j)
+          else b._3 + Sep + w.substring(i, j))
+        best(j) = cands.sortBy { case (s, np, r) => (-s, np, r) }.headOption
+      }
+      w -> best(w.length).get._3
+    }.toMap
     for (_ <- 1 to Rounds) {
-      seg = wt.keys.map { w =>
-        val best = Array.fill[Option[(Long, Int, String)]](w.length + 1)(None)
-        best(0) = Some((0L, 0, ""))
-        for (j <- 1 to w.length) {
-          val cands = for {
-            i <- math.max(0, j - MaxP) until j
-            b <- best(i).toSeq
-            lp <- vocab.get(w.substring(i, j)).toSeq
-          } yield (b._1 + lp, b._2 + 1,
-            if (b._3.isEmpty) w.substring(i, j)
-            else b._3 + Sep + w.substring(i, j))
-          best(j) = cands.sortBy { case (s, np, r) => (-s, np, r) }.headOption
-        }
-        w -> best(w.length).get._3
-      }.toMap
+      val seg = segmentAll()
       val nc = scala.collection.mutable.Map.empty[String, Long]
       for ((w, c) <- wt; p <- seg(w).split(Sep))
         nc(p) = nc.getOrElse(p, 0L) + c
@@ -61,7 +61,8 @@ class UnigramSpec extends SparkSpec {
     }
     val out = cnt.toSeq.map { case (p, c) => (p, c, vocab(p)) }
       .sortBy { case (p, c, _) => (-c, p) }
-    (out, seg)
+    // the shipped-model encode: one more E-step under the FINAL vocab
+    (out, segmentAll())
   }
 
   private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
@@ -103,11 +104,13 @@ class UnigramSpec extends SparkSpec {
       val ns = words.map(w => seg(w).split(Sep).length.toLong).sum
       (src, nw, ns, ns.toDouble / nw.toDouble)
     }.toSet
-    val got = SparkEntry.queries("x98_unigram_fertility")(spark, sf)
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf)
       .collect().map(r => (r.getAs[String]("source"),
         r.getAs[Long]("n_words"), r.getAs[Long]("n_subwords"),
         r.getAs[Double]("fertility"))).toSet
-    assert(got == want)
+    assert(rows("x98_unigram_fertility") == want)
+    assert(rows("x98s_unigram_serve") == want,
+      "serve twin drifted from the self-contained x98")
     val x92cols = SparkEntry.queries("x92_bpe_fertility")(spark, sf).columns
     assert(SparkEntry.queries("x98_unigram_fertility")(spark, sf)
       .columns.sameElements(x92cols),
