@@ -146,18 +146,24 @@ object UnigramQueries {
                       THEN x ELSE b END))),
       -1).r""".replace('\n', ' ')
 
-  /** E-step: best segmentation of every word type under the collected
+  /** Segment any frame carrying a `word` column under a piece
     * vocabulary — a pure map against a LITERAL piece→lp map column
     * (built with Column lits, no string escaping surface), no shuffle
-    * and no broadcast-exchange job.
+    * and no broadcast-exchange job. Shared by the trainer's E-step,
+    * the serve encode, and the streaming drain (st21).
     */
-  private def segment(wt: DataFrame,
+  private[graft] def segmentTypes(words: DataFrame,
       vocab: Seq[(String, Long, Long)]): DataFrame =
-    wt.withColumn("vm",
+    words.withColumn("vm",
         map(vocab.flatMap { case (p, _, lp) =>
           Seq(lit(p), lit(lp)) }: _*))
       .withColumn("repr", expr(dpExpr))
-      .select(col("word"), col("cnt"), col("repr"))
+      .drop("vm")
+
+  /** The trainer's E-step over the weighted word-type table. */
+  private def segment(wt: DataFrame,
+      vocab: Seq[(String, Long, Long)]): DataFrame =
+    segmentTypes(wt, vocab).select(col("word"), col("cnt"), col("repr"))
 
   /** M-step counts: corpus-weighted piece usage in the segmentation —
     * one map-side-combined aggregation collapsing to ≤ vocabulary-size
@@ -204,17 +210,22 @@ object UnigramQueries {
       .orderBy(col("cnt").desc, col("piece"))
   }
 
+  /** The persisted piece table as collected driver state (≤ vocab
+    * rows) — the model-file read every serve consumer starts from.
+    */
+  private[graft] def servedPieces(s: SparkSession,
+      d: String): Seq[(String, Long, Long)] =
+    AuditServe.piecesFrom(s, d).collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("lp_micro"))).toSeq
+
   /** Serve-path encode: segment the corpus under the PERSISTED piece
     * table (constant-size driver state read from the artifact),
     * skipping the trainer's rounds entirely — the x92s discipline.
     */
   private[graft] def encodedFromServe(s: SparkSession,
-      d: String): DataFrame = {
-    val pieces = AuditServe.piecesFrom(s, d).collect()
-      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("cnt"),
-        r.getAs[Long]("lp_micro"))).toSeq
-    segment(wordTable(s, d), pieces)
-  }
+      d: String): DataFrame =
+    segment(wordTable(s, d), servedPieces(s, d))
 
   // ── oracle generation: the same trainer as chained MATERIALIZED
   // CTEs (inlining would re-expand each DP level's double reference).
@@ -299,7 +310,7 @@ object UnigramQueries {
     * one more DP chain past the last M-step (the encode shipping the
     * model runs), shared verbatim by x98 and its serve twin x98s.
     */
-  private def fertilityOracle: String = s"""WITH $oracleCtes,
+  private[graft] def fertilityOracle: String = s"""WITH $oracleCtes,
 ${dpCtes(EmRounds + 1)},
 enc AS MATERIALIZED (
   SELECT word, CAST(len(string_split(repr, chr(1))) AS BIGINT) AS n_sub

@@ -642,6 +642,33 @@ FROM t GROUP BY lang ORDER BY lang"""),
       Some(graft.operators.BpeQueries.fertilityOracle),
       "streaming word-type state + frozen-merge encode == x92 fertility"),
 
+    // ── Streaming unigram encode against the FROZEN piece table (the
+    // x97-family twin of st19, closing the tokenizer symmetry): the
+    // stream keeps the SAME per-(source, word) count monoid — word-type
+    // state is tokenizer-agnostic — and the drain segments the drained
+    // word types under the persisted unigram pieces (one Viterbi fold
+    // per TYPE against the literal piece map, batch codegen — the st18
+    // lesson again). Drained occurrence table == the batch one at any
+    // arrival order, so the fertility rollup equals x98/x98s
+    // bit-for-bit (shared oracle).
+    "st21_stream_unigram_encode" -> QueryDef(
+      (s, d) => {
+        import graft.operators.{AuditServe, BpeQueries, UnigramQueries}
+        AuditServe.prepare(s, d)
+        val agg = EventStream.readDocuments(s, d)
+          .select(col("source"),
+            explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy("source", "word").agg(count(lit(1)).as("w_cnt"))
+        val occ = EventStream.runToMemory(s, agg,
+          s"st21_sink_${System.nanoTime}")
+        BpeQueries.fertilityOf(occ,
+          UnigramQueries.segmentTypes(occ.select("word").distinct(),
+            UnigramQueries.servedPieces(s, d)))
+      },
+      Some(graft.operators.UnigramQueries.fertilityOracle),
+      "streaming word-type state + frozen-piece encode == x98 fertility"),
+
     // ── Streaming Count-Min sketch (the ingest half of x95's pitch):
     // arriving documents' tokens fan out ×CmsD map-side into (row,
     // bucket) rows — like st18, a pure stateless projection, no

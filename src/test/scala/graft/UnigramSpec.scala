@@ -111,6 +111,8 @@ class UnigramSpec extends SparkSpec {
     assert(rows("x98_unigram_fertility") == want)
     assert(rows("x98s_unigram_serve") == want,
       "serve twin drifted from the self-contained x98")
+    assert(rows("st21_stream_unigram_encode") == want,
+      "streaming twin drifted from the batch fertility")
     val x92cols = SparkEntry.queries("x92_bpe_fertility")(spark, sf).columns
     assert(SparkEntry.queries("x98_unigram_fertility")(spark, sf)
       .columns.sameElements(x92cols),
