@@ -197,6 +197,42 @@ class PlanSpec extends SparkSpec {
       s"bit_count at $bc, distinct exchange at $distinctEx:\n${plan.take(1500)}")
   }
 
+  test("mm03: the pHash verify runs below the distinct's exchange " +
+      "(the x13 pin on the media column)") {
+    val plan = executedPlan("mm03_phash_neardup")
+    val bc = plan.indexOf("bit_count")
+    val distinctEx = plan.indexOf("Exchange hashpartitioning(doc_a")
+    assert(bc >= 0 && distinctEx >= 0, plan.take(1500))
+    assert(bc > distinctEx,
+      s"bit_count at $bc, distinct exchange at $distinctEx:\n${plan.take(1500)}")
+  }
+
+  test("x97: each E-step is a pure map over the word-type table — " +
+      "exchanges only under the word/piece aggregations, none under " +
+      "the Viterbi fold") {
+    // the trainer's plan: corpus scan → word groupBy (1 exchange) plus
+    // the final vocab is LOCAL rows (driver M-step), so the x97 frame
+    // itself is a LocalTableScan — zero exchanges, zero scans
+    val qe = q("x97_unigram_train").queryExecution
+    val plan = qe.sparkPlan.toString
+    assert(plan.contains("LocalTableScan"), plan.take(800))
+    assert(!plan.contains("Exchange"), plan.take(800))
+    // and the serve ENCODE path (the map the E-step runs) carries the
+    // fold with no exchange between the word aggregation and the project
+    val enc = operators.UnigramQueries.segmentTypes(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .selectExpr("explode(split(text, ' ')) AS word")
+        .where("length(word) > 0").distinct(),
+      Seq(("a", 1L, -1000000L)))
+    val encPlan = enc.queryExecution.sparkPlan.toString
+    val nEx = "Exchange".r.findAllIn(encPlan).size
+    // ≤ 1: the distinct's (a single-partition source plans it with 0);
+    // the Viterbi fold itself must add NONE
+    assert(nEx <= 1, s"expected at most the distinct's exchange, got " +
+      s"$nEx:\n${encPlan.take(1200)}")
+    spark.catalog.clearCache()
+  }
+
   test("registry sweep: no unintended cartesian product in any plan") {
     // similarity scans intentionally crossJoin a BROADCAST probe/centroid
     // side (bounded, small); streaming queries execute on construction so
