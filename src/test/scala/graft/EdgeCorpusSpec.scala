@@ -49,7 +49,14 @@ class EdgeCorpusSpec extends SparkSpec {
     "x92s_bpe_encode_serve", "mm04_audio_vad",
     // the KN scorer must drop gram-free docs (0/1 token), the winnower
     // must zero them, the CMS must sketch the dup-flood tokens
-    "x93_kneser_ney", "x94_winnowing", "x95_cms_heavy_hitters")
+    "x93_kneser_ney", "x94_winnowing", "x95_cms_heavy_hitters",
+    // round-8 rows: the rebuilt pHash family (exact-dup flood must
+    // band-collide at hamming 0, unicode code-point slicing must not
+    // split surrogates), the unigram trainer (single-char words,
+    // unicode pieces, the 5000-token doc), and its serve twin against
+    // the constructed-corpus artifact root
+    "mm03_phash_neardup", "mm03c_phash_bandcap",
+    "x97_unigram_train", "x98_unigram_fertility", "x98s_unigram_serve")
 
   test("document-family queries survive a degenerate corpus") {
     for (name <- docQueries) {
@@ -83,6 +90,27 @@ class EdgeCorpusSpec extends SparkSpec {
       .filter(col("doc_id").isin(5L, 6L, 7L))
       .select(col("cluster_id")).distinct().count()
     assert(cl == 1L, "identical docs must share one near-dup cluster")
+    spark.catalog.clearCache()
+    // the pHash digest plane: identical content (5,6,7) must pair at
+    // hamming 0 regardless of source; the empty doc must not crash or
+    // pair with anything (its plane is a pure salt pattern)
+    val ph = SparkEntry.queries("mm03_phash_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val zero = ph.filter(_._3 == 0L).map(p => (p._1, p._2)).toSet
+    assert(Set((5L, 6L), (5L, 7L), (6L, 7L)).subsetOf(zero),
+      s"exact dups missing from hamming-0 pairs: $zero")
+    assert(!ph.exists(p => p._1 == 0L || p._2 == 0L),
+      "the empty doc paired with something")
+    spark.catalog.clearCache()
+    // unigram coverage must hold on the degenerate corpus too: every
+    // word type reconstructs from its segmentation (incl. unicode and
+    // the 5000-token doc's word)
+    val seg = operators.UnigramQueries.trainLoop(spark, dir)._2
+      .collect().map(r => (r.getString(0), r.getString(2)))
+    assert(seg.nonEmpty)
+    seg.foreach { case (w, r) =>
+      assert(r.split('\u0001').mkString == w, s"coverage broken for '$w'")
+    }
     spark.catalog.clearCache()
   }
 }
