@@ -356,4 +356,32 @@ object Multimodal {
       .distinct()
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Media near-dup CLUSTERS — the x14 step for the binary column:
+    * mm03's VERIFIED pairs (band-collide + hamming ≤
+    * [[PhashHammingMax]]; the verify matters — candidate-graph
+    * connectivity without it would chain unrelated media through hot
+    * bands) assemble into connected components on the contracted BSP
+    * machinery ([[Components.connectedComponents]] — rounds shuffle
+    * only pair endpoints, never the corpus), singletons rejoining with
+    * their own id. This is the row an image-dedup pipeline actually
+    * keys its keep-one-per-cluster pass on.
+    */
+  def phashClusters(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pairs = phashNearDup(spark, dir)
+    Components.connectedComponents(pairs, "doc_a", "doc_b",
+        graft.Tables.documents(spark, dir).select(col("doc_id")),
+        "doc_id", PhashCcRounds)
+      .select(col("doc_id"), col("component").as("cluster_id"))
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
+      .orderBy("doc_id")
+  }
+
+  /** Pointer-jumping rounds for [[phashClusters]] (and its oracle's
+    * fixed unroll) — log-depth covers any plausible near-dup chain;
+    * the engine side stops at the fixpoint anyway.
+    */
+  private[operators] val PhashCcRounds = 12
 }

@@ -19,6 +19,23 @@ object MultimodalQueries {
     (for { k <- 0 until 8; n <- 0 until 32 }
       yield s"($k,$n,${Multimodal.PhashCos(k)(n)})").mkString(", ")
 
+  /** The x14 oracle's min-label + pointer-jumping unroll over the
+    * mm05 pair graph (`sym`/`s0` defined by the caller).
+    */
+  private def phashCcRoundCtes: String =
+    (1 to Multimodal.PhashCcRounds).map { i =>
+      s"""p$i AS MATERIALIZED (
+  SELECT v.doc_id, least(v.label, coalesce(m.nl, v.label)) AS label
+  FROM s${i - 1} v LEFT JOIN (
+    SELECT s.src, min(l.label) AS nl
+    FROM sym s JOIN s${i - 1} l ON s.dst = l.doc_id GROUP BY s.src) m
+  ON v.doc_id = m.src
+),
+s$i AS MATERIALIZED (
+  SELECT p.doc_id, q.label FROM p$i p JOIN p$i q ON p.label = q.doc_id
+)"""
+    }.mkString(",\n")
+
   /** Shared oracle CTE chain: digest-plane decode → separable integer
     * DCT (rows then columns) → 63-term mean-comparison bits → 63-bit
     * hash → 4×16-bit band rows. Replays [[Multimodal.digestPlane]] and
@@ -132,6 +149,31 @@ FROM kept a JOIN kept b ON a.bi = b.bi AND a.bv = b.bv
 WHERE bit_count(xor(a.ph, b.ph)) <= ${Multimodal.PhashHammingMax}
 ORDER BY doc_a, doc_b"""),
       "mm03 with the bandCap skew lever engaged (capped-path semantics)"),
+
+    // ── Media near-dup clusters: mm03's verified pairs → connected
+    // components (the x14 step on the binary column) — see
+    // [[Multimodal.phashClusters]]. The oracle reuses the pHash CTE
+    // chain and unrolls the same min-label + pointer-jumping rounds
+    // the x14 oracle replays.
+    "mm05_phash_clusters" -> QueryDef(
+      (s, d) => Multimodal.phashClusters(s, d),
+      Some(s"""WITH $phashOracleCtes,
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv
+    AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.ph, b.ph)) <= ${Multimodal.PhashHammingMax}
+),
+sym AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL SELECT doc_b, doc_a FROM cand
+),
+s0 AS (SELECT doc_id, doc_id AS label FROM documents),
+$phashCcRoundCtes
+SELECT doc_id, label AS cluster_id,
+  count(*) OVER (PARTITION BY label) AS cluster_size
+FROM s${Multimodal.PhashCcRounds} ORDER BY doc_id"""),
+      "pHash pairs -> connected components (media near-dup clusters)"),
 
     // ── Audio shape: duration-proportional window decode + VAD
     // segmentation — see [[Multimodal.audioWindows]]/[[audioVad]].

@@ -122,6 +122,33 @@ class MultimodalSpec extends SparkSpec {
       rows("mm03_phash_neardup").length, "bandCap did not bite")
   }
 
+  test("mm05: clusters equal union-find over the replayed pairs, " +
+    "labels are component minima, singletons keep their own id") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    refPairs(docs, None).foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val wantLabel = docs.keys.map(id => id -> find(id)).toMap
+    val wantSize = wantLabel.values.groupBy(identity).map {
+      case (l, g) => l -> g.size.toLong
+    }
+    val got = rows("mm05_phash_clusters").map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size")))
+    assert(got.length == docs.size, "one row per document")
+    got.foreach { case (id, cl, sz) =>
+      assert(cl == wantLabel(id), s"doc $id label $cl != ${wantLabel(id)}")
+      assert(sz == wantSize(cl), s"cluster $cl size $sz != ${wantSize(cl)}")
+    }
+    assert(got.exists(_._3 > 1L), "no multi-member cluster on this corpus")
+  }
+
   test("phash64: identical planes → 0, mild noise → small, " +
     "unrelated planes → large hamming") {
     val rnd = new scala.util.Random(42)
