@@ -347,10 +347,18 @@ object SimilarityQueries {
     * the oracle's `//`. The trained table is persisted: consumers
     * broadcast it more than once (bucket assignment + probe routing).
     */
-  private[graft] def trainedCentroids(e: DataFrame): DataFrame = {
+  private[graft] def trainedCentroids(e: DataFrame): DataFrame =
+    lloydOver(e, initCentroids(e)).transform(graft.Caches.scoped)
+
+  /** The Lloyd fold over ANY (vec_id, qe, qn) frame and ANY seeded init
+    * — factored so the fine trainer ([[trainedCentroids]]) and the
+    * two-level COARSE trainer (x99 — Lloyd over the fine centroid
+    * table) share one spelling.
+    */
+  private[graft] def lloydOver(e: DataFrame, init: DataFrame): DataFrame = {
     val session = e.sparkSession
     import session.implicits._
-    val fin = (1 to KmeansIters).foldLeft(initCentroids(e)) { (cent, _) =>
+    (1 to KmeansIters).foldLeft(init) { (cent, _) =>
       assignNearest(e, cent)
         .select(col("bucket"), col("qe")).as[(Long, Array[Long])]
         .groupByKey(_._1)
@@ -370,7 +378,6 @@ object SimilarityQueries {
         }
         .toDF("c_id", "c_qe", "c_qn")
     }
-    fin.transform(graft.Caches.scoped)
   }
 
   /** The same Lloyd chain as [[trainedCentroids]] in DuckDB SQL: CTEs
@@ -699,6 +706,176 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
         FROM e p CROSS JOIN c WHERE p.vec_id < $NQueries)
   WHERE rn <= $NProbe
 )"""
+
+  /** Coarse-router knobs for the two-level routing row (x99): the
+    * coarse layer holds `max(CoarseFloor, ceil(√C))` centroids trained
+    * over the C fine centroids (the √ discipline applied one level up),
+    * and a probe expands its top [[CoarseProbe]] coarse groups before
+    * the fine argmax. At the documented flip bound (C past
+    * [[BroadcastCentroidLimit]]) this turns per-probe routing cost from
+    * O(C) into O(√C · CoarseProbe + C/√C · CoarseProbe) with only the
+    * √C-row coarse table broadcast — the next step the flip docs
+    * promise, implemented and oracle-pinned rather than cited.
+    */
+  private val CoarseFloor = 4L
+  private val CoarseProbe = 2
+
+  /** Two-level coarse→fine probe routing with the flat-router agreement
+    * audit built in: returns (q_id, bucket, in_flat) — every fine
+    * bucket the two-level router selects, flagged 1 when the flat
+    * (score-all-C) router also picked it. Routing is approximate BY
+    * DESIGN (a fine centroid whose coarse group the probe skips is
+    * invisible), so the agreement column IS the recall audit — the x90
+    * discipline applied to the router instead of the index.
+    */
+  private def twoLevelRoute(s: SparkSession, d: String): DataFrame =
+    twoLevelRouteOver(s, d, trainedCentroids(quantizedCached(s, d)))
+
+  /** The x99s serve spelling: fine centroids from the persisted index
+    * (manifest-seeded — zero training, zero count() jobs); the coarse
+    * layer retrains per call, which is the DESIGN — Lloyd over the
+    * √C-row (at scale, ≤BroadcastCentroidLimit-row) centroid table is
+    * a constant-cost fold, so the coarse router needs no artifact of
+    * its own and can never serve stale groups over a refreshed index.
+    */
+  private def twoLevelRouteServe(s: SparkSession, d: String): DataFrame = {
+    prepareServe(s, d)
+    twoLevelRouteOver(s, d, centroidsFrom(s, s"${serveRoot(d)}/ivf"))
+  }
+
+  private def twoLevelRouteOver(s: SparkSession, d: String,
+      fine: DataFrame): DataFrame = {
+    val e = quantizedCached(s, d)
+    val fe = fine.select(col("c_id").as("vec_id"), col("c_qe").as("qe"),
+      col("c_qn").as("qn"))
+    // seeded coarse init: the K2 lowest fine ids (fine ids are sparse —
+    // surviving Lloyd buckets — so rank, don't threshold). The global
+    // window sorts ≤ C = √n rows once; acceptable at any corpus size.
+    val k2 = fe.agg(greatest(lit(CoarseFloor),
+      ceil(sqrt(count(lit(1)).cast("double"))).cast("long")).as("k2"))
+    val init = fe.crossJoin(broadcast(k2))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("vec_id")))
+      .filter(col("rn") <= col("k2"))
+      .select(col("vec_id").as("c_id"), col("qe").as("c_qe"),
+        col("qn").as("c_qn"))
+    val coarse = lloydOver(fe, init).transform(graft.Caches.scoped)
+    // fine centroid → coarse group (map-only argmax fold)
+    val fa = nearestCentroid(fe, coarse)
+      .select(col("vec_id").as("c_id"), col("qe").as("c_qe"),
+        col("qn").as("c_qn"), col("best.id").as("cb"))
+    val probes = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("qe").as("q_qe"),
+        col("qn").as("q_qn"))
+    // probe → top-CoarseProbe coarse groups (the probeBuckets fold,
+    // width CoarseProbe over the √C-row packed coarse table)
+    val ctop = probes
+      .crossJoin(broadcast(packedCentroids(coarse)))
+      .withColumn("topb", expr(s"""
+        slice(array_sort(
+          transform(cents, c -> named_struct('id', c.c_id, 'cos',
+            ${sparkCos("c.c_qe", "c.c_qn", "q_qe", "q_qn")})),
+          (l, r) -> CASE WHEN l.cos > r.cos THEN -1
+                         WHEN l.cos < r.cos THEN 1
+                         WHEN l.id < r.id THEN -1
+                         WHEN l.id > r.id THEN 1 ELSE 0 END),
+          1, $CoarseProbe)"""))
+      .select(col("q_id"), col("q_qe"), col("q_qn"),
+        explode(expr("transform(topb, t -> t.id)")).as("cb"))
+    // fine argmax restricted to the selected coarse groups
+    val routed = ctop.join(fa, "cb")
+      .withColumn("cos", expr(sparkCos("c_qe", "c_qn", "q_qe", "q_qn")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("cos"), col("c_id"))))
+      .filter(col("rn") <= NProbe)
+      .select(col("q_id"), col("c_id").as("bucket"))
+    val flat = probeBuckets(probes, fine)
+      .select(col("q_id"), col("bucket")).distinct()
+      .withColumn("in_flat", lit(1L))
+    routed.join(flat, Seq("q_id", "bucket"), "left")
+      .select(col("q_id"), col("bucket"),
+        coalesce(col("in_flat"), lit(0L)).as("in_flat"))
+      .orderBy("q_id", "bucket")
+  }
+
+  /** The x99 oracle: the coarse Lloyd chain (kc0→kc) over the fine
+    * centroid table, the same two-level route, and the flat router's
+    * rows joined back as the agreement flag.
+    */
+  private lazy val x99Oracle: String = {
+    val coarseIters = (1 to KmeansIters).map { i =>
+      s"""ka$i AS (
+  SELECT vec_id, qe, c_id AS bucket
+  FROM (SELECT fe.vec_id, fe.qe, k.c_id,
+          row_number() OVER (PARTITION BY fe.vec_id ORDER BY
+            ${duckCos("k.c_qe", "k.c_qn", "fe.qe", "fe.qn")} DESC,
+            k.c_id) AS rn
+        FROM fe CROSS JOIN kc${i - 1} k)
+  WHERE rn = 1
+),
+ks$i AS (
+  SELECT bucket, pos, CAST(sum(qe[pos]) AS BIGINT) AS sv, count(*) AS cnt
+  FROM ka$i CROSS JOIN (SELECT unnest(generate_series(1, $Dims)) AS pos) pp
+  GROUP BY bucket, pos
+),
+kc$i AS (
+  SELECT c_id, c_qe,
+    CAST(list_sum(list_transform(c_qe, v -> v * v)) AS BIGINT) AS c_qn
+  FROM (SELECT bucket AS c_id, list(sv // cnt ORDER BY pos) AS c_qe
+        FROM ks$i GROUP BY bucket)
+)"""
+    }.mkString(",\n")
+    s"""
+WITH $duckQuantizedCte,
+$duckKmeansCtes,
+fe AS (SELECT c_id AS vec_id, c_qe AS qe, c_qn AS qn FROM c),
+kc0 AS (
+  SELECT vec_id AS c_id, qe AS c_qe, qn AS c_qn FROM (
+    SELECT fe.*, row_number() OVER (ORDER BY vec_id) AS rn,
+      (SELECT greatest($CoarseFloor,
+         CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM fe) AS k2
+    FROM fe)
+  WHERE rn <= k2
+),
+$coarseIters,
+kc AS (SELECT * FROM kc$KmeansIters),
+fa AS (
+  SELECT c_id, c_qe, c_qn, cb FROM (
+    SELECT f.c_id, f.c_qe, f.c_qn, k.c_id AS cb,
+      row_number() OVER (PARTITION BY f.c_id ORDER BY
+        ${duckCos("k.c_qe", "k.c_qn", "f.c_qe", "f.c_qn")} DESC,
+        k.c_id) AS rn
+    FROM c f CROSS JOIN kc k)
+  WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, qe AS q_qe, qn AS q_qn FROM e
+      WHERE vec_id < $NQueries),
+ctop AS (
+  SELECT q_id, q_qe, q_qn, c_id AS cb FROM (
+    SELECT p.q_id, p.q_qe, p.q_qn, k.c_id,
+      row_number() OVER (PARTITION BY p.q_id ORDER BY
+        ${duckCos("k.c_qe", "k.c_qn", "p.q_qe", "p.q_qn")} DESC,
+        k.c_id) AS rn
+    FROM q p CROSS JOIN kc k)
+  WHERE rn <= $CoarseProbe
+),
+routed AS (
+  SELECT q_id, c_id AS bucket FROM (
+    SELECT t.q_id, f.c_id,
+      row_number() OVER (PARTITION BY t.q_id ORDER BY
+        ${duckCos("f.c_qe", "f.c_qn", "t.q_qe", "t.q_qn")} DESC,
+        f.c_id) AS rn
+    FROM ctop t JOIN fa f USING (cb))
+  WHERE rn <= $NProbe
+),
+${duckProbeCte("pbf")}
+SELECT r.q_id, r.bucket,
+  CAST(CASE WHEN p.bucket IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+    AS in_flat
+FROM routed r LEFT JOIN (SELECT DISTINCT q_id, bucket FROM pbf) p
+  ON r.q_id = p.q_id AND r.bucket = p.bucket
+ORDER BY r.q_id, r.bucket"""
+  }
 
   /** nprobe top-k over a (centroids, assignment) pair: probes route to
     * their NProbe nearest centroid buckets ([[probeBuckets]]) and scan
@@ -1238,7 +1415,7 @@ ORDER BY p.cluster_id"""
     */
   val serveRows: Set[String] = Set("x12s_ann_serve", "x64s_purity_serve",
     "x82s_pq_serve", "x85s_ivfpq_serve", "x86s_silhouette_serve",
-    "x87s_csls_serve", "x96s_negatives_serve",
+    "x87s_csls_serve", "x96s_negatives_serve", "x99s_coarse_route_serve",
     "st16_stream_pq_encode", "st17_stream_ivf_assign")
 
   /** The artifact subdirectories [[prepareServe]] must produce. */
@@ -1865,6 +2042,28 @@ FROM clusters ORDER BY vec_id"""),
       ivfAppend,
       Some(x88Oracle),
       "new-batch assignment against frozen centroids + growth audit"),
+
+    // ── Two-level coarse→fine probe routing — the scale path the
+    // BroadcastCentroidLimit docs promise for C past the flip bound:
+    // Lloyd over the fine centroid table yields √C coarse groups, a
+    // probe scores those (broadcast fold), expands its top CoarseProbe
+    // groups, and argmaxes only their fine members. Approximate by
+    // design; the in_flat column audits agreement with the flat
+    // score-all-C router per routed bucket (the x90 discipline on the
+    // router). See [[twoLevelRoute]].
+    "x99_ivf_coarse_route" -> QueryDef(
+      (s, d) => twoLevelRoute(s, d),
+      Some(x99Oracle),
+      "two-level coarse->fine IVF routing + flat-router agreement"),
+
+    // ── x99 served from the persisted index: fine centroids from the
+    // manifest-seeded artifact, the coarse layer retrained per call
+    // (constant-cost Lloyd over the centroid table — no coarse
+    // artifact, no staleness). Identical rows (the oracle IS x99's).
+    "x99s_coarse_route_serve" -> QueryDef(
+      (s, d) => twoLevelRouteServe(s, d),
+      Some(x99Oracle),
+      "two-level routing from the persisted index (serve path)"),
 
     // ── Int8 scalar quantization: per-vector min/max affine mapping to
     // [0,255] — the 4× compression step a 100 TB vector store ships
