@@ -41,7 +41,8 @@ class EdgeEmbeddingsSpec extends SparkSpec {
         "x63_knn_hubness", "x86_cluster_silhouette",
         "x87_csls_rescore", "x88_ivf_append",
         "x89_srp_lsh_ann", "x89c_srp_bandcap", "x90_srp_recall",
-        "x96_hard_negatives", "dq10_embed_norms")) {
+        "x96_hard_negatives", "x99_ivf_coarse_route",
+        "dq10_embed_norms")) {
       val rows =
         try SparkEntry.queries(name)(spark, dir).collect()
         catch { case e: Throwable =>
