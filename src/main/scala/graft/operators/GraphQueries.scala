@@ -121,6 +121,18 @@ e AS (
 
   private[graft] def partPagerank(s: SparkSession, d: String,
       flipAt: Long, orderCap: Option[Int]): DataFrame = {
+    val (ew, nodes, n, useBroadcast) = transitionTable(s, d, flipAt, orderCap)
+    pagerankFrom(ew, nodes, n, useBroadcast)
+  }
+
+  /** The PageRank PREPARATION half — co-purchase transition table
+    * (src, dst, w, wout), node table, node count, and the flip verdict
+    * — factored so the self-contained x46 and the [[GraphServe]]
+    * artifact build share one spelling.
+    */
+  private[graft] def transitionTable(s: SparkSession, d: String,
+      flipAt: Long, orderCap: Option[Int])
+      : (DataFrame, DataFrame, Long, Boolean) = {
     // wout comes from the per-order sets, NOT from a second pass over the
     // edge list: Σ_dst w(src,dst) counts (order, dst) co-occurrences, so
     // wout(src) = Σ_{orders ∋ src} (|pks| − 1) — one cheap aggregation on
@@ -176,6 +188,15 @@ e AS (
     val nodes = wout.filter(col("wout") > 0)
       .select(col("src").as("node"))
       .localCheckpoint(true)
+    (ew, nodes, n, useBroadcast)
+  }
+
+  /** The PageRank ROUND half over a prepared (transition, nodes, n)
+    * triple — shared by the self-contained x46 and the serve row
+    * reading the persisted artifacts.
+    */
+  private def pagerankFrom(ew: DataFrame, nodes: DataFrame, n: Long,
+      useBroadcast: Boolean): DataFrame = {
     // degenerate graph (no multi-item order anywhere → no edges, n = 0):
     // the uniform base rank would be `div 0` — ANSI throws — and the
     // oracle's scalar subquery would divide by zero too. An empty graph
@@ -445,6 +466,28 @@ ORDER BY p_partkey"""
       partPagerank,
       Some(pagerankOracle),
       "co-purchase graph + integer fixed-point PageRank, top 100 parts"),
+
+    // ── x46 served from the persisted transition table (the x12s
+    // discipline brought to the graph family): the edge build — the
+    // expensive half of the self-contained row — reads from the
+    // [[GraphServe]] artifacts, the node count comes from the build
+    // manifest (no count() job at plan construction), and only the
+    // fixed damped rounds + TakeOrdered run per call. Identical rows
+    // (the oracle IS x46's; GraphQueriesSpec pins frame equality).
+    "x46s_pagerank_serve" -> QueryDef(
+      (s, d) => {
+        GraphServe.prepare(s, d)
+        val r = GraphServe.root(d)
+        val n = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"$r/node_count.txt")).trim.toLong
+        pagerankFrom(
+          s.read.parquet(s"$r/transition")
+            .transform(graft.Caches.scoped),
+          s.read.parquet(s"$r/nodes"),
+          n, useBroadcast = n < BroadcastNodeLimit)
+      },
+      Some(pagerankOracle),
+      "PageRank served from the persisted transition table"),
     "x61_label_communities" -> QueryDef(
       labelPropagation,
       Some(labelPropOracle),
@@ -454,4 +497,43 @@ ORDER BY p_partkey"""
       Some(triangleOracle),
       "degree-ordered triangle count + exact clustering coefficient per part")
   )
+}
+
+/** Serve artifacts for the GRAPH family: the co-purchase transition
+  * table (src, dst, w, wout) is the expensive half of every link-
+  * analysis row (one fan-out + aggregation over all of lineitem), and
+  * an application derives it once per data version — the
+  * [[AuditServe]] discipline keyed on `lineitem.parquet`. The node
+  * count persists alongside as a manifest so the serve row's
+  * broadcast/shuffle flip needs no count() job at plan construction
+  * (the [[SimilarityQueries.centroidsFrom]] move).
+  */
+object GraphServe {
+
+  private[graft] def root(dir: String): String =
+    Serve.root(dir, "lineitem.parquet", Serve.GraphBuilderVersion)
+
+  private val ArtifactDirs = Seq("transition", "nodes")
+
+  /** Every DECLARED row reading this family's serve root — the
+    * [[graft.Bench]] pre-build set, co-located like the others.
+    */
+  val serveRows: Set[String] = Set("x46s_pagerank_serve")
+
+  def prepare(s: SparkSession, dir: String): Unit = synchronized {
+    val r = root(dir)
+    if (!Serve.complete(r, ArtifactDirs)) {
+      val (ew, nodes, n, _) = GraphQueries.transitionTable(
+        s, dir, GraphQueries.BroadcastNodeLimit, None)
+      // partitioned on src: each round's state join reads it keyed the
+      // way the shuffle path would re-key it anyway
+      ew.repartition(col("src"))
+        .write.mode("overwrite").parquet(s"$r/transition")
+      nodes.coalesce(1).write.mode("overwrite").parquet(s"$r/nodes")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$r/node_count.txt"), n.toString)
+      new java.io.File(s"$r/_READY").createNewFile()
+      s.catalog.clearCache() // build-side persists must not leak
+    }
+  }
 }

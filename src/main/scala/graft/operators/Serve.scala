@@ -35,6 +35,11 @@ object Serve {
     */
   private[operators] val AuditBuilderVersion = 9
 
+  /** Version of the lineitem-keyed graph builders ([[GraphServe]]):
+    * v1 = transition table + nodes + node-count manifest.
+    */
+  private[operators] val GraphBuilderVersion = 1
+
   private[operators] def root(dir: String, dataFile: String,
       version: Int): String = {
     val f = new java.io.File(s"$dir/$dataFile")

@@ -87,4 +87,22 @@ class GraphQueriesSpec extends SparkSpec {
     // propagation must actually coarsen: fewer communities than nodes
     assert(sizes.size < label.size)
   }
+
+  test("x46s: serving from the persisted transition table equals the " +
+      "self-contained x46, and a repeat call reuses the artifact") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val declared = rows("x46_part_pagerank")
+    spark.catalog.clearCache()
+    val served = rows("x46s_pagerank_serve")
+    assert(served == declared, "serve twin drifted from x46")
+    spark.catalog.clearCache()
+    // idempotent reuse: the _READY root must survive a second call
+    val root = new java.io.File(
+      operators.GraphServe.root(sf) + "/_READY")
+    val stamp = root.lastModified()
+    assert(rows("x46s_pagerank_serve") == declared)
+    assert(root.lastModified() == stamp, "artifact was rebuilt")
+    spark.catalog.clearCache()
+  }
 }
