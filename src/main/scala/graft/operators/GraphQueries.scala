@@ -311,6 +311,18 @@ LIMIT 100"""
     // big stable side, the label table the small per-round one). The
     // count doubles as eager materialization of the node checkpoint.
     val useBroadcast = nodes.count() < flipAt
+    labelRoundsFrom(edges, nodes, useBroadcast)
+  }
+
+  /** The propagation ROUND half over prepared (edges, nodes) — shared
+    * by the self-contained x61 and the serve row reading the persisted
+    * [[GraphServe]] transition table (whose (src, dst, w) columns ARE
+    * x61's edge list, and whose node table IS x61's node set: a part
+    * has wout > 0 iff some ≥2-item order pairs it).
+    */
+  private def labelRoundsFrom(edges: DataFrame, nodes: DataFrame,
+      useBroadcast: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     var labels = nodes.select(col("node"), col("node").as("label"))
     for (_ <- 1 to LpRounds) {
       // argmax spelled as max(struct(mass, -label)) — lexicographic max
@@ -492,6 +504,25 @@ ORDER BY p_partkey"""
       labelPropagation,
       Some(labelPropOracle),
       "synchronous label-propagation communities over the co-purchase graph"),
+
+    // ── x61 served from the SAME persisted transition table as x46s
+    // (one graph artifact serves the whole link-analysis family): the
+    // (src, dst, w) columns are x61's edge list verbatim, the node
+    // table is x61's node set, and the flip verdict reads the manifest.
+    "x61s_communities_serve" -> QueryDef(
+      (s, d) => {
+        GraphServe.prepare(s, d)
+        val r = GraphServe.root(d)
+        val n = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(s"$r/node_count.txt")).trim.toLong
+        labelRoundsFrom(
+          s.read.parquet(s"$r/transition").select("src", "dst", "w")
+            .transform(graft.Caches.scoped),
+          s.read.parquet(s"$r/nodes"),
+          useBroadcast = n < BroadcastNodeLimit)
+      },
+      Some(labelPropOracle),
+      "label propagation served from the persisted transition table"),
     "x71_triangle_cc" -> QueryDef(
       triangleCc,
       Some(triangleOracle),
@@ -518,7 +549,8 @@ object GraphServe {
   /** Every DECLARED row reading this family's serve root — the
     * [[graft.Bench]] pre-build set, co-located like the others.
     */
-  val serveRows: Set[String] = Set("x46s_pagerank_serve")
+  val serveRows: Set[String] =
+    Set("x46s_pagerank_serve", "x61s_communities_serve")
 
   def prepare(s: SparkSession, dir: String): Unit = synchronized {
     val r = root(dir)

@@ -105,4 +105,15 @@ class GraphQueriesSpec extends SparkSpec {
     assert(root.lastModified() == stamp, "artifact was rebuilt")
     spark.catalog.clearCache()
   }
+
+  test("x61s: serving from the shared transition table equals the " +
+      "self-contained x61") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val declared = rows("x61_label_communities")
+    spark.catalog.clearCache()
+    assert(rows("x61s_communities_serve") == declared,
+      "serve twin drifted from x61")
+    spark.catalog.clearCache()
+  }
 }
