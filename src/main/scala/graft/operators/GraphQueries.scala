@@ -398,8 +398,14 @@ FROM l$LpRounds ORDER BY p_partkey"""
     * consumers divide once if they want the ratio; the oracle compare
     * stays pure BIGINT.
     */
-  def triangleCc(s: SparkSession, d: String): DataFrame = {
-    val edges = copurchaseEdges(s, d)
+  def triangleCc(s: SparkSession, d: String): DataFrame =
+    triangleCcOver(copurchaseEdges(s, d))
+
+  /** x71's reduction over ANY symmetric (src, dst) edge list — shared
+    * by the self-contained row and the serve twin reading the
+    * persisted [[GraphServe]] transition table.
+    */
+  private def triangleCcOver(edges: DataFrame): DataFrame = {
     // undirected degree: the edge list is symmetric, so out-neighbors
     // count it; one row per node, AQE broadcasts it into the joins
     val deg = edges.groupBy(col("src").as("node"))
@@ -526,7 +532,20 @@ ORDER BY p_partkey"""
     "x71_triangle_cc" -> QueryDef(
       triangleCc,
       Some(triangleOracle),
-      "degree-ordered triangle count + exact clustering coefficient per part")
+      "degree-ordered triangle count + exact clustering coefficient per part"),
+
+    // ── x71 from the same shared graph artifact (the transition
+    // table's (src, dst) pairs are the symmetric edge list verbatim).
+    "x71s_triangles_serve" -> QueryDef(
+      (s, d) => {
+        GraphServe.prepare(s, d)
+        triangleCcOver(
+          s.read.parquet(s"${GraphServe.root(d)}/transition")
+            .select("src", "dst")
+            .transform(graft.Caches.scoped))
+      },
+      Some(triangleOracle),
+      "triangle counting served from the persisted transition table")
   )
 }
 
@@ -550,7 +569,8 @@ object GraphServe {
     * [[graft.Bench]] pre-build set, co-located like the others.
     */
   val serveRows: Set[String] =
-    Set("x46s_pagerank_serve", "x61s_communities_serve")
+    Set("x46s_pagerank_serve", "x61s_communities_serve",
+      "x71s_triangles_serve")
 
   def prepare(s: SparkSession, dir: String): Unit = synchronized {
     val r = root(dir)

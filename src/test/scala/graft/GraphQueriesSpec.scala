@@ -116,4 +116,15 @@ class GraphQueriesSpec extends SparkSpec {
       "serve twin drifted from x61")
     spark.catalog.clearCache()
   }
+
+  test("x71s: serving from the shared transition table equals the " +
+      "self-contained x71") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val declared = rows("x71_triangle_cc")
+    spark.catalog.clearCache()
+    assert(rows("x71s_triangles_serve") == declared,
+      "serve twin drifted from x71")
+    spark.catalog.clearCache()
+  }
 }
