@@ -327,6 +327,139 @@ FROM agg ORDER BY source"""
   private val BmProbeM = 10L
   private val BmTopDocs = 5L
 
+  /** Probe-term selection (the top-M frequent terms per lang) over any
+    * (lang, token, cnt) frame — shared by the self-contained x65 (counts
+    * from the corpus explode) and the serve twin (counts rolled up from
+    * the persisted postings, Σ tf ≡ the corpus count).
+    */
+  private def bm25Probe(counts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    counts
+      .withColumn("pr", row_number().over(Window.partitionBy("lang")
+        .orderBy(desc("cnt"), col("token"))))
+      .filter(col("pr") <= BmProbeM)
+      .select(col("lang"), col("token"))
+  }
+
+  /** The BM25 scoring half over a probe-term postings frame
+    * (lang, token, doc_id, tf) and a doc-length frame (lang, doc_id,
+    * dl): per-lang stats, micro-nat IDF, the k1 = 1.2 / b = 0.75
+    * quotient in exact-integer numerators, per-term top-docs window.
+    * Shared by x65 and the persisted-index serve row.
+    */
+  private def bm25Rank(tf: org.apache.spark.sql.DataFrame,
+      dl: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lstats = dl.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val dfc = tf.groupBy("lang", "token")
+      .agg(count(lit(1)).as("df"))
+    val wr = Window.partitionBy("lang", "token")
+      .orderBy(desc("score"), col("doc_id"))
+    tf.join(dl, Seq("lang", "doc_id"))
+      .join(broadcast(dfc), Seq("lang", "token"))
+      .join(broadcast(lstats), Seq("lang"))
+      .withColumn("idf_micro", expr(
+        """CAST(floor(ln((CAST(n_docs - df AS DOUBLE) + 0.5d)
+           / (CAST(df AS DOUBLE) + 0.5d) + 1.0d) * 1000000 + 0.5d)
+           AS BIGINT)""".replace('\n', ' ')))
+      .withColumn("score", expr(
+        """CAST(idf_micro * 22 * tf * sum_dl AS DOUBLE)
+           / CAST(10 * sum_dl * tf + 3 * sum_dl + 9 * dl * n_docs
+                  AS DOUBLE)
+           / 1000000.0d""".replace('\n', ' ')))
+      .withColumn("rank", row_number().over(wr).cast("bigint"))
+      .filter(col("rank") <= BmTopDocs)
+      .select(col("lang"), col("token").as("term"), col("rank"),
+        col("doc_id"), col("tf"), col("dl"), col("idf_micro"),
+        col("score"))
+      .orderBy("lang", "term", "rank")
+  }
+
+  /** The full-vocabulary inverted index + doc-length table — the
+    * artifacts [[AuditServe.prepare]] persists for the BM25 serve row
+    * (a production retrieval tier ships exactly these two).
+    */
+  private[operators] def bm25Index(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val toks = Tables.documentsSpread(s, d)
+      .select(col("lang"), col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      .transform(graft.Caches.scoped)
+    (toks.groupBy("lang", "token", "doc_id").agg(count(lit(1)).as("tf")),
+      toks.groupBy("lang", "doc_id").agg(count(lit(1)).as("dl")))
+  }
+
+  /** BM25 served from the persisted inverted index: probe terms from a
+    * postings rollup (Σ tf ≡ corpus counts), probe postings by an
+    * index equi-join — the corpus text is never re-tokenized.
+    */
+  private[operators] def bm25FromIndex(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val postings = AuditServe.postingsFrom(s, d)
+      .transform(graft.Caches.scoped)
+    val probe = bm25Probe(postings.groupBy("lang", "token")
+      .agg(sum(col("tf")).as("cnt")))
+    bm25Rank(postings.join(broadcast(probe), Seq("lang", "token")),
+      AuditServe.doclensFrom(s, d))
+  }
+
+  /** The x65 oracle text, shared verbatim with the serve twin. */
+  private lazy val bm25Oracle: String = s"""
+WITH toks AS (
+  SELECT lang, doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+dl AS (
+  SELECT lang, doc_id, CAST(count(*) AS BIGINT) AS dl
+  FROM toks GROUP BY 1, 2
+),
+ls AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(dl) AS BIGINT) AS sum_dl
+  FROM dl GROUP BY 1
+),
+pc AS (SELECT lang, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+probe AS (
+  SELECT lang, token FROM (
+    SELECT lang, token, row_number() OVER (PARTITION BY lang
+      ORDER BY cnt DESC, token) AS pr FROM pc)
+  WHERE pr <= $BmProbeM
+),
+tf AS (
+  SELECT t.lang, t.token, t.doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM toks t JOIN probe p ON t.lang = p.lang AND t.token = p.token
+  GROUP BY 1, 2, 3
+),
+dfc AS (
+  SELECT lang, token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1, 2
+),
+sc AS (
+  SELECT tf.lang, tf.token, tf.doc_id, tf.tf, dl.dl,
+    CAST(floor(ln((CAST(ls.n_docs - dfc.df AS DOUBLE) + 0.5)
+      / (CAST(dfc.df AS DOUBLE) + 0.5) + 1.0) * 1000000 + 0.5)
+      AS BIGINT) AS idf_micro,
+    ls.n_docs, ls.sum_dl
+  FROM tf
+  JOIN dl ON tf.lang = dl.lang AND tf.doc_id = dl.doc_id
+  JOIN dfc ON tf.lang = dfc.lang AND tf.token = dfc.token
+  JOIN ls ON tf.lang = ls.lang
+),
+scored AS (
+  SELECT lang, token, doc_id, tf, dl, idf_micro,
+    CAST(idf_micro * 22 * tf * sum_dl AS DOUBLE)
+      / CAST(10 * sum_dl * tf + 3 * sum_dl + 9 * dl * n_docs AS DOUBLE)
+      / 1000000.0 AS score
+  FROM sc
+)
+SELECT lang, token AS term, CAST(rn AS BIGINT) AS rank, doc_id, tf, dl,
+  idf_micro, score
+FROM (SELECT *, row_number() OVER (PARTITION BY lang, token
+        ORDER BY score DESC, doc_id) AS rn FROM scored)
+WHERE rn <= $BmTopDocs ORDER BY lang, term, rank"""
+
   /** x37's mixture seed and per-source token budget: each source
     * contributes documents (in seeded-hash order) until the budget
     * fills — the knob a data-mixture recipe turns per corpus slice.
@@ -2396,7 +2529,6 @@ FROM a ORDER BY lang"""),
     // most |probe|·N rows.
     "x65_bm25_rank" -> QueryDef(
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         // three plan branches (dl, probe counts, tf) read the exploded
         // corpus — cache-once beats 3× re-explode (MEMORY_AND_DISK
         // spills; Bench/Verify clear caches between queries)
@@ -2406,94 +2538,29 @@ FROM a ORDER BY lang"""),
           .transform(graft.Caches.scoped)
         val dl = toks.groupBy("lang", "doc_id")
           .agg(count(lit(1)).as("dl"))
-        val lstats = dl.groupBy("lang")
-          .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-        val wp = Window.partitionBy("lang")
-          .orderBy(desc("cnt"), col("token"))
-        val probe = toks.groupBy("lang", "token")
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("pr", row_number().over(wp))
-          .filter(col("pr") <= BmProbeM)
-          .select(col("lang"), col("token"))
+        val probe = bm25Probe(toks.groupBy("lang", "token")
+          .agg(count(lit(1)).as("cnt")))
         val tf = toks.join(broadcast(probe), Seq("lang", "token"))
           .groupBy("lang", "token", "doc_id")
           .agg(count(lit(1)).as("tf"))
-        val dfc = tf.groupBy("lang", "token")
-          .agg(count(lit(1)).as("df"))
-        val wr = Window.partitionBy("lang", "token")
-          .orderBy(desc("score"), col("doc_id"))
-        tf.join(dl, Seq("lang", "doc_id"))
-          .join(broadcast(dfc), Seq("lang", "token"))
-          .join(broadcast(lstats), Seq("lang"))
-          .withColumn("idf_micro", expr(
-            """CAST(floor(ln((CAST(n_docs - df AS DOUBLE) + 0.5d)
-               / (CAST(df AS DOUBLE) + 0.5d) + 1.0d) * 1000000 + 0.5d)
-               AS BIGINT)""".replace('\n', ' ')))
-          .withColumn("score", expr(
-            """CAST(idf_micro * 22 * tf * sum_dl AS DOUBLE)
-               / CAST(10 * sum_dl * tf + 3 * sum_dl + 9 * dl * n_docs
-                      AS DOUBLE)
-               / 1000000.0d""".replace('\n', ' ')))
-          .withColumn("rank", row_number().over(wr).cast("bigint"))
-          .filter(col("rank") <= BmTopDocs)
-          .select(col("lang"), col("token").as("term"), col("rank"),
-            col("doc_id"), col("tf"), col("dl"), col("idf_micro"),
-            col("score"))
-          .orderBy("lang", "term", "rank")
+        bm25Rank(tf, dl)
       },
-      Some(s"""
-WITH toks AS (
-  SELECT lang, doc_id, unnest(string_split(text, ' ')) AS token
-  FROM documents
-),
-dl AS (
-  SELECT lang, doc_id, CAST(count(*) AS BIGINT) AS dl
-  FROM toks GROUP BY 1, 2
-),
-ls AS (
-  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-    CAST(sum(dl) AS BIGINT) AS sum_dl
-  FROM dl GROUP BY 1
-),
-pc AS (SELECT lang, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
-probe AS (
-  SELECT lang, token FROM (
-    SELECT lang, token, row_number() OVER (PARTITION BY lang
-      ORDER BY cnt DESC, token) AS pr FROM pc)
-  WHERE pr <= $BmProbeM
-),
-tf AS (
-  SELECT t.lang, t.token, t.doc_id, CAST(count(*) AS BIGINT) AS tf
-  FROM toks t JOIN probe p ON t.lang = p.lang AND t.token = p.token
-  GROUP BY 1, 2, 3
-),
-dfc AS (
-  SELECT lang, token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1, 2
-),
-sc AS (
-  SELECT tf.lang, tf.token, tf.doc_id, tf.tf, dl.dl,
-    CAST(floor(ln((CAST(ls.n_docs - dfc.df AS DOUBLE) + 0.5)
-      / (CAST(dfc.df AS DOUBLE) + 0.5) + 1.0) * 1000000 + 0.5)
-      AS BIGINT) AS idf_micro,
-    ls.n_docs, ls.sum_dl
-  FROM tf
-  JOIN dl ON tf.lang = dl.lang AND tf.doc_id = dl.doc_id
-  JOIN dfc ON tf.lang = dfc.lang AND tf.token = dfc.token
-  JOIN ls ON tf.lang = ls.lang
-),
-scored AS (
-  SELECT lang, token, doc_id, tf, dl, idf_micro,
-    CAST(idf_micro * 22 * tf * sum_dl AS DOUBLE)
-      / CAST(10 * sum_dl * tf + 3 * sum_dl + 9 * dl * n_docs AS DOUBLE)
-      / 1000000.0 AS score
-  FROM sc
-)
-SELECT lang, token AS term, CAST(rn AS BIGINT) AS rank, doc_id, tf, dl,
-  idf_micro, score
-FROM (SELECT *, row_number() OVER (PARTITION BY lang, token
-        ORDER BY score DESC, doc_id) AS rn FROM scored)
-WHERE rn <= $BmTopDocs ORDER BY lang, term, rank"""),
+      Some(bm25Oracle),
       "Okapi BM25 top-docs per probe term (exact integer rational + micro-nat idf)"),
+
+    // ── x65 served from the PERSISTED inverted index + doc-length
+    // table (the retrieval tier's actual layout — postings and norms
+    // built once per corpus version, [[AuditServe]]): probe-term
+    // selection rolls up the postings (Σ tf ≡ the corpus counts), tf
+    // is an index equi-join, and the corpus text is never re-tokenized.
+    // Identical rows (the oracle IS x65's; Bm25Spec pins equality).
+    "x65s_bm25_serve" -> QueryDef(
+      (s, d) => {
+        AuditServe.prepare(s, d)
+        bm25FromIndex(s, d)
+      },
+      Some(bm25Oracle),
+      "BM25 served from the persisted inverted index + doc lengths"),
 
     // ── Per-source KL divergence from the corpus token distribution:
     // KL(P_src ‖ P_corpus) in nats — the information-theoretic drift

@@ -30,10 +30,10 @@ object Serve {
   private[operators] val IndexBuilderVersion = 10
 
   /** Version of the documents-keyed audit builders ([[AuditServe]]):
-    * v9 = the unigram piece table (`unipieces`) joined the artifact
-    * set.
+    * v10 = the BM25 inverted index (`postings` + `doclens`) joined the
+    * artifact set (v9 added the unigram piece table).
     */
-  private[operators] val AuditBuilderVersion = 9
+  private[operators] val AuditBuilderVersion = 10
 
   /** Version of the lineitem-keyed graph builders ([[GraphServe]]):
     * v1 = transition table + nodes + node-count manifest.
@@ -94,7 +94,7 @@ object AuditServe {
     */
   private val ArtifactDirs =
     Seq("lshcand", "quality", "clusters", "ngjacc", "bpemerges",
-      "unipieces")
+      "unipieces", "postings", "doclens")
 
   /** Every DECLARED row that READS this family's serve root — the
     * [[graft.Bench]] pre-build set, co-located like
@@ -102,7 +102,7 @@ object AuditServe {
     */
   val serveRows: Set[String] = Set("x42s_canonical_serve",
     "x43s_leakage_serve", "x45s_drift_serve", "x47s_recall_serve",
-    "x92s_bpe_encode_serve", "x98s_unigram_serve",
+    "x92s_bpe_encode_serve", "x98s_unigram_serve", "x65s_bm25_serve",
     "st19_stream_bpe_encode", "st21_stream_unigram_encode")
 
   /** Build the audit artifacts once per data version — idempotent
@@ -135,6 +135,9 @@ object AuditServe {
         .write.mode("overwrite").parquet(s"$r/bpemerges")
       UnigramQueries.pieceTable(s, dir)
         .write.mode("overwrite").parquet(s"$r/unipieces")
+      val (postings, doclens) = PipelineQueries.bm25Index(s, dir)
+      postings.write.mode("overwrite").parquet(s"$r/postings")
+      doclens.write.mode("overwrite").parquet(s"$r/doclens")
       marker.createNewFile()
       s.catalog.clearCache() // build-side persists must not leak
     }
@@ -172,4 +175,14 @@ object AuditServe {
     */
   def piecesFrom(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"${root(dir)}/unipieces")
+
+  /** The persisted full-vocabulary inverted index
+    * (lang, token, doc_id, tf) — the BM25 serve row's postings.
+    */
+  def postingsFrom(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${root(dir)}/postings")
+
+  /** The persisted per-doc token lengths (lang, doc_id, dl). */
+  def doclensFrom(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"${root(dir)}/doclens")
 }

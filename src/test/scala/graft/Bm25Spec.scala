@@ -12,6 +12,17 @@ class Bm25Spec extends SparkSpec {
   private val ProbeM = 10
   private val TopDocs = 5
 
+  test("x65s: serving from the persisted inverted index equals the " +
+      "self-contained x65") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val declared = rows("x65_bm25_rank")
+    spark.catalog.clearCache()
+    assert(rows("x65s_bm25_serve") == declared,
+      "serve twin drifted from x65")
+    spark.catalog.clearCache()
+  }
+
   test("x65: full JVM recomputation reproduces the ranking and scores") {
     val docs = Tables.documents(spark, sf)
       .selectExpr("lang", "doc_id", "text").collect()
