@@ -584,6 +584,13 @@ cand AS (
     * would otherwise double the plan per round, 2^CcRounds LSH copies).
     * Shared with x42 so the cluster spelling cannot drift.
     */
+  /** The x14 oracle text, shared verbatim with its serve twin. */
+  private lazy val x14Oracle: String = s"""
+WITH $duckClusterChain
+SELECT doc_id, label AS cluster_id,
+  count(*) OVER (PARTITION BY label) AS cluster_size
+FROM s$CcRounds ORDER BY doc_id"""
+
   private def duckClusterChain: String = {
     val rounds = (1 to CcRounds).map { i =>
       s"""p$i AS MATERIALIZED (
@@ -1100,12 +1107,25 @@ ORDER BY doc_a, doc_b"""),
         .withColumn("cluster_size", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")))
         .orderBy("doc_id"),
-      Some(s"""
-WITH $duckClusterChain
-SELECT doc_id, label AS cluster_id,
-  count(*) OVER (PARTITION BY label) AS cluster_size
-FROM s$CcRounds ORDER BY doc_id"""),
+      Some(x14Oracle),
       "LSH pairs → connected components via min-label + pointer jumping"),
+
+    // ── x14 from the persisted cluster artifact ([[AuditServe]] —
+    // x42s/x43s already read it; this row is the cluster table ITSELF
+    // served): only the size window + order run per call, the
+    // sigs → star edges → BSP chain is amortized into the build.
+    // Identical rows (the oracle IS x14's).
+    "x14s_clusters_serve" -> QueryDef(
+      (s, d) => {
+        AuditServe.prepare(s, d)
+        AuditServe.clustersFrom(s, d)
+          .withColumn("cluster_size", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("cluster_id")))
+          .orderBy("doc_id")
+      },
+      Some(x14Oracle),
+      "near-dup clusters served from the persisted cluster artifact"),
 
     // ── Keep-best canonical per cluster: the step a dedup pipeline runs
     // AFTER clustering — for every near-dup component, keep the highest-

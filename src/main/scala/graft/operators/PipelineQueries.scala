@@ -406,6 +406,93 @@ FROM agg ORDER BY source"""
       AuditServe.doclensFrom(s, d))
   }
 
+  /** The add-one-LM scoring + argmax + confusion reduction over the
+    * four attribution inputs — per-doc token counts `dt`, per-source
+    * cell counts `cnt`, per-source totals `tot`, vocabulary size `v`
+    * — shared by the self-contained x73 (inputs from the corpus
+    * explode) and the serve twin (inputs rolled up from the
+    * persisted postings).
+    */
+  private def attributionOf(dt: org.apache.spark.sql.DataFrame,
+      cnt: org.apache.spark.sql.DataFrame,
+      tot: org.apache.spark.sql.DataFrame,
+      v: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+        // per-source missing-token log-prob: ln(1/(n_s+V)) rounded the
+        // same way the dense cell with c=0 rounds (numerator 0+1)
+        val miss = tot.crossJoin(broadcast(v))
+          .select(col("source").as("lm_source"),
+            expr(s"""CAST(floor(ln(CAST(1 AS DOUBLE)
+                       / CAST(n + v AS DOUBLE)) * $LpScale + 0.5d)
+                     AS BIGINT)""").as("lp_miss"))
+        // observed cells only, carrying both the cell's lp and the
+        // source's lp_miss so the delta needs no second join
+        val obs = cnt.join(tot, Seq("source")).crossJoin(broadcast(v))
+          .select(col("source").as("lm_source"), col("token"),
+            expr(s"""CAST(floor(ln(CAST(c + 1 AS DOUBLE)
+                       / CAST(n + v AS DOUBLE)) * $LpScale + 0.5d)
+                     AS BIGINT)""").as("lp"),
+            expr(s"""CAST(floor(ln(CAST(1 AS DOUBLE)
+                       / CAST(n + v AS DOUBLE)) * $LpScale + 0.5d)
+                     AS BIGINT)""").as("lp_miss"))
+        val docTot = dt.groupBy(col("doc_id"), col("actual"))
+          .agg(sum(col("k")).as("ktot"))
+        val base = docTot.crossJoin(broadcast(miss))
+        val delta = dt.join(obs, Seq("token"))
+          .groupBy(col("doc_id"), col("actual"), col("lm_source"))
+          .agg(sum(col("k") * (col("lp") - col("lp_miss"))).as("dscore"))
+        base.join(delta, Seq("doc_id", "actual", "lm_source"), "left")
+          .select(col("doc_id"), col("actual"), col("lm_source"),
+            (col("ktot") * col("lp_miss") +
+              coalesce(col("dscore"), lit(0L))).as("score"))
+          .groupBy(col("doc_id"), col("actual"))
+          .agg(min(struct((-col("score")).as("ns"),
+            col("lm_source").as("src"))).as("top"))
+          .groupBy(col("actual"), col("top.src").as("predicted"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("actual", "predicted")
+  }
+
+  /** The x73 oracle text, shared verbatim with the serve twin. */
+  private lazy val x73Oracle: String = s"""
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+dt AS (SELECT doc_id, source AS actual, token,
+         CAST(count(*) AS BIGINT) AS k
+       FROM toks GROUP BY 1, 2, 3),
+cnt AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY 1, 2),
+tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        FROM toks GROUP BY 1),
+vocab AS (SELECT DISTINCT token FROM toks),
+v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+lm AS (
+  SELECT tot.source AS lm_source, vocab.token,
+    CAST(floor(ln(CAST(coalesce(cnt.c, 0) + 1 AS DOUBLE)
+      / CAST(tot.n + v.v AS DOUBLE)) * $LpScale + 0.5) AS BIGINT) AS lp
+  FROM vocab CROSS JOIN tot
+  LEFT JOIN cnt ON cnt.source = tot.source AND cnt.token = vocab.token
+  CROSS JOIN v
+),
+scored AS (
+  SELECT dt.doc_id, dt.actual, lm.lm_source,
+    CAST(sum(dt.k * lm.lp) AS BIGINT) AS score
+  FROM dt JOIN lm USING (token)
+  GROUP BY 1, 2, 3
+),
+top AS (
+  SELECT doc_id, actual, lm_source AS predicted FROM (
+    SELECT doc_id, actual, lm_source,
+      row_number() OVER (PARTITION BY doc_id
+        ORDER BY score DESC, lm_source ASC) AS rn
+    FROM scored)
+  WHERE rn = 1
+)
+SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n_docs
+FROM top GROUP BY actual, predicted ORDER BY actual, predicted"""
+
   /** The x65 oracle text, shared verbatim with the serve twin. */
   private lazy val bm25Oracle: String = s"""
 WITH toks AS (
@@ -2126,79 +2213,10 @@ FROM terms GROUP BY doc_id ORDER BY doc_id"""),
         val tot = toks.groupBy(col("source")).agg(count(lit(1)).as("n"))
         val v = toks.select("token").distinct()
           .agg(count(lit(1)).as("v"))
-        // per-source missing-token log-prob: ln(1/(n_s+V)) rounded the
-        // same way the dense cell with c=0 rounds (numerator 0+1)
-        val miss = tot.crossJoin(broadcast(v))
-          .select(col("source").as("lm_source"),
-            expr(s"""CAST(floor(ln(CAST(1 AS DOUBLE)
-                       / CAST(n + v AS DOUBLE)) * $LpScale + 0.5d)
-                     AS BIGINT)""").as("lp_miss"))
-        // observed cells only, carrying both the cell's lp and the
-        // source's lp_miss so the delta needs no second join
-        val obs = cnt.join(tot, Seq("source")).crossJoin(broadcast(v))
-          .select(col("source").as("lm_source"), col("token"),
-            expr(s"""CAST(floor(ln(CAST(c + 1 AS DOUBLE)
-                       / CAST(n + v AS DOUBLE)) * $LpScale + 0.5d)
-                     AS BIGINT)""").as("lp"),
-            expr(s"""CAST(floor(ln(CAST(1 AS DOUBLE)
-                       / CAST(n + v AS DOUBLE)) * $LpScale + 0.5d)
-                     AS BIGINT)""").as("lp_miss"))
-        val docTot = dt.groupBy(col("doc_id"), col("actual"))
-          .agg(sum(col("k")).as("ktot"))
-        val base = docTot.crossJoin(broadcast(miss))
-        val delta = dt.join(obs, Seq("token"))
-          .groupBy(col("doc_id"), col("actual"), col("lm_source"))
-          .agg(sum(col("k") * (col("lp") - col("lp_miss"))).as("dscore"))
-        base.join(delta, Seq("doc_id", "actual", "lm_source"), "left")
-          .select(col("doc_id"), col("actual"), col("lm_source"),
-            (col("ktot") * col("lp_miss") +
-              coalesce(col("dscore"), lit(0L))).as("score"))
-          .groupBy(col("doc_id"), col("actual"))
-          .agg(min(struct((-col("score")).as("ns"),
-            col("lm_source").as("src"))).as("top"))
-          .groupBy(col("actual"), col("top.src").as("predicted"))
-          .agg(count(lit(1)).as("n_docs"))
-          .orderBy("actual", "predicted")
+        attributionOf(dt, cnt, tot, v)
       },
-      Some(s"""
-WITH toks AS (
-  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
-  FROM documents
-),
-dt AS (SELECT doc_id, source AS actual, token,
-         CAST(count(*) AS BIGINT) AS k
-       FROM toks GROUP BY 1, 2, 3),
-cnt AS (SELECT source, token, CAST(count(*) AS BIGINT) AS c
-        FROM toks GROUP BY 1, 2),
-tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n
-        FROM toks GROUP BY 1),
-vocab AS (SELECT DISTINCT token FROM toks),
-v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
-lm AS (
-  SELECT tot.source AS lm_source, vocab.token,
-    CAST(floor(ln(CAST(coalesce(cnt.c, 0) + 1 AS DOUBLE)
-      / CAST(tot.n + v.v AS DOUBLE)) * $LpScale + 0.5) AS BIGINT) AS lp
-  FROM vocab CROSS JOIN tot
-  LEFT JOIN cnt ON cnt.source = tot.source AND cnt.token = vocab.token
-  CROSS JOIN v
-),
-scored AS (
-  SELECT dt.doc_id, dt.actual, lm.lm_source,
-    CAST(sum(dt.k * lm.lp) AS BIGINT) AS score
-  FROM dt JOIN lm USING (token)
-  GROUP BY 1, 2, 3
-),
-top AS (
-  SELECT doc_id, actual, lm_source AS predicted FROM (
-    SELECT doc_id, actual, lm_source,
-      row_number() OVER (PARTITION BY doc_id
-        ORDER BY score DESC, lm_source ASC) AS rn
-    FROM scored)
-  WHERE rn = 1
-)
-SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n_docs
-FROM top GROUP BY actual, predicted ORDER BY actual, predicted"""),
-      "unigram-LM argmax source attribution + confusion matrix"),
+      Some(x73Oracle),
+      "per-source add-one LM + per-doc argmax attribution + confusion rollup"),
 
     // ── Windowed PMI collocations: top token pairs by pointwise mutual
     // information within a 5-token window — the word2vec-era association

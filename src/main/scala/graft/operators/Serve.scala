@@ -103,6 +103,7 @@ object AuditServe {
   val serveRows: Set[String] = Set("x42s_canonical_serve",
     "x43s_leakage_serve", "x45s_drift_serve", "x47s_recall_serve",
     "x92s_bpe_encode_serve", "x98s_unigram_serve", "x65s_bm25_serve",
+    "x14s_clusters_serve",
     "st19_stream_bpe_encode", "st21_stream_unigram_encode")
 
   /** Build the audit artifacts once per data version — idempotent
