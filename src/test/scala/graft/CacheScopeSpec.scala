@@ -29,6 +29,11 @@ class CacheScopeSpec extends SparkSpec {
     "x61_label_communities",  // label rounds
     "x65_bm25_rank",          // PipelineQueries persists
     "x91_bpe_train",          // BpeQueries: word table + checkpoints
+    "x97_unigram_train",      // UnigramQueries: word-table persist
+    "x99_ivf_coarse_route",   // two-level router: fine + coarse persists
+    "x46s_pagerank_serve",    // GraphServe transition persist + rounds
+    "x65s_bm25_serve",        // postings persist
+    "mm03_phash_neardup",     // rebuilt banded-Hamming join
     "mm04_audio_vad",         // Multimodal window persist
     "corpus_curate",          // corpus pipeline
     "loan_detail")            // flagship joins

@@ -32,6 +32,20 @@ class EdgeGraphSpec extends SparkSpec {
     assert(tc.count() == 0L)
   }
 
+  test("the serve twins survive the empty graph: artifacts build, the " +
+      "manifest reads 0, rankings come back empty") {
+    val dir = writeLineitem(Seq((1L, 10L), (2L, 20L)))
+    for (name <- Seq("x46s_pagerank_serve", "x61s_communities_serve",
+        "x71s_triangles_serve")) {
+      val rows = SparkEntry.queries(name)(spark, dir).collect()
+      assert(rows.isEmpty, s"$name returned ${rows.length} rows")
+      spark.catalog.clearCache()
+    }
+    val n = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      operators.GraphServe.root(dir) + "/node_count.txt")).trim.toLong
+    assert(n == 0L, s"manifest node count $n")
+  }
+
   test("a single two-item order ranks both parts equally") {
     val dir = writeLineitem(Seq((1L, 10L), (1L, 20L), (2L, 30L)))
     val pr = operators.GraphQueries.partPagerank(spark, dir)
