@@ -193,13 +193,13 @@ object Xls {
   private def numStr(d: Double): String =
     if (d.isWhole && math.abs(d) < 1e15) d.toLong.toString else d.toString
 
-  /** Decode one XLUnicodeRichExtendedString at `pos` within the merged
-    * SST payload stream, where `isHigh(byteOffset)` reports whether the
-    * byte at that offset was originally high-bytes-encoded... BIFF8
-    * strings carry their OWN grbit, so the flag travels with the data;
-    * what CONTINUE boundaries change is re-stating the grbit — handled
-    * by [[mergedSst]] normalizing everything to 2-byte characters up
-    * front.
+  /** Decode one CONTIGUOUS XLUnicodeString/RichExtendedString at
+    * offset `o` (used by Label and STRING records, whose payloads
+    * never split): 16-bit length, a grbit whose bit 0 selects
+    * compressed-Latin-1 vs UTF-16LE characters and whose bits 2/3
+    * declare skippable rich/ext blocks. SST strings — which CAN split
+    * across CONTINUE records — go through [[parseSst]]'s fragment
+    * cursor instead.
     */
   private def readShortString(b: Array[Byte], o: Int): (String, Int) = {
     // 16-bit length + grbit + optional rich/ext headers + chars
