@@ -33,12 +33,15 @@ import org.apache.spark.storage.StorageLevel
   * `localCheckpoint` backings (whose lineage is truncated — a sweep
   * there fails the victim with missing-checkpoint-block errors, not a
   * recompute). So the raw-RDD sweep is DEFERRED while other scopes
-  * overlap: each closing scope banks its orphan candidates, and the
-  * LAST open scope to close sweeps the bank. Tracked [[scoped]] frames
+  * overlap: each closing scope banks its orphan candidates guarded by
+  * the scope ids still open at banking time, and every close sweeps the
+  * orphans whose guards have all closed. Tracked [[scoped]] frames
   * are still released by their own scope immediately (each thread only
   * touches its own), so under concurrency the only blocks that outlive
   * their query are untracked checkpoint backings, and only until the
-  * overlap window drains. One caveat stands: a bare `.persist` taken on
+  * scopes that overlapped them drain — a server with continuously
+  * overlapping scopes still frees each orphan incrementally, so the
+  * bank stays bounded by the width of any single overlap window. One caveat stands: a bare `.persist` taken on
   * a NON-scoped thread while any scope is open is indistinguishable
   * from an orphan and will be swept with the bank — inside a shared
   * long-lived session, run queries through scopes (or [[Graft.runScoped]])
@@ -52,15 +55,22 @@ object Caches {
         scala.collection.mutable.ArrayBuffer[Dataset[_]]] = Nil
     }
 
-  /** Open-scope bookkeeping for the deferred raw-RDD sweep: count of
-    * scopes currently open across ALL threads, plus the banked orphan
-    * RDD ids awaiting the last-closer's sweep. Guarded by [[lock]];
-    * RDD ids are per-SparkContext (one live context per JVM in every
-    * supported deployment).
+  /** Open-scope bookkeeping for the deferred raw-RDD sweep: the ids of
+    * scopes currently open across ALL threads, plus banked orphan RDD
+    * ids each guarded by the scope ids that were open when it was
+    * banked. An orphan is safe to sweep once every guard scope has
+    * closed — only a scope already open at banking time could own the
+    * block — so the bank stays bounded by the overlap window even in a
+    * server with continuously overlapping scopes (new scopes never
+    * extend an existing orphan's guard). Guarded by [[lock]]; RDD ids
+    * are per-SparkContext (one live context per JVM in every supported
+    * deployment).
     */
   private val lock = new Object
-  private var openScopes = 0
-  private val bankedOrphans = scala.collection.mutable.Set.empty[Int]
+  private var nextScopeId = 0L
+  private val openIds = scala.collection.mutable.Set.empty[Long]
+  private val bankedOrphans =
+    scala.collection.mutable.Map.empty[Int, Set[Long]]
 
   /** Persist at MEMORY_AND_DISK (spills, never OOMs) and register with
     * the innermost active scope. Usage: `df.transform(Caches.scoped)`.
@@ -89,9 +99,10 @@ object Caches {
     */
   def scope[T](spark: SparkSession)(body: => T): T = {
     val sc = spark.sparkContext
-    val before = lock.synchronized {
-      openScopes += 1
-      sc.getPersistentRDDs.keySet
+    val (myId, before) = lock.synchronized {
+      nextScopeId += 1
+      openIds += nextScopeId
+      (nextScopeId, sc.getPersistentRDDs.keySet)
     }
     val buf = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
     scopes.set(buf :: scopes.get())
@@ -103,17 +114,26 @@ object Caches {
         catch { case _: Throwable => () }
       }
       lock.synchronized {
-        openScopes -= 1
-        bankedOrphans ++= sc.getPersistentRDDs.keySet.diff(before)
-        if (openScopes == 0) {
+        openIds -= myId
+        // bank this scope's orphan candidates, guarded by the scopes
+        // still open NOW — the only ones that could own the blocks
+        val guard = openIds.toSet
+        sc.getPersistentRDDs.keySet.diff(before).foreach { id =>
+          if (!bankedOrphans.contains(id)) bankedOrphans(id) = guard
+        }
+        // incremental drain: sweep every orphan whose guards all closed
+        val ripe = bankedOrphans.collect {
+          case (id, g) if !g.exists(openIds.contains) => id
+        }
+        if (ripe.nonEmpty) {
           val live = sc.getPersistentRDDs
-          bankedOrphans.foreach { id =>
+          ripe.foreach { id =>
+            bankedOrphans -= id
             live.get(id).foreach { rdd =>
               try rdd.unpersist(blocking = false)
               catch { case _: Throwable => () }
             }
           }
-          bankedOrphans.clear()
         }
       }
     }

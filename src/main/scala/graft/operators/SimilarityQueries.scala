@@ -640,7 +640,7 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
   private[graft] def assignedBuckets(e: DataFrame, cent: DataFrame,
       flipAt: Long): DataFrame = {
     val scored =
-      if (centroidCount(cent) <= flipAt) nearestCentroid(e, cent)
+      if (centroidCount(cent) < flipAt) nearestCentroid(e, cent)
       else nearestCentroidShuffle(e, cent, "qe", "qn", "vec_id")
     scored
       .select(col("vec_id"), col("qe"), col("qn"),
@@ -668,7 +668,7 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
 
   private[graft] def probeBuckets(probes: DataFrame, cent: DataFrame,
       flipAt: Long): DataFrame =
-    if (centroidCount(cent) <= flipAt)
+    if (centroidCount(cent) < flipAt)
       probes
         .crossJoin(broadcast(packedCentroids(cent)))
         .withColumn("topb", expr(s"""

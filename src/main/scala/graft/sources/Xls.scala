@@ -76,8 +76,10 @@ object Xls {
     val miniCutoff = i32(bytes, 56)      // 4096
     val miniFatStart = i32(bytes, 60)
     val nDifat = i32(bytes, 72)
+    // the header occupies one full sector, so sector N starts at
+    // (N + 1) * sectorSize — correct for both v3 (512) and v4 (4096)
     def sector(id: Int): Array[Byte] =
-      bytes.slice(512 + id * sectorSize, 512 + (id + 1) * sectorSize)
+      bytes.slice((id + 1) * sectorSize, (id + 2) * sectorSize)
     // FAT sector list: 109 header slots + DIFAT chain sectors
     val fatSectors = {
       val b = Vector.newBuilder[Int]
@@ -256,6 +258,8 @@ object Xls {
       while (left > 0) {
         ensure()
         val take = math.min(left, fragEnd - pos)
+        if (take == 0) // past the last fragment with bytes still owed
+          throw new IllegalArgumentException("SST: truncated record")
         o.write(stream, pos, take)
         pos += take; left -= take
       }
@@ -286,6 +290,12 @@ object Xls {
         val avail = fragEnd - pos
         val take = if (high) math.min(left, avail / 2) else
           math.min(left, avail)
+        // a UTF-16 run must split on an even byte boundary; take == 0
+        // with characters still owed means a malformed (or hostile)
+        // file — fail instead of spinning
+        if (take == 0)
+          throw new IllegalArgumentException(
+            "SST: character run split on odd byte boundary")
         if (high) {
           sb.append(new String(stream.slice(pos, pos + take * 2),
             java.nio.charset.StandardCharsets.UTF_16LE))

@@ -49,8 +49,10 @@ class IvfIndexSpec extends SparkSpec {
         SparkEntry.queries(name)(spark, sf) // build the plan, no action
       }
       // listener bus is async; any count() job would have RUN (blocking)
-      // during construction above, so a short drain pause suffices
-      Thread.sleep(1000)
+      // during construction above — drain the bus deterministically
+      // rather than sleeping (a loaded host can outlast a fixed pause)
+      org.apache.spark.ListenerBusDrain.waitUntilEmpty(
+        spark.sparkContext, 30000L)
       assert(countJobs.get() == 0,
         s"serve-plan construction ran ${countJobs.get()} count() jobs")
     } finally spark.sparkContext.removeSparkListener(listener)
