@@ -951,27 +951,41 @@ ORDER BY table_name"""),
     // ── RFM segmentation: recency / frequency / monetary quartiles per
     // user against a fixed as-of instant (no wall-clock, rule F10) —
     // the classic lifecycle-marketing cut. One user-keyed aggregation,
-    // then three ntile(4) windows over the small per-user table;
-    // every ntile ordering carries user_id as the total-order
-    // tiebreak, so quartile boundaries are deterministic on both
-    // engines. Monetary sums go through the DECIMAL money path.
+    // then three DISTRIBUTED rank passes ([[Ranks.globalRank]]: range
+    // exchange + in-partition sort/stamp + bounded offset join) with
+    // ntile(4) recovered in closed form from (rank, n) — the per-user
+    // table grows with the user count, so the naive partitionless
+    // ntile window would funnel it through one task at scale. Every
+    // rank ordering carries user_id as the total-order tiebreak, so
+    // quartile boundaries are deterministic on both engines (the
+    // oracle keeps the literal ntile(4) windows — identical buckets by
+    // construction). Monetary sums go through the DECIMAL money path.
     "e12_rfm_segments" -> QueryDef(
       (s, d) => {
         val asOf = "TIMESTAMP '1998-12-31 00:00:00'"
-        def q(order: org.apache.spark.sql.Column*) =
-          ntile(4).over(Window.orderBy(order: _*)).cast("bigint")
-        Tables.events(s, d)
+        val u = Tables.events(s, d)
           .groupBy(col("user_id"))
           .agg(
             expr(s"CAST(datediff($asOf, max(ts)) AS BIGINT)")
               .as("recency_days"),
             count(lit(1)).as("frequency"),
             Money.moneySum(col("value")).as("monetary"))
-          .withColumn("r_q", q(col("recency_days"), col("user_id")))
-          .withColumn("f_q", q(col("frequency").desc, col("user_id")))
-          .withColumn("m_q", q(col("monetary").desc, col("user_id")))
+          .transform(graft.Caches.scoped)
+        val n1 = u.agg(count(lit(1)).cast("bigint").as("_n"))
+        val ranked = Seq[(String, Seq[org.apache.spark.sql.Column])](
+          "_rr" -> Seq(col("recency_days"), col("user_id")),
+          "_fr" -> Seq(col("frequency").desc, col("user_id")),
+          "_mr" -> Seq(col("monetary").desc, col("user_id")))
+          .foldLeft(u) { case (acc, (rc, keys)) =>
+            Ranks.globalRank(acc, keys, rc)
+          }
+        ranked.crossJoin(broadcast(n1))
+          .withColumn("r_q", expr(Ranks.ntile4Sql("_rr", "_n")))
+          .withColumn("f_q", expr(Ranks.ntile4Sql("_fr", "_n")))
+          .withColumn("m_q", expr(Ranks.ntile4Sql("_mr", "_n")))
           .withColumn("segment",
             concat(col("r_q"), col("f_q"), col("m_q")))
+          .drop("_rr", "_fr", "_mr", "_n")
           .orderBy("user_id")
       },
       Some("""

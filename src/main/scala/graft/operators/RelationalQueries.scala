@@ -1601,22 +1601,24 @@ FROM m ORDER BY month"""),
     // wide dimension and the narrow one never prunes; rank space is
     // what production OPTIMIZE-ZORDER implementations interleave,
     // via range-partition ids). LayoutQuantizeSpec proves the skipping
-    // on both dims against a single-sort control. The exact global
-    // row_number here pins the semantics; at scale the rank becomes
-    // sampled quantile-boundary ids (one pass + broadcast bounds) —
-    // same key, no global sort. The interleave itself is 32
-    // pure-arithmetic terms, engine-portable and codegen'd.
+    // on both dims against a single-sort control. The ranks are EXACT
+    // and DISTRIBUTED ([[Ranks.globalRank]]: range exchange +
+    // in-partition sort/stamp + bounded offset join — no
+    // single-partition window over the orders table, which grows with
+    // the data); the interleave itself is 32 pure-arithmetic terms,
+    // engine-portable and codegen'd.
     "o15_zorder_key" -> QueryDef(
       (s, d) => {
-        val wx = Window.orderBy("o_custkey", "o_orderkey")
-        val wy = Window.orderBy("o_orderkey")
-        ord(s, d)
+        val base = ord(s, d)
           .select(col("o_orderkey"), col("o_custkey"))
-          .withColumn("rx", row_number().over(wx).cast("bigint") - 1)
-          .withColumn("ry", row_number().over(wy).cast("bigint") - 1)
-          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-          .withColumn("xa", expr("rx * 65536 div n"))
-          .withColumn("yb", expr("ry * 65536 div n"))
+        val n1 = base.agg(count(lit(1)).cast("bigint").as("n"))
+        Ranks.globalRank(
+            Ranks.globalRank(base,
+              Seq(col("o_custkey"), col("o_orderkey")), "_rx"),
+            Seq(col("o_orderkey")), "_ry")
+          .crossJoin(broadcast(n1))
+          .withColumn("xa", expr("(_rx - 1) * 65536 div n"))
+          .withColumn("yb", expr("(_ry - 1) * 65536 div n"))
           .withColumn("zkey", expr(zTermsSpark))
           .select(col("o_orderkey"), col("o_custkey"), col("zkey"))
           .orderBy("o_orderkey")

@@ -135,16 +135,18 @@ class PlanSpec extends SparkSpec {
     assert(n == 1, s"expected 1 hash exchange, got $n:\n${plan.take(1200)}")
   }
 
-  test("x28: quantization is a pure map stage; o15 never hash-shuffles") {
-    // x28 is map-only codec work; o15's only exchange is the rank
-    // normalization (a single-partition window at test scale — the
-    // sampled-quantile variant replaces it at 100 TB); neither may
-    // grow a hash shuffle
-    Seq("x28_embed_quantize", "o15_zorder_key").foreach { n =>
-      val plan = executedPlan(n)
-      assert(!plan.contains("Exchange hashpartitioning"),
-        s"$n: ${plan.take(800)}")
-    }
+  test("x28: quantization is a pure map stage; o15 shuffles only rank " +
+      "machinery") {
+    // x28 is map-only codec work: no hash exchange at all. o15's ranks
+    // go through Ranks.globalRank — the only hash exchanges allowed are
+    // the cluster-width partition-stats aggregates on _rk_pid (the
+    // full-data exchanges are the two range repartitions)
+    val x28 = executedPlan("x28_embed_quantize")
+    assert(!x28.contains("Exchange hashpartitioning"), x28.take(800))
+    val o15 = executedPlan("o15_zorder_key")
+    val offending = "Exchange hashpartitioning\\([^)]*".r
+      .findAllIn(o15).filterNot(_.contains("_rk_pid")).toList
+    assert(offending.isEmpty, s"o15: $offending")
   }
 
   test("o15: the 32-term Morton interleave stays in whole-stage codegen") {
@@ -231,6 +233,66 @@ class PlanSpec extends SparkSpec {
     assert(nEx <= 1, s"expected at most the distinct's exchange, got " +
       s"$nEx:\n${encPlan.take(1200)}")
     spark.catalog.clearCache()
+  }
+
+  // ── Global (partitionless) windows funnel their input through ONE
+  // task — acceptable only on inputs bounded by something other than
+  // the data size. The two tests below pin (a) WHICH queries carry one,
+  // and (b) that each whitelisted site's window input really is the
+  // bounded aggregate its design note claims, with row-count proof.
+
+  private def globalWindows(df: DataFrame) =
+    df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+
+  test("registry sweep: partitionless windows appear ONLY at the " +
+      "whitelisted bounded-input sites") {
+    // dq02/w12 window day/month-grain aggregates (calendar-bounded).
+    // x99's coarse-init window is NOT in any returned plan: it runs
+    // during construction (the Lloyd trainer materializes its
+    // constant-size state driver-side) over the fine-centroid table,
+    // whose bound the next test pins. Anything new showing up here
+    // must justify its bound or respell via Ranks.globalRank (the
+    // e12/o15 treatment).
+    val whitelist = Set("dq02_volume_anomaly", "w12_mom_growth")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("st0"))
+      .filter(name => globalWindows(q(name)).nonEmpty)
+    assert(offenders.toSet == whitelist,
+      s"partitionless-window queries changed: got $offenders")
+    spark.catalog.clearCache()
+  }
+
+  test("whitelisted global windows sit on provably bounded aggregates " +
+      "(row-count pins at the test SF)") {
+    import org.apache.spark.sql.functions._
+    // dq02: input = one row per event DAY (calendar-bounded)
+    val days = spark.read.parquet(s"$sf/events.parquet")
+      .select(date_trunc("day", col("ts"))).distinct().count()
+    assert(days > 0 && days <= 5000, s"dq02 window input: $days days")
+    // w12: input = one row per order MONTH
+    val months = spark.read.parquet(s"$sf/orders.parquet")
+      .select(date_trunc("month", col("o_orderdate"))).distinct().count()
+    assert(months > 0 && months <= 120, s"w12 window input: $months months")
+    // x99's construction-time init window: input = the fine-centroid
+    // table; the IVF discipline keeps it ≤ max(64, ceil(√n_vectors))
+    // (the NCentroids floor; ≤ BroadcastCentroidLimit at any scale).
+    // Measured via the declared x10 assignment's bucket set.
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val nCentroids = q("x10_ann_ivf_assign")
+      .select("bucket").distinct().count()
+    val bound = math.max(64L, math.ceil(math.sqrt(nVecs.toDouble)).toLong)
+    assert(nCentroids <= bound,
+      s"x99 window input: $nCentroids centroids > bound $bound")
+    spark.catalog.clearCache()
+  }
+
+  test("e12: quartiles carry no partitionless window (distributed " +
+      "ranks via Ranks.globalRank)") {
+    assert(globalWindows(q("e12_rfm_segments")).isEmpty)
+    assert(globalWindows(q("o15_zorder_key")).isEmpty)
   }
 
   test("registry sweep: no unintended cartesian product in any plan") {
