@@ -74,6 +74,44 @@ object Graft {
     counts.toDF("table_name", "path", "n_rows").orderBy("table_name")
   }
 
+  /** The corpus-pipeline nightly composite — [[runEtl]]'s twin for the
+    * LLM-training-data surface, wired through the SERVE tier end-to-end:
+    * the heavy derivations (LSH candidate pairs, quality scores,
+    * near-dup clusters, the IVF index, the co-purchase transition
+    * table) are built ONCE per data version by the three `prepare`
+    * steps (idempotent behind versioned `_READY` markers, self-healing
+    * on partial deletion), and every staged output below reads the
+    * persisted artifacts — so a second nightly run against unchanged
+    * inputs pays only the final joins, never the chain builds
+    * (RunEtlSpec pins the reuse by asserting the artifact markers'
+    * mtimes survive a rerun).
+    *
+    * Staged outputs (each an oracle-verified declared row): the curated
+    * training corpus, the keep-best canonical table (x42s), the
+    * split-leakage audit (x43s), the LSH recall calibration (x47s),
+    * and the co-purchase pagerank (x46s). Returns the same
+    * (table_name, path, n_rows) manifest shape as [[runEtl]].
+    */
+  def runCorpusEtl(spark: SparkSession, dir: String,
+      outDir: String): DataFrame = {
+    operators.AuditServe.prepare(spark, dir)
+    operators.SimilarityQueries.prepareServe(spark, dir)
+    operators.GraphServe.prepare(spark, dir)
+    val staged = Seq(
+      "corpus_curated"   -> run("corpus_curate", spark, dir),
+      "dedup_canonicals" -> run("x42s_canonical_serve", spark, dir),
+      "split_leakage"    -> run("x43s_leakage_serve", spark, dir),
+      "lsh_recall_audit" -> run("x47s_recall_serve", spark, dir),
+      "part_pagerank"    -> run("x46s_pagerank_serve", spark, dir))
+    val counts = staged.map { case (name, df) =>
+      val path = s"$outDir/$name.parquet"
+      sources.Sinks.overwriteParquet(df, path)
+      (name, path, spark.read.parquet(path).count())
+    }
+    import spark.implicits._
+    counts.toDF("table_name", "path", "n_rows").orderBy("table_name")
+  }
+
   /** Raw-ads ingestion transform (`extract_growth_data.py` analog),
     * applicable to any frame with the raw column shape.
     */

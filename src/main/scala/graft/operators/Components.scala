@@ -32,8 +32,11 @@ import org.apache.spark.sql.functions._
   *     the just-materialized labels per round.
   *   - Every round MATERIALIZES and truncates lineage: the shortcut
   *     references the propagated frame twice, so a lazy chain would grow
-  *     the plan ~3× per round. With `checkpointDir = None` that is an
-  *     eager `localCheckpoint` — executor-memory/disk resident, the
+  *     the plan ~3× per round. In local-checkpoint mode the round's
+  *     checkpoint is marked lazily and the convergence probe's
+  *     aggregation doubles as the materializing job — one barrier per
+  *     round, not two. With `checkpointDir = None` that is a
+  *     `localCheckpoint` — executor-memory/disk resident, the
   *     fastest option, correct for local mode and short-lived jobs, but
   *     an executor loss mid-iteration loses blocks and kills the job on
   *     a real cluster. Passing a directory (HDFS/object store) switches
@@ -81,6 +84,17 @@ object Components {
     def materialize(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)
+    // Loop-body variant: every materialized frame in the round loop is
+    // immediately consumed by the convergence probe's aggregation, so
+    // in LOCAL mode the checkpoint is marked lazily and the probe's
+    // job doubles as the materialization — ONE barrier per round
+    // instead of two (the probe's job persists the blocks; local
+    // checkpoints save what the job computed, no recompute). RELIABLE
+    // checkpoints stay eager: a lazy `checkpoint()` re-runs the RDD
+    // from scratch when saving, which would double every round.
+    def materializeOnProbe(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(false)
     // internal working names so arbitrary caller column names (including
     // "id"/"label") can never collide with the loop's plumbing
     val id = "__cc_id"
@@ -119,7 +133,7 @@ object Components {
     val prop1 = materialize(sym.groupBy(col("src"))
       .agg(min(col("dst")).as("nl"))
       .select(col("src").as(id), least(col("src"), col("nl")).as(lbl)))
-    var labels = materialize(prop1.as("p")
+    var labels = materializeOnProbe(prop1.as("p")
       .join(prop1.as("q"), col(s"p.$lbl") === col(s"q.$id"))
       .select(col(s"p.$id").as(id), col(s"q.$lbl").as(lbl)))
     def labelSum(df: DataFrame): Long =
@@ -139,7 +153,7 @@ object Components {
       // shortcut: label := label(label). Labels are always ids of
       // contracted vertices (min over component members, all of which
       // have edges), so the inner self-join loses nothing.
-      val next = materialize(propagated.as("p")
+      val next = materializeOnProbe(propagated.as("p")
         .join(propagated.as("q"), col(s"p.$lbl") === col(s"q.$id"))
         .select(col(s"p.$id").as(id), col(s"q.$lbl").as(lbl)))
       val nextSum = labelSum(next)

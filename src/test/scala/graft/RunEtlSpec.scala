@@ -48,4 +48,34 @@ class RunEtlSpec extends SparkSpec {
       manifest.find(_.getString(0) == "analytics_accounting_report")
         .get.getLong(2))
   }
+
+  test("runCorpusEtl stages the serve-tier outputs and REUSES the " +
+      "artifacts across nightly runs (markers untouched on rerun)") {
+    val out = Files.createTempDirectory("cetl").toString
+    val manifest = Graft.runCorpusEtl(spark, sf, out).collect()
+    assert(manifest.map(_.getString(0)).toSeq == Seq("corpus_curated",
+      "dedup_canonicals", "lsh_recall_audit", "part_pagerank",
+      "split_leakage"))
+    // every staged table materialized (leakage may legitimately be 0
+    // rows — a clean split — so only the non-audit tables demand rows)
+    manifest.filter(r => r.getString(0) == "corpus_curated" ||
+        r.getString(0) == "dedup_canonicals")
+      .foreach(r => assert(r.getLong(2) > 0, r.toString))
+    // artifact-reuse pin: a second nightly run against unchanged data
+    // must NOT rebuild any serve family — the three _READY markers
+    // keep their mtimes (a rebuild recreates them)
+    val markers = Seq(
+      operators.AuditServe.root(sf),
+      operators.SimilarityQueries.serveRoot(sf),
+      operators.GraphServe.root(sf))
+      .map(r => new java.io.File(s"$r/_READY"))
+    markers.foreach(m => assert(m.exists(), m.toString))
+    val mtimes = markers.map(_.lastModified())
+    val again = Graft.runCorpusEtl(spark, sf, out).collect()
+    assert(markers.map(_.lastModified()) == mtimes,
+      "a serve artifact was rebuilt on the second nightly run")
+    assert(again.map(r => (r.getString(0), r.getLong(2))).toSeq ==
+      manifest.map(r => (r.getString(0), r.getLong(2))).toSeq)
+    spark.catalog.clearCache()
+  }
 }
