@@ -6,7 +6,11 @@ import org.apache.spark.sql.SparkSession
   *
   *   1. full precision, every query, to `bench_out.json`
   *      (`SPARK_GRAFT_BENCH_OUT` overrides the path) — machine-readable
-  *      regardless of how stdout is captured, and
+  *      regardless of how stdout is captured, including per-query
+  *      MIN-of-N (`queries_min`/`value_min`) next to the medians: the
+  *      min is the quiet-host floor, so when two records disagree, a
+  *      moved min says code regression while a moved median alone says
+  *      loaded window — and
   *   2. a BOUNDED single line as the FINAL stdout line. The driver's log
   *      capture keeps only the last ~2000 characters of stdout; round 2's
   *      full 80-query line was ~2350 chars, so the capture truncated its
@@ -136,6 +140,14 @@ object Bench {
       val dt = if (okDts.nonEmpty) median(okDts) else median(runs.map(_._2))
       (name, dt, ok)
     }
+    // per-query MIN across passes (full-precision file only): the floor
+    // a quiet host would read — medians absorb ONE loaded pass, mins
+    // separate host drift from code regressions when two records
+    // disagree (a code riser moves the min; a loaded window doesn't)
+    val mins = ordered.zipWithIndex.map { case ((name, _), i) =>
+      val okDts = perPass.map(_(i)).collect { case (_, dt, true) => dt }
+      (name, if (okDts.nonEmpty) okDts.min else perPass.map(_(i)._2).min)
+    }
     val passTotals = perPass
       .map(_.collect { case (_, dt, true) => dt }.sum)
     val total = results.collect { case (_, dt, true) => dt }.sum
@@ -166,9 +178,16 @@ object Bench {
     }
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/bench_out.json")
+    // file record = the bounded-line fields plus value_min/queries_min
+    // (kept OUT of the stdout line: the driver's 2000-char tail capture
+    // must keep holding the whole line)
+    val fullLine = render(results, _.toString)
+    val minQs = mins
+      .map { case (n, dt) => s"\"$n\":$dt" }.mkString("{", ",", "}")
+    val withMins = fullLine.stripSuffix("}") +
+      s""","value_min":${mins.map(_._2).sum},"queries_min":$minQs}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(benchOut),
-      render(results, _.toString).getBytes("UTF-8"))
+      java.nio.file.Paths.get(benchOut), withMins.getBytes("UTF-8"))
     spark.stop()
     // Final stdout line: slowest-first, greedily kept under a 1500-char
     // budget so a 2000-char tail capture always holds the whole line.
