@@ -239,6 +239,52 @@ class XlsSpec extends SparkSpec {
     assert(rows.contains(("calc", null)))
   }
 
+  test("a UTF-16 run split on an odd byte boundary fails fast instead " +
+      "of spinning (hostile/corrupt SST)") {
+    // cch=4 UTF-16 string with 5 bytes of char data in the SST record:
+    // after consuming 2 chars, 1 byte remains — take would be 0 with
+    // characters still owed, the exact shape that used to loop forever
+    val globals = new ByteArrayOutputStream()
+    rec(globals, 0x809, body { b =>
+      w16(b, 0x0600); w16(b, 0x0005); w16(b, 0); w16(b, 0)
+      w32(b, 0); w32(b, 0)
+    })
+    rec(globals, 0xFC, body { b =>
+      w32(b, 1); w32(b, 1)
+      w16(b, 4); b.write(1) // cch=4, UTF-16
+      b.write("ab".getBytes("UTF-16LE"))
+      b.write('x') // stray odd byte before the record ends
+    })
+    rec(globals, 0x3C, body { b =>
+      b.write(1); b.write("cd".getBytes("UTF-16LE"))
+    })
+    rec(globals, 0x0A, Array.emptyByteArray)
+    val e = intercept[IllegalArgumentException] {
+      sources.Xls.parse(cfbMini(globals.toByteArray))
+    }
+    assert(e.getMessage.contains("odd byte boundary"), e.getMessage)
+  }
+
+  test("an SST whose rich-format block runs past the last fragment " +
+      "fails fast instead of spinning") {
+    val globals = new ByteArrayOutputStream()
+    rec(globals, 0x809, body { b =>
+      w16(b, 0x0600); w16(b, 0x0005); w16(b, 0); w16(b, 0)
+      w32(b, 0); w32(b, 0)
+    })
+    rec(globals, 0xFC, body { b =>
+      w32(b, 1); w32(b, 1)
+      w16(b, 1); b.write(0x08) // cch=1, compressed, rich flag set
+      w16(b, 100)              // declares 100 runs (400 bytes) — absent
+      b.write('a')
+    })
+    rec(globals, 0x0A, Array.emptyByteArray)
+    val e = intercept[IllegalArgumentException] {
+      sources.Xls.parse(cfbMini(globals.toByteArray))
+    }
+    assert(e.getMessage.contains("truncated"), e.getMessage)
+  }
+
   test("a non-Excel payload fails loudly naming both formats") {
     val e = intercept[IllegalArgumentException] {
       sources.Xlsx.parse("plain,csv\n1,2\n".getBytes("UTF-8"))
