@@ -89,6 +89,54 @@ class CacheScopeSpec extends SparkSpec {
         leaked.map { case (id, r) => s"$id:${r.name}" }.mkString(", "))
   }
 
+  test("the deferred bank drains INCREMENTALLY: an orphan is swept once " +
+      "the scopes open at its banking close, even while newer scopes " +
+      "stay open (a server with continuously overlapping scopes stays " +
+      "bounded)") {
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // A opens and leaves an untracked checkpoint backing (the orphan),
+    // overlapping with B. A closes while B is open → the orphan banks
+    // with guard {B}. C then opens (and stays open). Closing B must
+    // sweep A's orphan even though C is still open — pre-fix, the bank
+    // waited for a global quiet point that a busy server never reaches.
+    val aOpen = new java.util.concurrent.CountDownLatch(1)
+    val abDone = new java.util.concurrent.CountDownLatch(1)
+    val cOpen = new java.util.concurrent.CountDownLatch(1)
+    val bMayClose = new java.util.concurrent.CountDownLatch(1)
+    val bClosed = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    @volatile var sweptWhileCOpen = false
+    val aT = new Thread(() => Caches.scope(spark) {
+      import spark.implicits._
+      spark.range(0, 1000).map(_ + 1).toDF("v")
+        .localCheckpoint(true).count() // untracked backing = the orphan
+      aOpen.countDown()
+      abDone.await() // hold A open until B is also open
+    })
+    val bT = new Thread(() => Caches.scope(spark) {
+      aOpen.await()
+      abDone.countDown() // A may close now; orphan banks with guard {B}
+      bMayClose.await()
+    })
+    val cT = new Thread(() => Caches.scope(spark) {
+      cOpen.countDown()
+      release.await() // C stays open across B's close
+    })
+    aT.start(); bT.start()
+    aT.join() // A closed; orphan banked (B still open)
+    cT.start(); cOpen.await()
+    bMayClose.countDown(); bT.join(); bClosed.countDown()
+    // B closed, C still open: A's orphan must be gone already
+    val leakedNow = spark.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => !before.contains(id) }
+    sweptWhileCOpen = leakedNow.isEmpty
+    release.countDown(); cT.join()
+    assert(sweptWhileCOpen,
+      "A's orphan survived B's close while C was open — the bank is " +
+        "waiting for a global quiet point again")
+  }
+
   test("an unscoped run still caches (ad-hoc use keeps its caches), " +
       "and clearCache remains the manual lever") {
     spark.catalog.clearCache()
