@@ -115,41 +115,55 @@ object Bench {
     // is the sum of medians (a "clean machine" estimate, deliberately
     // NOT the median of pass totals, which would keep per-query and
     // total inconsistent).
-    val perPass = (1 to passes).map { _ =>
-      ordered.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok =
-          // scoped: cache release is part of the query's own contract
-          // now (Caches.scope), so the timed pass measures it too
-          try { Caches.scope(spark)(fn(spark, sfDir).count()); true }
-          catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        (name, dt, ok)
+    //
+    // Each pass starts at a ROTATED offset (pass p begins p/passes of
+    // the way through the sorted list, wrapping): with identical
+    // ordering, every pass visits a given query at roughly the same
+    // wall-clock offset, so one multi-minute host transient can cover
+    // the SAME query in 2 of 3 passes and poison its median — the
+    // round-8 x42 anomaly shape (14.6 s driver median vs 3.0 s
+    // same-code elsewhere). Rotation makes a time-localized transient
+    // land on DIFFERENT queries in each pass; per-query medians then
+    // survive any single transient shorter than a full pass.
+    val perPass: Seq[Map[String, (Double, Boolean)]] =
+      (0 until passes).map { p =>
+        val rot = (p * ordered.size) / passes
+        val rotated = ordered.drop(rot) ++ ordered.take(rot)
+        rotated.map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          val ok =
+            // scoped: cache release is part of the query's own contract
+            // now (Caches.scope), so the timed pass measures it too
+            try { Caches.scope(spark)(fn(spark, sfDir).count()); true }
+            catch { case _: Throwable => false }
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          name -> (dt, ok)
+        }.toMap
       }
-    }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       val n = s.length
       if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
     }
-    val results = ordered.zipWithIndex.map { case ((name, _), i) =>
-      val runs = perPass.map(_(i))
-      val ok = runs.forall(_._3)
-      val okDts = runs.collect { case (_, dt, true) => dt }
-      val dt = if (okDts.nonEmpty) median(okDts) else median(runs.map(_._2))
+    val results = ordered.map { case (name, _) =>
+      val runs = perPass.map(_(name))
+      val ok = runs.forall(_._2)
+      val okDts = runs.collect { case (dt, true) => dt }
+      val dt = if (okDts.nonEmpty) median(okDts) else median(runs.map(_._1))
       (name, dt, ok)
     }
     // per-query MIN across passes (full-precision file only): the floor
     // a quiet host would read — medians absorb ONE loaded pass, mins
     // separate host drift from code regressions when two records
     // disagree (a code riser moves the min; a loaded window doesn't)
-    val mins = ordered.zipWithIndex.map { case ((name, _), i) =>
-      val okDts = perPass.map(_(i)).collect { case (_, dt, true) => dt }
-      (name, if (okDts.nonEmpty) okDts.min else perPass.map(_(i)._2).min)
+    val mins = ordered.map { case (name, _) =>
+      val runs = perPass.map(_(name))
+      val okDts = runs.collect { case (dt, true) => dt }
+      (name, if (okDts.nonEmpty) okDts.min else runs.map(_._1).min)
     }
     val passTotals = perPass
-      .map(_.collect { case (_, dt, true) => dt }.sum)
+      .map(_.values.collect { case (dt, true) => dt }.sum)
     val total = results.collect { case (_, dt, true) => dt }.sum
     val errors = results.collect { case (n, _, false) => n }
     def compact(d: Double): String = f"$d%.2f".stripSuffix("0") match {
