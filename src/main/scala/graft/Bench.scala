@@ -156,11 +156,15 @@ object Bench {
     // per-query MIN across passes (full-precision file only): the floor
     // a quiet host would read — medians absorb ONE loaded pass, mins
     // separate host drift from code regressions when two records
-    // disagree (a code riser moves the min; a loaded window doesn't)
+    // disagree (a code riser moves the min; a loaded window doesn't).
+    // A query that failed EVERY pass is negated and excluded from the
+    // summed floor, mirroring the median record: a fail-fast regression
+    // must not read as a floor improvement.
     val mins = ordered.map { case (name, _) =>
       val runs = perPass.map(_(name))
       val okDts = runs.collect { case (dt, true) => dt }
-      (name, if (okDts.nonEmpty) okDts.min else runs.map(_._1).min)
+      val ok = okDts.nonEmpty
+      (name, if (ok) okDts.min else -runs.map(_._1).min, ok)
     }
     val passTotals = perPass
       .map(_.values.collect { case (dt, true) => dt }.sum)
@@ -176,8 +180,13 @@ object Bench {
     val under1 = results.filter { case (_, dt, ok) => ok && dt < 1.0 }
     val nUnder1 = under1.size
     val sumUnder1 = under1.map(_._2).sum
+    // `extra` carries optional additional JSON fields (leading comma
+    // included), assembled HERE rather than by string surgery on the
+    // rendered output, so a future change to the trailing shape cannot
+    // silently corrupt the file record.
     def render(entries: Seq[(String, Double, Boolean)],
-               fmt: Double => String): String = {
+               fmt: Double => String,
+               extra: String = ""): String = {
       val qs = entries
         .map { case (n, dt, ok) => s"\"$n\":" + fmt(if (ok) dt else -dt) }
         .mkString("{", ",", "}")
@@ -188,18 +197,18 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
         s""","n_queries":${results.size},"passes":$passes""" +
         s""","n_under_1s":$nUnder1,"sum_under_1s":${fmt(sumUnder1)}""" +
-        s""","pass_totals":$pts,"queries":$qs$errs,"sf":"$sfDir"}"""
+        s""","pass_totals":$pts,"queries":$qs$errs$extra,"sf":"$sfDir"}"""
     }
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/bench_out.json")
     // file record = the bounded-line fields plus value_min/queries_min
     // (kept OUT of the stdout line: the driver's 2000-char tail capture
     // must keep holding the whole line)
-    val fullLine = render(results, _.toString)
     val minQs = mins
-      .map { case (n, dt) => s"\"$n\":$dt" }.mkString("{", ",", "}")
-    val withMins = fullLine.stripSuffix("}") +
-      s""","value_min":${mins.map(_._2).sum},"queries_min":$minQs}"""
+      .map { case (n, dt, _) => s"\"$n\":$dt" }.mkString("{", ",", "}")
+    val valueMin = mins.collect { case (_, dt, true) => dt }.sum
+    val withMins = render(results, _.toString,
+      extra = s""","value_min":$valueMin,"queries_min":$minQs""")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(benchOut), withMins.getBytes("UTF-8"))
     spark.stop()

@@ -584,7 +584,7 @@ object GraphServe {
       nodes.coalesce(1).write.mode("overwrite").parquet(s"$r/nodes")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$r/node_count.txt"), n.toString)
-      new java.io.File(s"$r/_READY").createNewFile()
+      Serve.stamp(r)
       s.catalog.clearCache() // build-side persists must not leak
     }
   }

@@ -65,8 +65,22 @@ object Serve {
     * families' prepare steps.
     */
   private[operators] def complete(root: String, dirs: Seq[String]): Boolean =
-    new java.io.File(s"$root/_READY").exists() &&
+    // length > 0: the marker must hold a build nonce (see [[stamp]]);
+    // an empty pre-nonce marker self-heals with a rebuild
+    new java.io.File(s"$root/_READY").length() > 0 &&
       dirs.forall(a => new java.io.File(s"$root/$a").isDirectory)
+
+  /** Stamp a serve root ready, writing a per-build nonce INTO the
+    * marker: a rebuild always changes the marker's content, so
+    * artifact-reuse pins compare content instead of `lastModified()`
+    * (mtime has 1 s granularity on some filesystems — a rebuild
+    * completing within the same second as the first build would
+    * false-pass an mtime comparison).
+    */
+  private[operators] def stamp(root: String): Unit =
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_READY"),
+      s"${System.nanoTime()}")
 }
 
 /** Serve artifacts for the AUDIT family (x43 split leakage, x45 quality
@@ -119,7 +133,6 @@ object AuditServe {
     */
   def prepare(s: SparkSession, dir: String): Unit = synchronized {
     val r = root(dir)
-    val marker = new java.io.File(s"$r/_READY")
     if (!Serve.complete(r, ArtifactDirs)) {
       DedupQueries.minhashCandidates(s, dir)
         .write.mode("overwrite").parquet(s"$r/lshcand")
@@ -139,7 +152,7 @@ object AuditServe {
       val (postings, doclens) = PipelineQueries.bm25Index(s, dir)
       postings.write.mode("overwrite").parquet(s"$r/postings")
       doclens.write.mode("overwrite").parquet(s"$r/doclens")
-      marker.createNewFile()
+      Serve.stamp(r)
       s.catalog.clearCache() // build-side persists must not leak
     }
   }

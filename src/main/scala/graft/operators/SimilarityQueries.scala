@@ -1431,7 +1431,7 @@ ORDER BY p.cluster_id"""
       PqQueries.buildPq(s, dir, s"$root/pq")
       PqQueries.buildIvfPq(s, s"$root/ivf", s"$root/pqres")
       buildCslsStats(s, s"$root/ivf", s"$root/csls_rm")
-      new java.io.File(s"$root/_READY").createNewFile()
+      Serve.stamp(root)
       s.catalog.clearCache() // build-side persists must not leak
     }
   }

@@ -98,11 +98,14 @@ class GraphQueriesSpec extends SparkSpec {
     assert(served == declared, "serve twin drifted from x46")
     spark.catalog.clearCache()
     // idempotent reuse: the _READY root must survive a second call
-    val root = new java.io.File(
+    // (content comparison — each rebuild writes a fresh nonce, so this
+    // is immune to 1 s filesystem mtime granularity)
+    val root = java.nio.file.Paths.get(
       operators.GraphServe.root(sf) + "/_READY")
-    val stamp = root.lastModified()
+    val stamp = java.nio.file.Files.readString(root)
     assert(rows("x46s_pagerank_serve") == declared)
-    assert(root.lastModified() == stamp, "artifact was rebuilt")
+    assert(java.nio.file.Files.readString(root) == stamp,
+      "artifact was rebuilt")
     spark.catalog.clearCache()
   }
 

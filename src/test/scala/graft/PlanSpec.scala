@@ -258,7 +258,7 @@ class PlanSpec extends SparkSpec {
     // e12/o15 treatment).
     val whitelist = Set("dq02_volume_anomaly", "w12_mom_growth")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(_.startsWith("st0"))
+      .filterNot(_.startsWith("st"))
       .filter(name => globalWindows(q(name)).nonEmpty)
     assert(offenders.toSet == whitelist,
       s"partitionless-window queries changed: got $offenders")
@@ -303,7 +303,7 @@ class PlanSpec extends SparkSpec {
       "x11_embed_neardup", "x12_ann_ivf_search")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(intentionalCross)
-      .filterNot(_.startsWith("st0"))
+      .filterNot(_.startsWith("st"))
       .filter { name =>
         val plan = q(name).queryExecution.sparkPlan.toString
         plan.contains("CartesianProduct") ||

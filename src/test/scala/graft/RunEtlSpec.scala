@@ -62,17 +62,22 @@ class RunEtlSpec extends SparkSpec {
         r.getString(0) == "dedup_canonicals")
       .foreach(r => assert(r.getLong(2) > 0, r.toString))
     // artifact-reuse pin: a second nightly run against unchanged data
-    // must NOT rebuild any serve family — the three _READY markers
-    // keep their mtimes (a rebuild recreates them)
+    // must NOT rebuild any serve family — the three _READY markers keep
+    // their CONTENT (each rebuild writes a fresh nonce into the marker;
+    // content comparison is immune to 1 s filesystem mtime granularity,
+    // where a rebuild finishing in the first build's second would
+    // false-pass an mtime check)
     val markers = Seq(
       operators.AuditServe.root(sf),
       operators.SimilarityQueries.serveRoot(sf),
       operators.GraphServe.root(sf))
-      .map(r => new java.io.File(s"$r/_READY"))
-    markers.foreach(m => assert(m.exists(), m.toString))
-    val mtimes = markers.map(_.lastModified())
+      .map(r => java.nio.file.Paths.get(s"$r/_READY"))
+    markers.foreach(m =>
+      assert(java.nio.file.Files.exists(m), m.toString))
+    val nonces = markers.map(java.nio.file.Files.readString(_))
+    nonces.foreach(n => assert(n.nonEmpty, "marker missing build nonce"))
     val again = Graft.runCorpusEtl(spark, sf, out).collect()
-    assert(markers.map(_.lastModified()) == mtimes,
+    assert(markers.map(java.nio.file.Files.readString(_)) == nonces,
       "a serve artifact was rebuilt on the second nightly run")
     assert(again.map(r => (r.getString(0), r.getLong(2))).toSeq ==
       manifest.map(r => (r.getString(0), r.getLong(2))).toSeq)
