@@ -24,10 +24,11 @@ object Serve {
 
   /** Version of the embeddings-keyed builders (IVF index, semantic
     * clusters, PQ books + codes — [[SimilarityQueries.prepareServe]]):
-    * v10 = the router-flip count manifest (`centroid_count.txt`)
-    * joined the artifact set.
+    * v11 = the persisted coarse router layer (`coarse/centroids`)
+    * joined the artifact set (v10 added the router-flip count manifest
+    * `centroid_count.txt`).
     */
-  private[operators] val IndexBuilderVersion = 10
+  private[operators] val IndexBuilderVersion = 11
 
   /** Version of the documents-keyed audit builders ([[AuditServe]]):
     * v10 = the BM25 inverted index (`postings` + `doclens`) joined the

@@ -728,29 +728,44 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
     * invisible), so the agreement column IS the recall audit — the x90
     * discipline applied to the router instead of the index.
     */
-  private def twoLevelRoute(s: SparkSession, d: String): DataFrame =
-    twoLevelRouteOver(s, d, trainedCentroids(quantizedCached(s, d)))
+  private def twoLevelRoute(s: SparkSession, d: String): DataFrame = {
+    val fine = trainedCentroids(quantizedCached(s, d))
+    twoLevelRouteOver(s, d, fine,
+      trainCoarse(fine).transform(graft.Caches.scoped))
+  }
 
-  /** The x99s serve spelling: fine centroids from the persisted index
-    * (manifest-seeded — zero training, zero count() jobs); the coarse
-    * layer retrains per call, which is the DESIGN — Lloyd over the
-    * √C-row (at scale, ≤BroadcastCentroidLimit-row) centroid table is
-    * a constant-cost fold, so the coarse router needs no artifact of
-    * its own and can never serve stale groups over a refreshed index.
+  /** The x99s serve spelling: BOTH layers from the persisted index —
+    * fine centroids from the manifest-seeded artifact, coarse groups
+    * from the `coarse/centroids` artifact built beside them by
+    * [[prepareServe]] — zero training jobs, zero count() jobs
+    * (IvfIndexSpec pins the job count at plan construction). Staleness
+    * is bounded by co-residence: the coarse layer lives in the SAME
+    * versioned root as the fine layer it was trained over, so a data
+    * refresh or builder-version bump invalidates both together and the
+    * router can never pair a stale coarse layer with a fresh fine one
+    * (the x88 append-audit pattern covers post-build appends: appended
+    * vectors route through the frozen layers and the audit row prices
+    * the drift).
     */
   private def twoLevelRouteServe(s: SparkSession, d: String): DataFrame = {
     prepareServe(s, d)
-    twoLevelRouteOver(s, d, centroidsFrom(s, s"${serveRoot(d)}/ivf"))
+    twoLevelRouteOver(s, d, centroidsFrom(s, s"${serveRoot(d)}/ivf"),
+      s.read.parquet(s"${serveRoot(d)}/coarse/centroids"))
   }
 
-  private def twoLevelRouteOver(s: SparkSession, d: String,
-      fine: DataFrame): DataFrame = {
-    val e = quantizedCached(s, d)
+  /** Train the coarse router layer: Lloyd over the fine centroid table,
+    * seeded from the K2 lowest fine ids (fine ids are sparse —
+    * surviving Lloyd buckets — so rank, don't threshold). The global
+    * window sorts ≤ C = √n rows once; acceptable at any corpus size.
+    * Shared by the declared x99 (trains per run — it PRICES the build)
+    * and [[prepareServe]] (trains once per data version for the serve
+    * row). Deterministic in the fine table alone, so build-time and
+    * per-run training yield identical groups and the serve row keeps
+    * the declared oracle.
+    */
+  private[operators] def trainCoarse(fine: DataFrame): DataFrame = {
     val fe = fine.select(col("c_id").as("vec_id"), col("c_qe").as("qe"),
       col("c_qn").as("qn"))
-    // seeded coarse init: the K2 lowest fine ids (fine ids are sparse —
-    // surviving Lloyd buckets — so rank, don't threshold). The global
-    // window sorts ≤ C = √n rows once; acceptable at any corpus size.
     val k2 = fe.agg(greatest(lit(CoarseFloor),
       ceil(sqrt(count(lit(1)).cast("double"))).cast("long")).as("k2"))
     val init = fe.crossJoin(broadcast(k2))
@@ -759,7 +774,14 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
       .filter(col("rn") <= col("k2"))
       .select(col("vec_id").as("c_id"), col("qe").as("c_qe"),
         col("qn").as("c_qn"))
-    val coarse = lloydOver(fe, init).transform(graft.Caches.scoped)
+    lloydOver(fe, init)
+  }
+
+  private def twoLevelRouteOver(s: SparkSession, d: String,
+      fine: DataFrame, coarse: DataFrame): DataFrame = {
+    val e = quantizedCached(s, d)
+    val fe = fine.select(col("c_id").as("vec_id"), col("c_qe").as("qe"),
+      col("c_qn").as("qn"))
     // fine centroid → coarse group (map-only argmax fold)
     val fa = nearestCentroid(fe, coarse)
       .select(col("vec_id").as("c_id"), col("qe").as("c_qe"),
@@ -1420,13 +1442,20 @@ ORDER BY p.cluster_id"""
 
   /** The artifact subdirectories [[prepareServe]] must produce. */
   private val ArtifactDirs =
-    Seq("ivf/centroids", "ivf/assignment", "clusters", "pq/books",
-      "pq/codes", "pqres/books", "pqres/codes", "csls_rm")
+    Seq("ivf/centroids", "ivf/assignment", "coarse/centroids", "clusters",
+      "pq/books", "pq/codes", "pqres/books", "pqres/codes", "csls_rm")
 
   def prepareServe(s: SparkSession, dir: String): Unit = synchronized {
     val root = serveRoot(dir)
     if (!Serve.complete(root, ArtifactDirs)) {
       buildIndex(s, dir, s"$root/ivf")
+      // coarse router layer trained over the PERSISTED fine centroids
+      // (≤ √C rows — one file), so the x99s serve row routes with zero
+      // training jobs; co-residence in this versioned root bounds its
+      // staleness to the fine layer's (see [[twoLevelRouteServe]])
+      trainCoarse(centroidsFrom(s, s"$root/ivf"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/coarse/centroids")
       buildClusters(s, dir, s"$root/clusters")
       PqQueries.buildPq(s, dir, s"$root/pq")
       PqQueries.buildIvfPq(s, s"$root/ivf", s"$root/pqres")
@@ -2057,9 +2086,10 @@ FROM clusters ORDER BY vec_id"""),
       "two-level coarse->fine IVF routing + flat-router agreement"),
 
     // ── x99 served from the persisted index: fine centroids from the
-    // manifest-seeded artifact, the coarse layer retrained per call
-    // (constant-cost Lloyd over the centroid table — no coarse
-    // artifact, no staleness). Identical rows (the oracle IS x99's).
+    // manifest-seeded artifact, coarse groups from the coarse artifact
+    // built beside them — zero training jobs per call (IvfIndexSpec
+    // pins zero jobs at plan construction). Identical rows (the coarse
+    // trainer is deterministic in the fine table — the oracle IS x99's).
     "x99s_coarse_route_serve" -> QueryDef(
       (s, d) => twoLevelRouteServe(s, d),
       Some(x99Oracle),

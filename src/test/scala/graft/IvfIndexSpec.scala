@@ -45,7 +45,8 @@ class IvfIndexSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(listener)
     try {
       for (name <- Seq("x12s_ann_serve", "x85s_ivfpq_serve",
-          "x87s_csls_serve", "x96s_negatives_serve")) {
+          "x87s_csls_serve", "x96s_negatives_serve",
+          "x99s_coarse_route_serve")) {
         SparkEntry.queries(name)(spark, sf) // build the plan, no action
       }
       // listener bus is async; any count() job would have RUN (blocking)
@@ -56,6 +57,47 @@ class IvfIndexSpec extends SparkSpec {
       assert(countJobs.get() == 0,
         s"serve-plan construction ran ${countJobs.get()} count() jobs")
     } finally spark.sparkContext.removeSparkListener(listener)
+    spark.catalog.clearCache()
+  }
+
+  test("x99s: the coarse router layer is a persisted artifact — the " +
+    "serve row runs zero compute jobs at plan construction and " +
+    "its rows equal the declared x99's") {
+    operators.SimilarityQueries.prepareServe(spark, sf)
+    spark.catalog.clearCache()
+    // the artifact exists beside the fine index in the versioned root
+    val coarseDir = new java.io.File(
+      operators.SimilarityQueries.serveRoot(sf) + "/coarse/centroids")
+    assert(coarseDir.isDirectory, coarseDir.toString)
+    // zero COMPUTE jobs at construction: no training folds, no counts.
+    // The only jobs allowed are parquet footer/schema reads ("parquet
+    // at" stages — one constant-cost footer per artifact, the same
+    // plan-construction I/O every serve row pays).
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        j.stageInfos.map(_.name)
+          .filterNot(_.startsWith("parquet at"))
+          .foreach(jobs.add)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries("x99s_coarse_route_serve")(spark, sf)
+      org.apache.spark.ListenerBusDrain.waitUntilEmpty(
+        spark.sparkContext, 30000L)
+      assert(jobs.isEmpty,
+        s"x99s plan construction ran compute stages: $jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // identical rows to the declared x99 (build-time coarse training is
+    // deterministic in the fine table, so persisting it changes nothing)
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val served = rows("x99s_coarse_route_serve")
+    spark.catalog.clearCache()
+    assert(served == rows("x99_ivf_coarse_route"),
+      "x99s drifted from the declared x99")
     spark.catalog.clearCache()
   }
 
