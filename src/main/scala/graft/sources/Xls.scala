@@ -69,8 +69,16 @@ object Xls {
   private def cfbStream(bytes: Array[Byte],
       names: Set[String]): Array[Byte] = {
     require(isCfb(bytes), "not an OLE2/CFB container")
-    val sectorSize = 1 << u16(bytes, 30) // 512 for v3 (the .xls case)
-    val miniSize = 1 << u16(bytes, 32)   // 64
+    // [MS-CFB] 2.2: sector shift MUST be 9 (v3) or 12 (v4), mini shift
+    // MUST be 6 — validated up front so a corrupted shift can't drive
+    // the FAT walk into gigabyte allocations (1 << arbitrary u16)
+    val sectorShift = u16(bytes, 30)
+    require(sectorShift == 9 || sectorShift == 12,
+      s"CFB: invalid sector shift $sectorShift (must be 9 or 12)")
+    val miniShift = u16(bytes, 32)
+    require(miniShift == 6, s"CFB: invalid mini sector shift $miniShift")
+    val sectorSize = 1 << sectorShift   // 512 for v3 (the .xls case)
+    val miniSize = 1 << miniShift       // 64
     val nFat = i32(bytes, 44)
     val dirStart = i32(bytes, 48)
     val miniCutoff = i32(bytes, 56)      // 4096
@@ -91,7 +99,12 @@ object Xls {
       }
       var difat = i32(bytes, 68)
       var guard = 0
-      while (difat != EndOfChain && difat != FreeSect && guard <= nDifat) {
+      // bound the walk by the file's own sector count as well as the
+      // declared nDifat: a corrupted nDifat plus a cyclic DIFAT pointer
+      // must terminate, not spin
+      val maxDifat = math.min(nDifat.toLong,
+        bytes.length.toLong / sectorSize + 1)
+      while (difat != EndOfChain && difat != FreeSect && guard <= maxDifat) {
         val s = sector(difat)
         var j = 0
         while (j < sectorSize / 4 - 1) {
@@ -327,7 +340,22 @@ object Xls {
     * gaps) — the same shape [[Xlsx.parse]] returns, so [[Xlsx.read]]
     * treats both formats identically.
     */
-  private[graft] def parse(bytes: Array[Byte]): Vector[Vector[String]] = {
+  private[graft] def parse(bytes: Array[Byte]): Vector[Vector[String]] =
+    // untrusted-input contract (FuzzSpec pins it): every malformed
+    // input fails as IllegalArgumentException — a structural violation
+    // the record readers surface as an out-of-bounds read is the
+    // input's fault, not a crash class callers should have to know
+    try parseUnsafe(bytes)
+    catch {
+      case e: IllegalArgumentException => throw e
+      case e @ (_: IndexOutOfBoundsException |
+                _: NegativeArraySizeException |
+                _: UnsupportedOperationException |
+                _: NoSuchElementException) =>
+        throw new IllegalArgumentException(s"malformed .xls: $e", e)
+    }
+
+  private def parseUnsafe(bytes: Array[Byte]): Vector[Vector[String]] = {
     val s = cfbStream(bytes, Set("Workbook", "Book"))
     val recs = records(s)
     require(recs.nonEmpty && recs.head.op == BOF,
@@ -405,6 +433,12 @@ object Xls {
     else {
       val maxRow = cells.keys.map(_._1).max
       val width = cells.keys.map(_._2).max + 1
+      // BIFF8 caps sheets at 65536 rows × 256 columns; the row index is
+      // u16-bounded by construction, so only the column needs a guard
+      // (MulRk's colFirst + run length can exceed it in a corrupted
+      // file, turning the dense grid below into a multi-GB allocation)
+      require(width <= 256,
+        s"BIFF8: column index ${width - 1} out of range (max 255)")
       Vector.tabulate(maxRow + 1)(r =>
         Vector.tabulate(width)(c => cells.getOrElse((r, c), null)))
     }

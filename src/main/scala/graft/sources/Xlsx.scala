@@ -106,6 +106,11 @@ object Xlsx {
                 val ref = r.getAttributeValue(null, "r")
                 curType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
                 curCol = if (ref != null) colIndex(ref) else nextCol
+                // SpreadsheetML caps columns at XFD (16384); a corrupted
+                // ref ("ZZZZZZ1") would otherwise size the row array
+                // into the gigabytes (or negative, via overflow)
+                require(curCol >= 0 && curCol < 16384,
+                  s"cell ref '$ref' out of sheet range")
                 nextCol = curCol + 1
                 curVal = null
                 inlineSb.clear(); inlineSeen = false
@@ -180,7 +185,22 @@ object Xlsx {
   private[graft] def parse(bytes: Array[Byte]): Vector[Vector[String]] =
     if (Xls.isCfb(bytes)) Xls.parse(bytes)
     else if (bytes.length >= 2 && bytes(0) == 'P'.toByte &&
-        bytes(1) == 'K'.toByte) parseXlsx(bytes)
+        bytes(1) == 'K'.toByte)
+      // untrusted-input contract (FuzzSpec pins it): a corrupted zip /
+      // deflate stream / XML part / shared-string index fails as
+      // IllegalArgumentException, never as a raw ZipException,
+      // XMLStreamException or out-of-bounds crash
+      try parseXlsx(bytes)
+      catch {
+        case e: IllegalArgumentException => throw e
+        case e @ (_: java.io.IOException |
+                  _: javax.xml.stream.XMLStreamException |
+                  _: NumberFormatException |
+                  _: IndexOutOfBoundsException |
+                  _: NegativeArraySizeException |
+                  _: NoSuchElementException) =>
+          throw new IllegalArgumentException(s"malformed .xlsx: $e", e)
+      }
     else throw new IllegalArgumentException(
       "not an Excel workbook: expected an OOXML zip (.xlsx) or an " +
         "OLE2/BIFF8 compound file (.xls)")

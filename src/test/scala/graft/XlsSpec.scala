@@ -15,21 +15,116 @@ import java.io.ByteArrayOutputStream
   */
 class XlsSpec extends SparkSpec {
 
+  import XlsFixture._
+
+  private val want = Vector(
+    Vector("name", "wert"),
+    Vector("alpha-alpha-alpha-Ω-omega", "12.5"),
+    Vector("300", "12.34"),
+    Vector("7", "8"),
+    Vector("1", "99"),
+    Vector("calc", null))
+
+  test("BIFF8 parse from the mini-sector chain (stream < 4096 bytes)") {
+    val got = sources.Xls.parse(cfbMini(biffStream()))
+    assert(got == want, s"got $got")
+  }
+
+  test("BIFF8 parse from the normal FAT chain (padded stream)") {
+    val got = sources.Xls.parse(cfbBig(biffStream()))
+    assert(got == want, s"got $got")
+  }
+
+  test("Xlsx.read dispatches on magic: an .xls folder scans like xlsx, " +
+      "headers from the first row") {
+    val dir = java.nio.file.Files.createTempDirectory("xls").toFile
+    java.nio.file.Files.write(
+      new java.io.File(dir, "a.xls").toPath, cfbMini(biffStream()))
+    val df = sources.Xlsx.read(spark, dir.getAbsolutePath + "/*.xls")
+    assert(df.columns.toSeq == Seq("name", "wert"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1)))
+      .sortBy(p => Option(p._1).getOrElse(""))
+    assert(rows.length == 5)
+    assert(rows.contains(("300", "12.34")))
+    assert(rows.contains(("calc", null)))
+  }
+
+  test("a UTF-16 run split on an odd byte boundary fails fast instead " +
+      "of spinning (hostile/corrupt SST)") {
+    // cch=4 UTF-16 string with 5 bytes of char data in the SST record:
+    // after consuming 2 chars, 1 byte remains — take would be 0 with
+    // characters still owed, the exact shape that used to loop forever
+    val globals = new ByteArrayOutputStream()
+    rec(globals, 0x809, body { b =>
+      w16(b, 0x0600); w16(b, 0x0005); w16(b, 0); w16(b, 0)
+      w32(b, 0); w32(b, 0)
+    })
+    rec(globals, 0xFC, body { b =>
+      w32(b, 1); w32(b, 1)
+      w16(b, 4); b.write(1) // cch=4, UTF-16
+      b.write("ab".getBytes("UTF-16LE"))
+      b.write('x') // stray odd byte before the record ends
+    })
+    rec(globals, 0x3C, body { b =>
+      b.write(1); b.write("cd".getBytes("UTF-16LE"))
+    })
+    rec(globals, 0x0A, Array.emptyByteArray)
+    val e = intercept[IllegalArgumentException] {
+      sources.Xls.parse(cfbMini(globals.toByteArray))
+    }
+    assert(e.getMessage.contains("odd byte boundary"), e.getMessage)
+  }
+
+  test("an SST whose rich-format block runs past the last fragment " +
+      "fails fast instead of spinning") {
+    val globals = new ByteArrayOutputStream()
+    rec(globals, 0x809, body { b =>
+      w16(b, 0x0600); w16(b, 0x0005); w16(b, 0); w16(b, 0)
+      w32(b, 0); w32(b, 0)
+    })
+    rec(globals, 0xFC, body { b =>
+      w32(b, 1); w32(b, 1)
+      w16(b, 1); b.write(0x08) // cch=1, compressed, rich flag set
+      w16(b, 100)              // declares 100 runs (400 bytes) — absent
+      b.write('a')
+    })
+    rec(globals, 0x0A, Array.emptyByteArray)
+    val e = intercept[IllegalArgumentException] {
+      sources.Xls.parse(cfbMini(globals.toByteArray))
+    }
+    assert(e.getMessage.contains("truncated"), e.getMessage)
+  }
+
+  test("a non-Excel payload fails loudly naming both formats") {
+    val e = intercept[IllegalArgumentException] {
+      sources.Xlsx.parse("plain,csv\n1,2\n".getBytes("UTF-8"))
+    }
+    assert(e.getMessage.contains(".xlsx") && e.getMessage.contains(".xls"))
+  }
+}
+
+/** Shared BIFF8/CFB fixture builders: a minimal [MS-CFB] + [MS-XLS]
+  * writer producing REAL compound files (no Excel ships here), used by
+  * [[XlsSpec]] (behavior pins) and [[FuzzSpec]] (mutation fuzzing of
+  * the same valid baselines).
+  */
+private[graft] object XlsFixture {
+
   // ── little-endian emitters ───────────────────────────────────────
-  private def w16(o: ByteArrayOutputStream, v: Int): Unit = {
+  def w16(o: ByteArrayOutputStream, v: Int): Unit = {
     o.write(v & 0xff); o.write((v >> 8) & 0xff)
   }
-  private def w32(o: ByteArrayOutputStream, v: Int): Unit = {
+  def w32(o: ByteArrayOutputStream, v: Int): Unit = {
     w16(o, v & 0xffff); w16(o, (v >> 16) & 0xffff)
   }
-  private def rec(o: ByteArrayOutputStream, op: Int,
+  def rec(o: ByteArrayOutputStream, op: Int,
       body: Array[Byte]): Unit = {
     w16(o, op); w16(o, body.length); o.write(body)
   }
-  private def body(f: ByteArrayOutputStream => Unit): Array[Byte] = {
+  def body(f: ByteArrayOutputStream => Unit): Array[Byte] = {
     val b = new ByteArrayOutputStream(); f(b); b.toByteArray
   }
-  private def f64b(o: ByteArrayOutputStream, d: Double): Unit = {
+  def f64b(o: ByteArrayOutputStream, d: Double): Unit = {
     var bits = java.lang.Double.doubleToLongBits(d)
     for (_ <- 0 until 8) { o.write((bits & 0xff).toInt); bits >>= 8 }
   }
@@ -40,7 +135,7 @@ class XlsSpec extends SparkSpec {
     * CONTINUE boundary, switching it from compressed to UTF-16 in the
     * continuation fragment.
     */
-  private def biffStream(): Array[Byte] = {
+  def biffStream(): Array[Byte] = {
     // ── sheet substream first (to learn its length-independent layout
     // we assemble globals with a placeholder, then patch lbPlyPos)
     val sheet = new ByteArrayOutputStream()
@@ -132,11 +227,11 @@ class XlsSpec extends SparkSpec {
   }
 
   // ── minimal [MS-CFB] writer ──────────────────────────────────────
-  private val End = 0xFFFFFFFE
-  private val Free = 0xFFFFFFFF
-  private val FatSect = 0xFFFFFFFD
+  val End = 0xFFFFFFFE
+  val Free = 0xFFFFFFFF
+  val FatSect = 0xFFFFFFFD
 
-  private def dirEntry(name: String, typ: Int, start: Int,
+  def dirEntry(name: String, typ: Int, start: Int,
       size: Int): Array[Byte] = body { b =>
     val n = name.getBytes("UTF-16LE")
     b.write(n); b.write(new Array[Byte](64 - n.length))
@@ -147,7 +242,7 @@ class XlsSpec extends SparkSpec {
     w32(b, start); w32(b, size); w32(b, 0)
   }
 
-  private def header(nFat: Int, dirStart: Int, miniFatStart: Int,
+  def header(nFat: Int, dirStart: Int, miniFatStart: Int,
       nMiniFat: Int, fatSectors: Seq[Int]): Array[Byte] = body { b =>
     b.write(Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1)
       .map(_.toByte))
@@ -166,11 +261,11 @@ class XlsSpec extends SparkSpec {
     for (i <- 0 until 109) w32(b, fatSectors.lift(i).getOrElse(Free))
   }
 
-  private def pad(b: Array[Byte], unit: Int): Array[Byte] =
+  def pad(b: Array[Byte], unit: Int): Array[Byte] =
     b ++ new Array[Byte]((unit - b.length % unit) % unit)
 
   /** CFB with the Workbook stream in the MINI chain (size < 4096). */
-  private def cfbMini(stream: Array[Byte]): Array[Byte] = {
+  def cfbMini(stream: Array[Byte]): Array[Byte] = {
     require(stream.length < 4096)
     val mini = pad(stream, 64)
     val nMini = mini.length / 64
@@ -193,7 +288,7 @@ class XlsSpec extends SparkSpec {
   }
 
   /** CFB with the stream padded into the NORMAL 512-byte chain. */
-  private def cfbBig(stream0: Array[Byte]): Array[Byte] = {
+  def cfbBig(stream0: Array[Byte]): Array[Byte] = {
     val stream = pad(stream0 ++ new Array[Byte](
       math.max(0, 4096 - stream0.length)), 512)
     val n = stream.length / 512
@@ -207,88 +302,4 @@ class XlsSpec extends SparkSpec {
     header(1, 1, End, 0, Seq(0)) ++ fat ++ dir ++ stream
   }
 
-  private val want = Vector(
-    Vector("name", "wert"),
-    Vector("alpha-alpha-alpha-Ω-omega", "12.5"),
-    Vector("300", "12.34"),
-    Vector("7", "8"),
-    Vector("1", "99"),
-    Vector("calc", null))
-
-  test("BIFF8 parse from the mini-sector chain (stream < 4096 bytes)") {
-    val got = sources.Xls.parse(cfbMini(biffStream()))
-    assert(got == want, s"got $got")
-  }
-
-  test("BIFF8 parse from the normal FAT chain (padded stream)") {
-    val got = sources.Xls.parse(cfbBig(biffStream()))
-    assert(got == want, s"got $got")
-  }
-
-  test("Xlsx.read dispatches on magic: an .xls folder scans like xlsx, " +
-      "headers from the first row") {
-    val dir = java.nio.file.Files.createTempDirectory("xls").toFile
-    java.nio.file.Files.write(
-      new java.io.File(dir, "a.xls").toPath, cfbMini(biffStream()))
-    val df = sources.Xlsx.read(spark, dir.getAbsolutePath + "/*.xls")
-    assert(df.columns.toSeq == Seq("name", "wert"))
-    val rows = df.collect().map(r => (r.getString(0), r.getString(1)))
-      .sortBy(p => Option(p._1).getOrElse(""))
-    assert(rows.length == 5)
-    assert(rows.contains(("300", "12.34")))
-    assert(rows.contains(("calc", null)))
-  }
-
-  test("a UTF-16 run split on an odd byte boundary fails fast instead " +
-      "of spinning (hostile/corrupt SST)") {
-    // cch=4 UTF-16 string with 5 bytes of char data in the SST record:
-    // after consuming 2 chars, 1 byte remains — take would be 0 with
-    // characters still owed, the exact shape that used to loop forever
-    val globals = new ByteArrayOutputStream()
-    rec(globals, 0x809, body { b =>
-      w16(b, 0x0600); w16(b, 0x0005); w16(b, 0); w16(b, 0)
-      w32(b, 0); w32(b, 0)
-    })
-    rec(globals, 0xFC, body { b =>
-      w32(b, 1); w32(b, 1)
-      w16(b, 4); b.write(1) // cch=4, UTF-16
-      b.write("ab".getBytes("UTF-16LE"))
-      b.write('x') // stray odd byte before the record ends
-    })
-    rec(globals, 0x3C, body { b =>
-      b.write(1); b.write("cd".getBytes("UTF-16LE"))
-    })
-    rec(globals, 0x0A, Array.emptyByteArray)
-    val e = intercept[IllegalArgumentException] {
-      sources.Xls.parse(cfbMini(globals.toByteArray))
-    }
-    assert(e.getMessage.contains("odd byte boundary"), e.getMessage)
-  }
-
-  test("an SST whose rich-format block runs past the last fragment " +
-      "fails fast instead of spinning") {
-    val globals = new ByteArrayOutputStream()
-    rec(globals, 0x809, body { b =>
-      w16(b, 0x0600); w16(b, 0x0005); w16(b, 0); w16(b, 0)
-      w32(b, 0); w32(b, 0)
-    })
-    rec(globals, 0xFC, body { b =>
-      w32(b, 1); w32(b, 1)
-      w16(b, 1); b.write(0x08) // cch=1, compressed, rich flag set
-      w16(b, 100)              // declares 100 runs (400 bytes) — absent
-      b.write('a')
-    })
-    rec(globals, 0x0A, Array.emptyByteArray)
-    val e = intercept[IllegalArgumentException] {
-      sources.Xls.parse(cfbMini(globals.toByteArray))
-    }
-    assert(e.getMessage.contains("truncated"), e.getMessage)
-  }
-
-  test("a non-Excel payload fails loudly naming both formats") {
-    val e = intercept[IllegalArgumentException] {
-      sources.Xlsx.parse("plain,csv\n1,2\n".getBytes("UTF-8"))
-    }
-    assert(e.getMessage.contains(".xlsx") && e.getMessage.contains(".xls"))
-  }
 }
