@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Round-over-round wall-time tracker for the serve-tier nightly
+  * composite `Graft.runCorpusEtl` (spec-gated in RunEtlSpec, but specs
+  * don't time): reports COLD (artifact roots cleared — the first
+  * nightly on a new data version pays the chain builds) and WARM (the
+  * steady-state nightly: artifact reuse, only the final joins) wall
+  * seconds at the bench SF. The warm/cold split is the amortization
+  * claim the serve tier makes, as a number instead of prose. Recorded
+  * per round in `bench_builder_r{N}.json` as `run_corpus_etl_cold` /
+  * `run_corpus_etl_warm` (builder record only — the driver registry
+  * stays 251 rows).
+  *
+  * Usage: sbt "Test/runMain graft.EtlBench [sfDir] [passes]"
+  */
+object EtlBench {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val passes = args.lift(1).map(_.toInt).getOrElse(2)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val out = java.nio.file.Files
+      .createTempDirectory("etlbench").toString
+    def clearRoots(): Unit = Seq(
+      operators.AuditServe.root(dir),
+      operators.SimilarityQueries.serveRoot(dir),
+      operators.GraphServe.root(dir)).foreach { r =>
+      val d = new java.io.File(r)
+      if (d.isDirectory)
+        java.nio.file.Files.walk(d.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    def timed(): Double = {
+      val t0 = System.nanoTime()
+      Caches.scope(spark)(Graft.runCorpusEtl(spark, dir, out).count())
+      spark.catalog.clearCache()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // JIT warm-up on the smallest SF (plans + codegen), its roots cold
+    Caches.scope(spark)(
+      Graft.runCorpusEtl(spark, "/root/testdata/sf0.001", out).count())
+    spark.catalog.clearCache()
+    val colds = (1 to passes).map { _ => clearRoots(); timed() }
+    val warms = (1 to passes).map(_ => timed())
+    println(f"""{"run_corpus_etl_cold":${colds.min}%.2f,""" +
+      f""""run_corpus_etl_warm":${warms.min}%.2f,"sf":"$dir"}""")
+    spark.stop()
+  }
+}
