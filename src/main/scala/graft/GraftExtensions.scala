@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotLong, KmvSketch, LocalComponents, MinHashSigs, MinKSample, Shingles3, SimHashBits, SrpBandKeys}
+import graft.functions.{DotLong, KmvSketch, LocalComponents, MinHashSigs, MinKSample, Shingles3, SimHashBits, SrpBandKeys, SumWeightedEntries}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -59,6 +59,15 @@ object GraftExtensions {
           "srp_band_keys(arr, bands, bits, dims): expected (array, 3 " +
             s"integer literals — dims is the expected vector length), " +
             s"got $other")
+      }),
+    (FunctionIdentifier("sum_weighted_entries"),
+      new ExpressionInfo(classOf[SumWeightedEntries].getName,
+        "sum_weighted_entries"),
+      (args: Seq[Expression]) => args match {
+        case Seq(entries, w) => SumWeightedEntries(entries, w)
+        case other => throw new IllegalArgumentException(
+          "sum_weighted_entries(entries, w): expected (array<struct<" +
+            s"string, bigint>>, bigint), got ${other.length} arguments")
       }),
     (FunctionIdentifier("kmv_sketch"),
       new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),

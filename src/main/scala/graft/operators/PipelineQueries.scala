@@ -418,6 +418,7 @@ FROM agg ORDER BY source"""
       tot: org.apache.spark.sql.DataFrame,
       v: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+        graft.GraftExtensions.install(tot.sparkSession)
         // per-source missing-token log-prob: ln(1/(n_s+V)) rounded the
         // same way the dense cell with c=0 rounds (numerator 0+1)
         val miss = tot.crossJoin(broadcast(v))
@@ -425,26 +426,39 @@ FROM agg ORDER BY source"""
             expr(s"""CAST(floor(ln(CAST(1 AS DOUBLE)
                        / CAST(n + v AS DOUBLE)) * $LpScale + 0.5d)
                      AS BIGINT)""").as("lp_miss"))
-        // observed cells only, carrying both the cell's lp and the
-        // source's lp_miss so the delta needs no second join
-        val obs = cnt.join(tot, Seq("source")).crossJoin(broadcast(v))
-          .select(col("source").as("lm_source"), col("token"),
+        // observed cells only, packed ONE ROW PER TOKEN: each token
+        // carries its (source, lp − lp_miss) cells as an array, so the
+        // score join below is 1:1 on dt instead of fanning out
+        // |sources| rows per (doc, token) — an |S|× cut in both the
+        // aggregation input and its map-side key space ((doc) keys,
+        // not (doc, source); the fan-out spelling's partial-agg hash
+        // map carries |docs|·|S| entries per task and thrashes cache
+        // at 10× sf0.1). The delta decomposition is unchanged and
+        // BIGINT adds reassociate exactly, so scores stay
+        // bit-identical to the dense oracle
+        val tokLm = cnt.join(tot, Seq("source")).crossJoin(broadcast(v))
+          .select(col("token"), struct(col("source").as("src"),
             expr(s"""CAST(floor(ln(CAST(c + 1 AS DOUBLE)
                        / CAST(n + v AS DOUBLE)) * $LpScale + 0.5d)
-                     AS BIGINT)""").as("lp"),
-            expr(s"""CAST(floor(ln(CAST(1 AS DOUBLE)
+                     AS BIGINT)
+                     - CAST(floor(ln(CAST(1 AS DOUBLE)
                        / CAST(n + v AS DOUBLE)) * $LpScale + 0.5d)
-                     AS BIGINT)""").as("lp_miss"))
+                     AS BIGINT)""").as("dlp")).as("e"))
+          .groupBy(col("token"))
+          .agg(collect_list(col("e")).as("entries"))
         val docTot = dt.groupBy(col("doc_id"), col("actual"))
           .agg(sum(col("k")).as("ktot"))
         val base = docTot.crossJoin(broadcast(miss))
-        val delta = dt.join(obs, Seq("token"))
-          .groupBy(col("doc_id"), col("actual"), col("lm_source"))
-          .agg(sum(col("k") * (col("lp") - col("lp_miss"))).as("dscore"))
-        base.join(delta, Seq("doc_id", "actual", "lm_source"), "left")
+        val delta = dt.join(tokLm, Seq("token"))
+          .groupBy(col("doc_id"), col("actual"))
+          .agg(expr("sum_weighted_entries(entries, k)").as("dmap"))
+        base.join(delta, Seq("doc_id", "actual"), "left")
           .select(col("doc_id"), col("actual"), col("lm_source"),
             (col("ktot") * col("lp_miss") +
-              coalesce(col("dscore"), lit(0L))).as("score"))
+              // try_: a doc can share no observed token with a source,
+              // and ANSI element_at throws on the missing map key
+              coalesce(expr("try_element_at(dmap, lm_source)"),
+                lit(0L))).as("score"))
           .groupBy(col("doc_id"), col("actual"))
           .agg(min(struct((-col("score")).as("ns"),
             col("lm_source").as("src"))).as("top"))
