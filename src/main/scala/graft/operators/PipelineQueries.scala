@@ -409,9 +409,8 @@ FROM agg ORDER BY source"""
   /** The add-one-LM scoring + argmax + confusion reduction over the
     * four attribution inputs — per-doc token counts `dt`, per-source
     * cell counts `cnt`, per-source totals `tot`, vocabulary size `v`
-    * — shared by the self-contained x73 (inputs from the corpus
-    * explode) and the serve twin (inputs rolled up from the
-    * persisted postings).
+    * — factored out of x73 so any future serve spelling (inputs
+    * rolled up from persisted postings) reuses the scoring verbatim.
     */
   private def attributionOf(dt: org.apache.spark.sql.DataFrame,
       cnt: org.apache.spark.sql.DataFrame,
