@@ -235,6 +235,24 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("x73: score accumulation is doc-keyed via sum_weighted_entries " +
+      "— no (doc, source) fan-out aggregation") {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val aggs = q("x73_source_attribution").queryExecution.sparkPlan
+      .collect { case a: BaseAggregateExec => a }
+    // the packed-entries fold is present...
+    assert(aggs.exists(_.aggregateExpressions.exists(
+      _.aggregateFunction.prettyName == "sum_weighted_entries")), aggs)
+    // ...and NO aggregation keys (doc_id, lm_source) together — that
+    // key shape is the |sources|× fan-out spelling this replaced (its
+    // map-side hash map carries |docs|·|sources| entries per task)
+    assert(!aggs.exists { a =>
+      val keys = a.groupingExpressions.map(_.name).toSet
+      keys.contains("doc_id") && keys.contains("lm_source")
+    }, aggs.map(_.groupingExpressions.map(_.name)))
+    spark.catalog.clearCache()
+  }
+
   // ── Global (partitionless) windows funnel their input through ONE
   // task — acceptable only on inputs bounded by something other than
   // the data size. The two tests below pin (a) WHICH queries carry one,
