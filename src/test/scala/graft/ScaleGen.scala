@@ -27,6 +27,12 @@ import org.apache.spark.sql.functions._
   *   - lineitem: 600000·m rows, 4 lines per order, part universe
   *     20000·m (parts scale with SF, as in TPC-H) — the co-purchase
   *     graph rows see linearly growing nodes AND edges.
+  *   - events: 100000·m rows over the SAME 30-day window (event
+  *     density grows with m, window count stays fixed — the firehose
+  *     shape), users 1500·m (streaming KEY state scales with m),
+  *     5 uniform event types; written as a single parquet FILE because
+  *     the streaming source globs on the file name like the driver
+  *     testdata.
   */
 object ScaleGen {
 
@@ -34,6 +40,8 @@ object ScaleGen {
   val BaseVecs = 2000L
   val BaseLines = 600000L
   val BaseParts = 20000L
+  val BaseEvents = 100000L
+  val BaseUsers = 1500L
   val Dims = 64
 
   def main(args: Array[String]): Unit = {
@@ -52,15 +60,21 @@ object ScaleGen {
     println(s"[scalegen] wrote $out (multipliers ${mults.mkString(",")})")
   }
 
-  /** Idempotent per-multiplier build (also callable from mains/specs). */
+  /** Idempotent per-multiplier build (also callable from mains/specs).
+    * The marker carries a generator version so adding a table (v2:
+    * events) regenerates stale dirs instead of silently serving them.
+    */
   def write(spark: SparkSession, dir: String, mult: Int): Unit = {
     val done = new java.io.File(s"$dir/_SCALEGEN_OK")
-    if (done.exists()) return
+    val stamp = s"mult=$mult;v=2"
+    if (done.exists() &&
+      java.nio.file.Files.readString(done.toPath) == stamp) return
     writeDocuments(spark, dir, mult)
     writeEmbeddings(spark, dir, mult)
     writeLineitem(spark, dir, mult)
+    writeEvents(spark, dir, mult)
     done.getParentFile.mkdirs()
-    java.nio.file.Files.writeString(done.toPath, s"mult=$mult")
+    java.nio.file.Files.writeString(done.toPath, stamp)
   }
 
   // includes the en stopword set TextQueries keys its language /
@@ -174,5 +188,41 @@ object ScaleGen {
         .as("l_shipdate"))
     li.repartition(math.max(8, 8 * mult))
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+  }
+
+  private def writeEvents(s: SparkSession, dir: String,
+      mult: Int): Unit = {
+    val n = BaseEvents * mult
+    def h(tag: String, m: Long) =
+      conv(substring(md5(concat(lit(s"$tag|"), col("id"))), 1, 10),
+        16, 10).cast("long") % m
+    // 2024-01-01T00:00:00Z .. +30 days, id-ordered with jitter (the
+    // double product loses sub-millisecond precision — deterministic
+    // rounding, irrelevant to any aggregate)
+    val spanUs = 30L * 86400L * 1000000L
+    val ev = s.range(n).select(
+      col("id").as("event_id"),
+      timestamp_micros(lit(1704067200000000L) +
+        (col("id").cast("double") * lit(spanUs.toDouble) / lit(n.toDouble))
+          .cast("long") + h("js", 1000000L))
+        .cast("timestamp_ntz").as("ts"),
+      h("us", BaseUsers * mult).as("user_id"),
+      element_at(array(lit("view"), lit("click"), lit("purchase"),
+          lit("signup"), lit("error")),
+        (h("et", 5L) + 1).cast("int")).as("event_type"),
+      (h("vl", 56022L).cast("double") / 100.0).as("value"),
+      concat(lit("{\"k\": "), h("pk", 100L), lit("}")).as("props"))
+    // single FILE, not a directory: EventStream.readEvents globs
+    // `events.parquet` as a file name (the driver testdata layout)
+    val tmp = s"$dir/_events_tmp"
+    ev.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    new java.io.File(tmp).listFiles().foreach(_.delete())
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(tmp))
   }
 }
