@@ -19,7 +19,11 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   *     — users scale with m, so state must grow with KEYS (m), and the
   *     drained row count says whether it did;
   *   - st09 (transformWithState, RocksDB): per-user composite state —
-  *     same key-bounded shape on the other state-store provider.
+  *     same key-bounded shape on the other state-store provider;
+  *   - st07 (stream-stream interval join): the one INTERVAL-bounded
+  *     shape — each side buffers a watermark horizon's worth of
+  *     events, so state grows with event DENSITY (∝ m, the honest
+  *     design bound), never with history length.
   *
   * Wall time should read ~linear in events (the per-micro-batch work IS
   * event-proportional); what must NOT grow super-linearly is state.
@@ -29,7 +33,7 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
 object StreamScaleExp {
 
   val Rows: Seq[String] = Seq("st01_stream_tumbling", "st06_stream_dedup",
-    "st09_transform_with_state")
+    "st09_transform_with_state", "st07_stream_stream_join")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/scaledata")
