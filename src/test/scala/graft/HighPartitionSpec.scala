@@ -56,4 +56,11 @@ class HighPartitionSpec extends SparkSpec {
       "shuffle partitions") {
     pin("x06_dedup_minhash_lsh")
   }
+
+  test("x73's packed-cell fold (sum_weighted_entries partial/merge) " +
+      "is bit-identical at 2048 shuffle partitions") {
+    // tiny per-partition groups exercise the ObjectHashAggregate
+    // partial path + serialize/merge across the widest exchange
+    pin("x73_source_attribution")
+  }
 }
