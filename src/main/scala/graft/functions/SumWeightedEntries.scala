@@ -68,12 +68,16 @@ case class SumWeightedEntries(entries: Expression, weight: Expression,
       while (i < n) {
         if (!a.isNullAt(i)) {
           val e = a.getStruct(i, 2)
-          val k = e.getUTF8String(0)
-          val prev = buf.get(k)
-          // UTF8Strings from unsafe rows alias reusable buffers — clone
-          // on first insert so the key survives the next input row
-          if (buf.containsKey(k)) buf.put(k, prev + wl * e.getLong(1))
-          else buf.put(k.clone(), wl * e.getLong(1))
+          // null-field cells contribute nothing (x73 never produces
+          // them, but the function is registered for general SQL use)
+          if (!e.isNullAt(0) && !e.isNullAt(1)) {
+            val k = e.getUTF8String(0)
+            val prev = buf.get(k)
+            // UTF8Strings from unsafe rows alias reusable buffers —
+            // clone on first insert so the key survives the next row
+            if (buf.containsKey(k)) buf.put(k, prev + wl * e.getLong(1))
+            else buf.put(k.clone(), wl * e.getLong(1))
+          }
         }
         i += 1
       }

@@ -68,6 +68,17 @@ class SumWeightedEntriesSpec extends SparkSpec {
     assert(viaAgg(withNulls) == Map((1L, "a") -> 8L))
   }
 
+  test("null struct fields inside an entries array are skipped") {
+    import spark.implicits._
+    graft.GraftExtensions.install(spark)
+    val rows = Seq(1L).toDF("g").select(col("g"),
+      expr("""array(named_struct('src', CAST(NULL AS STRING), 'dlp', 5L),
+                    named_struct('src', 'a', 'dlp', CAST(NULL AS BIGINT)),
+                    named_struct('src', 'a', 'dlp', 2L))""").as("entries"),
+      lit(3L).as("k"))
+    assert(viaAgg(rows) == Map((1L, "a") -> 6L))
+  }
+
   test("empty group yields an empty map, not null") {
     import spark.implicits._
     val empty = Seq((1L, Seq.empty[(String, Long)], 3L))
