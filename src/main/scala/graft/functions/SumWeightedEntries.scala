@@ -31,7 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class SumWeightedEntries(entries: Expression, weight: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[java.util.HashMap[UTF8String, Long]]
+    extends TypedImperativeAggregate[java.util.HashMap[UTF8String, java.lang.Long]]
     with BinaryLike[Expression] {
 
   override def left: Expression = entries
@@ -53,11 +53,11 @@ case class SumWeightedEntries(entries: Expression, weight: Expression,
   override def nullable: Boolean = false
   override def prettyName: String = "sum_weighted_entries"
 
-  override def createAggregationBuffer(): java.util.HashMap[UTF8String, Long] =
-    new java.util.HashMap[UTF8String, Long]()
+  override def createAggregationBuffer(): java.util.HashMap[UTF8String, java.lang.Long] =
+    new java.util.HashMap[UTF8String, java.lang.Long]()
 
-  override def update(buf: java.util.HashMap[UTF8String, Long],
-      input: InternalRow): java.util.HashMap[UTF8String, Long] = {
+  override def update(buf: java.util.HashMap[UTF8String, java.lang.Long],
+      input: InternalRow): java.util.HashMap[UTF8String, java.lang.Long] = {
     val arr = entries.eval(input)
     val w = weight.eval(input)
     if (arr != null && w != null) {
@@ -72,11 +72,16 @@ case class SumWeightedEntries(entries: Expression, weight: Expression,
           // them, but the function is registered for general SQL use)
           if (!e.isNullAt(0) && !e.isNullAt(1)) {
             val k = e.getUTF8String(0)
+            // boxed values make present-vs-absent one lookup (the
+            // hot path runs |entries| times per input row); UTF8Strings
+            // from unsafe rows alias reusable buffers — clone on first
+            // insert so the key survives the next row
             val prev = buf.get(k)
-            // UTF8Strings from unsafe rows alias reusable buffers —
-            // clone on first insert so the key survives the next row
-            if (buf.containsKey(k)) buf.put(k, prev + wl * e.getLong(1))
-            else buf.put(k.clone(), wl * e.getLong(1))
+            if (prev ne null)
+              buf.put(k, java.lang.Long.valueOf(
+                prev.longValue + wl * e.getLong(1)))
+            else buf.put(k.clone(),
+              java.lang.Long.valueOf(wl * e.getLong(1)))
           }
         }
         i += 1
@@ -85,20 +90,22 @@ case class SumWeightedEntries(entries: Expression, weight: Expression,
     buf
   }
 
-  override def merge(buf: java.util.HashMap[UTF8String, Long],
-      other: java.util.HashMap[UTF8String, Long])
-      : java.util.HashMap[UTF8String, Long] = {
+  override def merge(buf: java.util.HashMap[UTF8String, java.lang.Long],
+      other: java.util.HashMap[UTF8String, java.lang.Long])
+      : java.util.HashMap[UTF8String, java.lang.Long] = {
     val it = other.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       val prev = buf.get(e.getKey)
-      if (buf.containsKey(e.getKey)) buf.put(e.getKey, prev + e.getValue)
+      if (prev ne null)
+        buf.put(e.getKey, java.lang.Long.valueOf(
+          prev.longValue + e.getValue.longValue))
       else buf.put(e.getKey, e.getValue)
     }
     buf
   }
 
-  override def eval(buf: java.util.HashMap[UTF8String, Long]): Any = {
+  override def eval(buf: java.util.HashMap[UTF8String, java.lang.Long]): Any = {
     val n = buf.size()
     val keys = new Array[Any](n)
     val values = new Array[Any](n)
@@ -113,7 +120,7 @@ case class SumWeightedEntries(entries: Expression, weight: Expression,
     ArrayBasedMapData(keys, values)
   }
 
-  override def serialize(buf: java.util.HashMap[UTF8String, Long])
+  override def serialize(buf: java.util.HashMap[UTF8String, java.lang.Long])
       : Array[Byte] = {
     var bytes = 4
     val sit = buf.keySet().iterator()
@@ -132,8 +139,8 @@ case class SumWeightedEntries(entries: Expression, weight: Expression,
   }
 
   override def deserialize(bytes: Array[Byte])
-      : java.util.HashMap[UTF8String, Long] = {
-    val buf = new java.util.HashMap[UTF8String, Long]()
+      : java.util.HashMap[UTF8String, java.lang.Long] = {
+    val buf = new java.util.HashMap[UTF8String, java.lang.Long]()
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt()
     var i = 0
