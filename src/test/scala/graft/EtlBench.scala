@@ -50,8 +50,17 @@ object EtlBench {
     spark.catalog.clearCache()
     val colds = (1 to passes).map { _ => clearRoots(); timed() }
     val warms = (1 to passes).map(_ => timed())
-    println(f"""{"run_corpus_etl_cold":${colds.min}%.2f,""" +
-      f""""run_corpus_etl_warm":${warms.min}%.2f,"sf":"$dir"}""")
+    val record = f"""{"run_corpus_etl_cold":${colds.min}%.2f,""" +
+      f""""run_corpus_etl_warm":${warms.min}%.2f,"sf":"$dir"}"""
+    println(record)
+    // file record, not stdout-only: the round-stamped
+    // `bench_builder_r{N}.json` merges these keys so the amortization
+    // trend stays machine-comparable round-over-round (the r10 verdict
+    // found BASELINE.md claiming keys the JSON record didn't carry)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_ETL_OUT",
+      "/root/repo/etl_bench.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      record.getBytes("UTF-8"))
     spark.stop()
   }
 }

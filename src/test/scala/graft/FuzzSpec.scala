@@ -27,6 +27,7 @@ class FuzzSpec extends SparkSpec {
   // ── valid baselines ────────────────────────────────────────────────
   private lazy val xlsMini = XlsFixture.cfbMini(XlsFixture.biffStream())
   private lazy val xlsBig = XlsFixture.cfbBig(XlsFixture.biffStream())
+  private lazy val xlsV4 = XlsFixture.cfbV4(XlsFixture.biffStream())
 
   private lazy val xlsxBytes: Array[Byte] = {
     def part(body: String) = body.getBytes("UTF-8")
@@ -134,6 +135,15 @@ class FuzzSpec extends SparkSpec {
   test(s"xls (FAT-chain CFB): $CasesPerBase mutations — every outcome " +
       "is a parse or IllegalArgumentException, never a hang") {
     fuzz("xls_big", xlsBig)
+  }
+
+  test(s"xls (v4 CFB, 4096-byte sectors): $CasesPerBase mutations — " +
+      "every outcome is a parse or IllegalArgumentException, never a " +
+      "hang") {
+    // the sector-shift-12 branch accepted at Xls.cfbStream was hardened
+    // but never fuzzed before r11 — wider sectors mean every FAT/DIFAT
+    // offset computation runs at 8× the v3 stride
+    fuzz("xls_v4", xlsV4)
   }
 
   test(s"xlsx (zip/XML): $CasesPerBase mutations — every outcome is a " +

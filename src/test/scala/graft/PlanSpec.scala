@@ -275,11 +275,38 @@ class PlanSpec extends SparkSpec {
     // must justify its bound or respell via Ranks.globalRank (the
     // e12/o15 treatment).
     val whitelist = Set("dq02_volume_anomaly", "w12_mom_growth")
+    // st rows are swept by the dedicated streaming sweep below (their
+    // construction drains the stream, so sweeping them here AND in the
+    // cartesian sweep would pay every drain twice)
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.startsWith("st"))
       .filter(name => globalWindows(q(name)).nonEmpty)
     assert(offenders.toSet == whitelist,
       s"partitionless-window queries changed: got $offenders")
+    spark.catalog.clearCache()
+  }
+
+  test("registry sweep (streaming rows): every drained st frame carries " +
+      "no partitionless window and no cartesian") {
+    // st-row construction drains the stream and returns the drained
+    // batch frame (sink scan + any post-drain batch transform) — the
+    // streaming plan itself is pinned by each row's own spec; THIS
+    // sweep guards the post-drain batch half, which the r10 narrowing
+    // (commit 51b50c0) had left unswept. One construction per row,
+    // both predicates checked on it.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filter(_.startsWith("st"))
+      .flatMap { name =>
+        val df = q(name)
+        val gw = globalWindows(df).nonEmpty
+        val plan = df.queryExecution.sparkPlan.toString
+        val cart = plan.contains("CartesianProduct") ||
+          plan.contains("ShuffledNestedLoopJoin")
+        if (gw || cart)
+          Some(s"$name(globalWindow=$gw, cartesian=$cart)")
+        else None
+      }
+    assert(offenders.isEmpty, s"streaming batch-half offenders: $offenders")
     spark.catalog.clearCache()
   }
 
@@ -315,8 +342,8 @@ class PlanSpec extends SparkSpec {
 
   test("registry sweep: no unintended cartesian product in any plan") {
     // similarity scans intentionally crossJoin a BROADCAST probe/centroid
-    // side (bounded, small); streaming queries execute on construction so
-    // their plans are checked by their own tests instead
+    // side (bounded, small); st rows are swept by the dedicated
+    // streaming sweep above (one drain per row covers both predicates)
     val intentionalCross = Set("x09_ann_bruteforce", "x10_ann_ivf_assign",
       "x11_embed_neardup", "x12_ann_ivf_search")
     val offenders = SparkEntry.queries.keys.toSeq.sorted

@@ -65,6 +65,14 @@ object ScaleGen {
     * events) regenerates stale dirs instead of silently serving them.
     */
   def write(spark: SparkSession, dir: String, mult: Int): Unit = {
+    // writeEvents renders ts through cast(timestamp_ntz), whose wall
+    // value depends on the session timezone — but the _SCALEGEN_OK
+    // stamp records only mult+version, so a non-UTC caller would write
+    // time-shifted events that later UTC runs silently accept. All
+    // mains set UTC; enforce it for any other caller.
+    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "ScaleGen.write requires spark.sql.session.timeZone=UTC " +
+        "(the generated event timestamps are stamped as UTC wall times)")
     val done = new java.io.File(s"$dir/_SCALEGEN_OK")
     val stamp = s"mult=$mult;v=2"
     if (done.exists() &&

@@ -81,33 +81,42 @@ object StreamScaleExp {
       (dt, peak.get())
     }
 
-    // warm-up at the smallest size (micro-batch machinery, codegen)
-    Rows.foreach(q => cell(q, dirs.head._2))
-    val times = scala.collection.mutable.Map
-      .empty[(String, Int), List[Double]].withDefaultValue(Nil)
-    val states = scala.collection.mutable.Map
-      .empty[(String, Int), Long].withDefaultValue(0L)
-    for (p <- 1 to passes; (m, dir) <- dirs; q <- Rows) {
-      val (dt, st) = cell(q, dir)
-      times((q, m)) = dt :: times((q, m))
-      states((q, m)) = math.max(states((q, m)), st)
-      println(f"[streamscale] pass $p x$m%-2d $q%-26s $dt%7.2f s " +
-        f"state=$st%,d rows")
+    // try/finally: a drain that throws mid-run must still unregister
+    // the listener and stop the session (a leaked listener would keep
+    // accumulating peaks into dead state on a reused JVM)
+    try {
+      // warm-up at the smallest MULTIPLIER (micro-batch machinery,
+      // codegen) — dirs.head is the smallest only when the mults
+      // argument happens to be ascending
+      val warmDir = dirs.minBy(_._1)._2
+      Rows.foreach(q => cell(q, warmDir))
+      val times = scala.collection.mutable.Map
+        .empty[(String, Int), List[Double]].withDefaultValue(Nil)
+      val states = scala.collection.mutable.Map
+        .empty[(String, Int), Long].withDefaultValue(0L)
+      for (p <- 1 to passes; (m, dir) <- dirs; q <- Rows) {
+        val (dt, st) = cell(q, dir)
+        times((q, m)) = dt :: times((q, m))
+        states((q, m)) = math.max(states((q, m)), st)
+        println(f"[streamscale] pass $p x$m%-2d $q%-26s $dt%7.2f s " +
+          f"state=$st%,d rows")
+      }
+      println("[streamscale] query," + mults.flatMap(m =>
+        Seq(s"t${m}_min_s", s"state$m")).mkString(","))
+      val json = Rows.map { q =>
+        val cells = mults.map(m => (times((q, m)).min, states((q, m))))
+        println(f"[streamscale] $q%-26s " + cells.map { case (t, st) =>
+          f"$t%7.2f s ${st}%,d" }.mkString("  "))
+        val tf = mults.zip(cells).map { case (m, (t, st)) =>
+          f"""\"t$m\":$t%.3f,\"state$m\":$st""" }.mkString(",")
+        s"""\"$q\":{$tf}"""
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/root/repo/scale_stream.json"), json)
+      println(s"[streamscale] wrote /root/repo/scale_stream.json")
+    } finally {
+      spark.streams.removeListener(listener)
+      spark.stop()
     }
-    println("[streamscale] query," + mults.flatMap(m =>
-      Seq(s"t${m}_min_s", s"state$m")).mkString(","))
-    val json = Rows.map { q =>
-      val cells = mults.map(m => (times((q, m)).min, states((q, m))))
-      println(f"[streamscale] $q%-26s " + cells.map { case (t, st) =>
-        f"$t%7.2f s ${st}%,d" }.mkString("  "))
-      val tf = mults.zip(cells).map { case (m, (t, st)) =>
-        f"""\"t$m\":$t%.3f,\"state$m\":$st""" }.mkString(",")
-      s"""\"$q\":{$tf}"""
-    }.mkString("{", ",", "}")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/scale_stream.json"), json)
-    spark.streams.removeListener(listener)
-    spark.stop()
-    println(s"[streamscale] wrote /root/repo/scale_stream.json")
   }
 }

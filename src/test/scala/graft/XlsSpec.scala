@@ -35,6 +35,11 @@ class XlsSpec extends SparkSpec {
     assert(got == want, s"got $got")
   }
 
+  test("BIFF8 parse from a v4 container (4096-byte sectors)") {
+    val got = sources.Xls.parse(cfbV4(biffStream()))
+    assert(got == want, s"got $got")
+  }
+
   test("Xlsx.read dispatches on magic: an .xls folder scans like xlsx, " +
       "headers from the first row") {
     val dir = java.nio.file.Files.createTempDirectory("xls").toFile
@@ -300,6 +305,49 @@ private[graft] object XlsFixture {
     val dir = pad(dirEntry("Root Entry", 5, End, 0) ++
       dirEntry("Workbook", 2, 2, stream.length), 512)
     header(1, 1, End, 0, Seq(0)) ++ fat ++ dir ++ stream
+  }
+
+  /** v4 header: major version 4, sector shift 12 (4096-byte sectors).
+    * Per [MS-CFB] 2.2 the header occupies one full sector, so the
+    * 512-byte header body is zero-padded to 4096.
+    */
+  def headerV4(nFat: Int, dirStart: Int,
+      fatSectors: Seq[Int]): Array[Byte] = pad(body { b =>
+    b.write(Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1)
+      .map(_.toByte))
+    b.write(new Array[Byte](16)) // clsid
+    w16(b, 0x3E); w16(b, 4) // minor, major (v4: 4096-byte sectors)
+    w16(b, 0xFFFE) // little-endian
+    w16(b, 12); w16(b, 6) // sector, mini shifts
+    b.write(new Array[Byte](6))
+    w32(b, 1) // nDirSectors (v4 records the count; v3 writes 0)
+    w32(b, nFat)
+    w32(b, dirStart)
+    w32(b, 0) // transaction
+    w32(b, 4096) // mini cutoff
+    w32(b, End); w32(b, 0) // mini FAT: none
+    w32(b, End); w32(b, 0) // DIFAT chain: none
+    for (i <- 0 until 109) w32(b, fatSectors.lift(i).getOrElse(Free))
+  }, 4096)
+
+  /** CFB v4 (4096-byte sectors, the branch `Xls.cfbStream` accepts at
+    * sector shift 12) with the stream padded into the normal chain —
+    * one FAT sector here indexes 1024 entries, so the same builder
+    * shape as [[cfbBig]] at the wider sector size.
+    */
+  def cfbV4(stream0: Array[Byte]): Array[Byte] = {
+    val S = 4096
+    val stream = pad(stream0 ++ new Array[Byte](
+      math.max(0, S - stream0.length)), S)
+    val n = stream.length / S
+    val fat = pad(body { b =>
+      w32(b, FatSect); w32(b, End) // fat(0), dir(1)
+      for (i <- 0 until n) w32(b, if (i == n - 1) End else 3 + i)
+      for (_ <- 2 + n until S / 4) w32(b, Free)
+    }, S)
+    val dir = pad(dirEntry("Root Entry", 5, End, 0) ++
+      dirEntry("Workbook", 2, 2, stream.length), S)
+    headerV4(1, 1, Seq(0)) ++ fat ++ dir ++ stream
   }
 
 }
