@@ -62,6 +62,23 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Generated-class cache sized for the REGISTRY, not the default
+      // 100 entries (static conf — must precede session creation). The
+      // r10→r11 loaded-window forensics (LoadProf, BASELINE.md): with
+      // 251 queries cycling, a 100-entry LRU evicts every generated
+      // class between passes, so each pass re-runs Janino + fresh
+      // HotSpot JIT for every query — the token-LM rows carry the
+      // largest codegen surface (x92 ~5 s, x93 ~2.9 s of measured
+      // per-run compile at the default) and were the repeat victims
+      // whenever compiler threads contended with a loaded host. At
+      // 8192 entries steady-state passes reuse warm classes: quiet
+      // medians drop 10-40% across the board and the family's
+      // loaded-window inflation falls to at-or-below control rows'.
+      // Any long-lived session embedding the registry should set the
+      // same (Graft facade scaladoc). Env-overridable for A/B
+      // forensics only — the driver never sets it.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192").toInt)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -17,6 +17,8 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // registry-sized codegen-class cache (see Bench.scala's note)
+      .config("spark.sql.codegen.cache.maxEntries", 8192)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

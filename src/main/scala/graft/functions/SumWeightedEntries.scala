@@ -78,6 +78,12 @@ case class SumWeightedEntries(entries: Expression, weight: Expression,
             // insert so the key survives the next row
             val prev = buf.get(k)
             if (prev ne null)
+              // INVARIANT: put on an existing key RETAINS the stored
+              // (cloned) key — documented java.util.HashMap behavior.
+              // Passing the transient buffer-aliased `k` here is safe
+              // ONLY because of that; a refactor to a map type (or to
+              // compute/merge) that captures the passed key would store
+              // the alias and corrupt on the next input row.
               buf.put(k, java.lang.Long.valueOf(
                 prev.longValue + wl * e.getLong(1)))
             else buf.put(k.clone(),

@@ -417,7 +417,16 @@ FROM agg ORDER BY source"""
       tot: org.apache.spark.sql.DataFrame,
       v: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-        graft.GraftExtensions.install(tot.sparkSession)
+        // keep the query BUILDER side-effect free on re-entry: install
+        // the registry entries only when the session doesn't already
+        // carry them (install itself is idempotent, but re-running
+        // createOrReplace on every invocation mutates session state
+        // from inside a pure builder)
+        val sess = tot.sparkSession
+        if (!sess.sessionState.functionRegistry.functionExists(
+            org.apache.spark.sql.catalyst.FunctionIdentifier(
+              "sum_weighted_entries")))
+          graft.GraftExtensions.install(sess)
         // per-source missing-token log-prob: ln(1/(n_s+V)) rounded the
         // same way the dense cell with c=0 rounds (numerator 0+1)
         val miss = tot.crossJoin(broadcast(v))

@@ -23,6 +23,8 @@ object EtlBench {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
+      // registry-sized codegen-class cache (see Bench.scala's note)
+      .config("spark.sql.codegen.cache.maxEntries", 8192)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -21,7 +21,13 @@ import org.apache.spark.sql.SparkSession
   *     says whether a row survives 100×, because at scale the variable
   *     term is all that's left.
   *
-  * Usage: sbt "Test/runMain graft.ScaleExp [/tmp/scaledata] [passes] [1,4,10]"
+  * With FOUR OR MORE multipliers the per-row record adds the
+  * least-squares (β, k, rmse) under t = c + k·m^β plus the jackknife
+  * β range across leave-out triples — the confidence statement the
+  * 3-point differencing can't make (zero residual dof).
+  *
+  * Usage: sbt "Test/runMain graft.ScaleExp [/tmp/scaledata] [passes]
+  *   [1,4,10[,20]] [rowsCsv] [outPath]"
   */
 object ScaleExp {
 
@@ -32,6 +38,54 @@ object ScaleExp {
     "x73_source_attribution", "x65_bm25_rank", "x41_embed_dedup_clusters",
     "x87_csls_rescore", "x88_ivf_append", "x71_triangle_cc",
     "corpus_curate")
+
+  /** Fit t(m) = c + k·m^β over N ≥ 3 points by grid-refined least
+    * squares: for a fixed β the (c, k) minimizers are the ordinary
+    * 2-variable normal equations over x = m^β, so the scan is linear
+    * in the grid. Returns (β, k, rmse); β = NaN when the best fit
+    * wants k ≤ 0 (times don't grow — variable term below noise).
+    * With 4+ points the fit has residual degrees of freedom, which is
+    * what separates a real super-linear term from one noisy cell —
+    * the r10 records flipped x96/x41/x71/x46 between records because
+    * 3 points + differencing have zero dof.
+    */
+  def fitBeta(m: Seq[Double], t: Seq[Double]): (Double, Double, Double) = {
+    require(m.length >= 3 && m.length == t.length)
+    def solve(b: Double): (Double, Double, Double) = { // (sse, c, k)
+      val x = m.map(math.pow(_, b))
+      val n = x.length.toDouble
+      val sx = x.sum; val sxx = x.map(v => v * v).sum
+      val st = t.sum
+      val sxt = x.zip(t).map { case (a, c) => a * c }.sum
+      val det = n * sxx - sx * sx
+      if (math.abs(det) < 1e-12) return (Double.MaxValue, 0, 0)
+      val k = (n * sxt - sx * st) / det
+      val c = (st - k * sx) / n
+      val sse = t.zip(x).map { case (tv, xv) =>
+        val e = tv - (c + k * xv); e * e }.sum
+      (sse, c, k)
+    }
+    var best = (Double.MaxValue, 0.0, 0.0, 0.0) // (sse, beta, c, k)
+    var b = 0.05
+    while (b <= 4.0 + 1e-9) {
+      val (sse, c, k) = solve(b)
+      if (sse < best._1) best = (sse, b, c, k)
+      b += 0.005
+    }
+    val rmse = math.sqrt(best._1 / m.length)
+    if (best._4 <= 0) (Double.NaN, best._4, rmse)
+    else (best._2, best._4, rmse)
+  }
+
+  /** Jackknife spread for 4+ sizes: the 3-point [[marginalBeta]] on
+    * every leave-rest-out triple. Agreement across triples is the
+    * confidence statement; a triple at the noise floor contributes
+    * NaN and is dropped.
+    */
+  def betaSpread(m: Seq[Double], t: Seq[Double]): Seq[Double] =
+    m.indices.combinations(3).map { idx =>
+      marginalBeta(idx.map(m), idx.map(t))
+    }.filter(b => !b.isNaN).toSeq
 
   /** Solve (t3-t2)/(t2-t1) = (m3^b - m2^b)/(m2^b - m1^b) for b by
     * bisection on [0.05, 4]; NaN when the differences are non-positive
@@ -63,24 +117,34 @@ object ScaleExp {
     val passes = args.lift(1).map(_.toInt).getOrElse(2)
     val mults = args.lift(2).getOrElse("1,4,10")
       .split(",").map(_.trim.toInt).toSeq
-    require(mults.length == 3, "need exactly 3 multipliers for beta")
+    require(mults.length >= 3, "need at least 3 multipliers for beta")
+    // subset + output-path args so the noisy rows can be re-fit at a
+    // 4th size with extra passes without re-measuring all 15 rows or
+    // clobbering the full-table record
+    val rows0 = args.lift(3)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Heavy)
+    val outPath = args.lift(4).getOrElse("/root/repo/scale_exp.json")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
+      // registry-sized codegen-class cache (see Bench.scala's note)
+      .config("spark.sql.codegen.cache.maxEntries", 8192)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dirs = mults.map(m => m -> s"$base/x$m")
     dirs.foreach { case (m, dir) => ScaleGen.write(spark, dir, m) }
     // warm-up at the smallest size: plans, codegen, JIT
-    Heavy.foreach { q =>
-      Caches.scope(spark)(SparkEntry.queries(q)(spark, dirs.head._2).count())
+    val warmDir = dirs.minBy(_._1)._2
+    rows0.foreach { q =>
+      Caches.scope(spark)(SparkEntry.queries(q)(spark, warmDir).count())
       spark.catalog.clearCache()
     }
     val times = scala.collection.mutable.Map
       .empty[(String, Int), List[Double]].withDefaultValue(Nil)
-    for (p <- 1 to passes; (m, dir) <- dirs; q <- Heavy) {
+    for (p <- 1 to passes; (m, dir) <- dirs; q <- rows0) {
       val t0 = System.nanoTime()
       Caches.scope(spark)(SparkEntry.queries(q)(spark, dir).count())
       val dt = (System.nanoTime() - t0) / 1e9
@@ -88,27 +152,38 @@ object ScaleExp {
       times((q, m)) = dt :: times((q, m))
       println(f"[scaleexp] pass $p x$m%-2d $q%-28s $dt%7.2f s")
     }
-    val rows = Heavy.map { q =>
+    val md = mults.map(_.toDouble)
+    val rows = rows0.map { q =>
       val ts = mults.map(m => times((q, m)).min)
       val alpha10 = math.log10(ts.last / ts.head) /
         math.log10(mults.last.toDouble / mults.head)
-      val beta = marginalBeta(mults.map(_.toDouble), ts)
-      (q, ts, alpha10, beta)
+      val (bFit, k, rmse) = fitBeta(md, ts)
+      // 3 sizes: the original differencing beta; 4+: the LSQ fit plus
+      // the jackknife min..max across leave-out triples
+      val beta = if (mults.length == 3) marginalBeta(md, ts) else bFit
+      val spread = if (mults.length > 3) betaSpread(md, ts) else Nil
+      (q, ts, alpha10, beta, k, rmse, spread)
     }
     println("[scaleexp] query," +
-      mults.map(m => s"t${m}_min_s").mkString(",") + ",alpha10,beta")
-    rows.foreach { case (q, ts, a, b) =>
+      mults.map(m => s"t${m}_min_s").mkString(",") +
+      ",alpha10,beta[,k,rmse,jack_lo..hi]")
+    rows.foreach { case (q, ts, a, b, k, r, sp) =>
+      val tail = if (sp.isEmpty) "" else
+        f"  k=$k%7.4f rmse=$r%5.2f jack=[${sp.min}%4.2f..${sp.max}%4.2f]"
       println(f"[scaleexp] $q%-28s " +
-        ts.map(t => f"$t%8.2f").mkString(" ") + f"  $a%5.2f  $b%5.2f")
+        ts.map(t => f"$t%8.2f").mkString(" ") + f"  $a%5.2f  $b%5.2f$tail")
     }
-    val json = rows.map { case (q, ts, a, b) =>
+    val json = rows.map { case (q, ts, a, b, k, r, sp) =>
       val tf = mults.zip(ts)
         .map { case (m, t) => f"""\"t$m\":$t%.3f""" }.mkString(",")
-      f"""\"$q\":{$tf,\"alpha10\":$a%.3f,\"beta\":$b%.3f}"""
+      val extra = if (sp.isEmpty) "" else
+        f""",\"k\":$k%.4f,\"rmse\":$r%.3f""" +
+          f""",\"beta_jack_lo\":${sp.min}%.3f,\"beta_jack_hi\":${sp.max}%.3f"""
+      f"""\"$q\":{$tf,\"alpha10\":$a%.3f,\"beta\":$b%.3f$extra}"""
     }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/scale_exp.json"), json)
+      java.nio.file.Paths.get(outPath), json)
     spark.stop()
-    println(s"[scaleexp] wrote /root/repo/scale_exp.json")
+    println(s"[scaleexp] wrote $outPath")
   }
 }

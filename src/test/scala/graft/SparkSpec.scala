@@ -9,6 +9,9 @@ trait SparkSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // registry-sized codegen-class cache (see Bench.scala's note); a
+    // STATIC conf, so the first suite's session fixes it JVM-wide
+    .config("spark.sql.codegen.cache.maxEntries", 8192)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
