@@ -79,6 +79,14 @@ object Bench {
       // forensics only — the driver never sets it.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192").toInt)
+      // The codegen cache is keyed by (classloader, source): under
+      // Spark 4's default session-artifact isolation each STREAMING
+      // run applies a per-execution artifact classloader, so identical
+      // generated source recompiles on every drain (measured: st01
+      // re-Janinos its full 14 units per run at ANY cache size; zero
+      // with isolation off — CodegenCacheSpec pins it). This engine
+      // registers no session artifacts, so isolation buys nothing.
+      .config("spark.sql.artifact.isolation.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

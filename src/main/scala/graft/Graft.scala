@@ -11,17 +11,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * The string-keyed driver contract ([[SparkEntry]]) and this facade share
   * the same [[QueryDef]] registry, so everything here is oracle-verified.
   *
-  * Session sizing for an embedding application: build the session with
-  * `spark.sql.codegen.cache.maxEntries` raised to cover the working set
-  * of queries (the harness mains use 8192; the Spark default is 100).
-  * The registry's plans compile to more generated classes than the
-  * default LRU holds, so a server cycling through queries re-pays
-  * Janino + HotSpot JIT for every query on every pass — measured
-  * 10-40% of steady-state wall time, worst on the token-LM rows
-  * (multi-second per-run compile), and the dominant source of their
-  * inflation under CPU-loaded windows (see BASELINE.md's r11
-  * loaded-window forensics). The conf is STATIC: set it before the
-  * first session in the JVM.
+  * Session sizing for an embedding application — two STATIC confs (set
+  * them before the first session in the JVM; see BASELINE.md's r11
+  * loaded-window forensics, measured not argued):
+  *
+  *   - `spark.sql.codegen.cache.maxEntries`: raise it to cover the
+  *     working set of queries (the harness mains use 8192; the Spark
+  *     default is 100). The registry's plans compile to more generated
+  *     classes than the default LRU holds, so a server cycling through
+  *     queries re-pays Janino + HotSpot JIT for every query on every
+  *     pass — measured 10-40% of steady-state wall time, worst on the
+  *     token-LM rows (multi-second per-run compile), and the dominant
+  *     source of their inflation under CPU-loaded windows.
+  *   - `spark.sql.artifact.isolation.enabled=false` when the
+  *     application registers no session artifacts: the codegen cache
+  *     keys on (classloader, source), and Spark 4's default isolation
+  *     applies a fresh artifact classloader per STREAMING execution,
+  *     so every drain recompiles its full generated-class set at any
+  *     cache size (st01: 14 units per run measured; zero with
+  *     isolation off). Applications that DO ship session artifacts
+  *     (Spark Connect addArtifact) must keep isolation and accept the
+  *     streaming recompile cost.
   */
 object Graft {
 

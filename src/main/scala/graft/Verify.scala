@@ -17,8 +17,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // registry-sized codegen-class cache (see Bench.scala's note)
+      // registry-sized codegen-class cache + no per-run artifact
+      // classloaders (see Bench.scala's notes)
       .config("spark.sql.codegen.cache.maxEntries", 8192)
+      .config("spark.sql.artifact.isolation.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

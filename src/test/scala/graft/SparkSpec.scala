@@ -9,9 +9,11 @@ trait SparkSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    // registry-sized codegen-class cache (see Bench.scala's note); a
-    // STATIC conf, so the first suite's session fixes it JVM-wide
+    // registry-sized codegen-class cache + no per-run artifact
+    // classloaders (see Bench.scala's notes); STATIC confs, so the
+    // first suite's session fixes them JVM-wide
     .config("spark.sql.codegen.cache.maxEntries", 8192)
+    .config("spark.sql.artifact.isolation.enabled", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
