@@ -77,8 +77,16 @@ object Bench {
       // Any long-lived session embedding the registry should set the
       // same (Graft facade scaladoc). Env-overridable for A/B
       // forensics only — the driver never sets it.
-      .config("spark.sql.codegen.cache.maxEntries",
-        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192").toInt)
+      .config("spark.sql.codegen.cache.maxEntries", {
+        val raw = sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192")
+        // validated like SPARK_GRAFT_BENCH_PASSES: a malformed value
+        // must fail with a message naming the env var, not a bare
+        // NumberFormatException before the session exists
+        val n = raw.toIntOption.getOrElse(0)
+        require(n >= 1, "SPARK_GRAFT_CODEGEN_CACHE must be a positive " +
+          s"integer, got '$raw'")
+        n
+      })
       // The codegen cache is keyed by (classloader, source): under
       // Spark 4's default session-artifact isolation each STREAMING
       // run applies a per-execution artifact classloader, so identical

@@ -419,14 +419,19 @@ FROM agg ORDER BY source"""
       : org.apache.spark.sql.DataFrame = {
         // keep the query BUILDER side-effect free on re-entry: install
         // the registry entries only when the session doesn't already
-        // carry them (install itself is idempotent, but re-running
+        // carry OURS (install itself is idempotent, but re-running
         // createOrReplace on every invocation mutates session state
-        // from inside a pure builder)
+        // from inside a pure builder). The check matches the
+        // registered class, not just the name — a foreign same-name
+        // registration must be replaced, not silently used (the
+        // pre-guard behavior).
         val sess = tot.sparkSession
-        if (!sess.sessionState.functionRegistry.functionExists(
-            org.apache.spark.sql.catalyst.FunctionIdentifier(
-              "sum_weighted_entries")))
-          graft.GraftExtensions.install(sess)
+        val ours = sess.sessionState.functionRegistry
+          .lookupFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(
+            "sum_weighted_entries"))
+          .exists(_.getClassName ==
+            classOf[graft.functions.SumWeightedEntries].getName)
+        if (!ours) graft.GraftExtensions.install(sess)
         // per-source missing-token log-prob: ln(1/(n_s+V)) rounded the
         // same way the dense cell with c=0 rounds (numerator 0+1)
         val miss = tot.crossJoin(broadcast(v))

@@ -30,12 +30,17 @@ import scala.jdk.CollectionConverters._
   * the controls' while spin-mode ratios match, the family's documented
   * sensitivity is allocation-bound, not scheduling-bound.
   *
-  * Per cell: median + min wall seconds, JVM-wide ΔGC ms and ΔGC count
-  * (sum over collectors), and Δ JIT compilation ms — the three
-  * candidate mechanisms measured, not argued.
+  * Per cell: median + min wall seconds, JVM-wide ΔGC ms, Δ codegen
+  * compilations (CodegenMetrics — the cache-miss counter), and Δ JIT
+  * compilation ms — the candidate mechanisms measured, not argued.
   *
   * Usage: sbt "Test/runMain graft.LoadProf [sfDir] [passes] [threads]
-  *   [rowsCsv]"   — runs all three modes, writes loadprof.json.
+  *   [rowsCsv] [codegenCacheEntries]" — runs all three modes and
+  * writes `loadprof_c<cacheEntries>.json` (the record names its
+  * independent variable, so the cache-100 control and the cache-8192
+  * treatment coexist on disk). `SPARK_GRAFT_ISOLATION` flips
+  * `spark.sql.artifact.isolation.enabled` (default false, the
+  * engine's production setting).
   */
 object LoadProf {
 
@@ -72,7 +77,6 @@ object LoadProf {
     val gcBeans = ManagementFactory.getGarbageCollectorMXBeans.asScala
     val jit = ManagementFactory.getCompilationMXBean
     def gcMs(): Long = gcBeans.map(_.getCollectionTime).sum
-    def gcN(): Long = gcBeans.map(_.getCollectionCount).sum
     // Janino compilations actually RUN (codegen-cache misses): the
     // direct cache-thrash measure, immune to host-window drift
     val cgen = org.apache.spark.metrics.source.CodegenMetrics
@@ -147,7 +151,9 @@ object LoadProf {
       }
     }
     def med(xs: Seq[Double]): Double = {
-      val s = xs.sorted; s(s.size / 2)
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2 // even passes: midpoint
     }
     println(f"[loadprof] ${"query"}%-24s " + modes.map(m =>
       f"$m%-28s").mkString(" ") +

@@ -115,8 +115,11 @@ object ScaleExp {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/tmp/scaledata")
     val passes = args.lift(1).map(_.toInt).getOrElse(2)
+    // sorted: marginalBeta / betaSpread difference index-ordered
+    // triples, which assume ascending sizes (fitBeta is
+    // order-insensitive, but the jackknife is not)
     val mults = args.lift(2).getOrElse("1,4,10")
-      .split(",").map(_.trim.toInt).toSeq
+      .split(",").map(_.trim.toInt).toSeq.sorted
     require(mults.length >= 3, "need at least 3 multipliers for beta")
     // subset + output-path args so the noisy rows can be re-fit at a
     // 4th size with extra passes without re-measuring all 15 rows or
@@ -175,13 +178,18 @@ object ScaleExp {
       println(f"[scaleexp] $q%-28s " +
         ts.map(t => f"$t%8.2f").mkString(" ") + f"  $a%5.2f  $b%5.2f$tail")
     }
+    // NaN (the noise-floor contract of both beta estimators) is not
+    // valid JSON — render it as null so the record stays machine-
+    // readable for the round-over-round comparison it exists for
+    def num(v: Double): String = if (v.isNaN) "null" else f"$v%.3f"
     val json = rows.map { case (q, ts, a, b, k, r, sp) =>
       val tf = mults.zip(ts)
         .map { case (m, t) => f"""\"t$m\":$t%.3f""" }.mkString(",")
       val extra = if (sp.isEmpty) "" else
         f""",\"k\":$k%.4f,\"rmse\":$r%.3f""" +
-          f""",\"beta_jack_lo\":${sp.min}%.3f,\"beta_jack_hi\":${sp.max}%.3f"""
-      f"""\"$q\":{$tf,\"alpha10\":$a%.3f,\"beta\":$b%.3f$extra}"""
+          s""","beta_jack_lo":${num(sp.min)}""" +
+          s""","beta_jack_hi":${num(sp.max)}"""
+      s""""$q":{$tf,"alpha10":${num(a)},"beta":${num(b)}$extra}"""
     }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outPath), json)
