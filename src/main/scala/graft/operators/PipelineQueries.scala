@@ -421,16 +421,21 @@ FROM agg ORDER BY source"""
         // the registry entries only when the session doesn't already
         // carry OURS (install itself is idempotent, but re-running
         // createOrReplace on every invocation mutates session state
-        // from inside a pure builder). The check matches the
-        // registered class, not just the name — a foreign same-name
-        // registration must be replaced, not silently used (the
-        // pre-guard behavior).
+        // from inside a pure builder). "Ours" = name present AND
+        // source "built-in" (what install stamps) — a foreign
+        // same-name registration (spark.udf.register stamps
+        // "scala_udf"/"java_udf") is replaced, not silently used.
+        // NOT checked by class: createOrReplaceTempFunction records
+        // the builder LAMBDA's class name, which is JVM-unique, so a
+        // class match would re-install per construction — and a
+        // registry write per construction defeats generated-class
+        // reuse (CodegenCacheSpec catches exactly that as x73 never
+        // converging to zero recompiles).
         val sess = tot.sparkSession
         val ours = sess.sessionState.functionRegistry
           .lookupFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(
             "sum_weighted_entries"))
-          .exists(_.getClassName ==
-            classOf[graft.functions.SumWeightedEntries].getName)
+          .exists(_.getSource == "built-in")
         if (!ours) graft.GraftExtensions.install(sess)
         // per-source missing-token log-prob: ln(1/(n_s+V)) rounded the
         // same way the dense cell with c=0 rounds (numerator 0+1)

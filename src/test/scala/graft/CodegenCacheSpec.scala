@@ -22,12 +22,16 @@ package graft
   * per-run unique sink names must stay out of generated source, and
   * their micro-batch classloader must stay THE classloader).
   *
-  * Warm-up is THREE runs, not one: plan variants whose codegen
-  * differs (a stage reading a scoped cache warm vs recomputing it)
-  * surface within the first runs nondeterministically; the variant
-  * set is small and bounded, and by the third run it is exhausted
-  * (measured in the r11 forensics — x36 compiled 4 late-variant units
-  * on its third run once, zero after).
+  * Measured with AQE DISABLED for the duration of the test: adaptive
+  * execution stamps the codegen-stage id into the generated class
+  * name, and under AQE that id is assigned in stage-COMPLETION order
+  * — concurrent, racy — so a multi-stage query occasionally mints an
+  * identical plan fragment under a fresh name (x73 A/B: with AQE,
+  * intermittent 8-16-unit bursts between zero-compile runs; without,
+  * run 1 compiles its full 79 units and every later run is exactly 0).
+  * That Spark-side churn is bounded (the id space is the stage count)
+  * and not what this pin guards; with it excluded, the assertion is
+  * strict — ZERO recompiles from the second run on.
   */
 class CodegenCacheSpec extends SparkSpec {
 
@@ -36,21 +40,24 @@ class CodegenCacheSpec extends SparkSpec {
     "st01_stream_tumbling", "st12_stream_curation_gate")
 
   test("repeat construction+run of each pinned row recompiles ZERO " +
-      "generated units (source AND classloader are construction-stable)") {
+      "generated units from the second run on (AQE stage-id churn " +
+      "excluded; source AND classloader are construction-stable)") {
     val cgen = org.apache.spark.metrics.source.CodegenMetrics
-    rows.foreach { q =>
-      for (_ <- 1 to 3) {
+    val aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val offenders = rows.flatMap { q =>
         Caches.scope(spark)(SparkEntry.queries(q)(spark, sf).count())
         spark.catalog.clearCache()
+        (2 to 3).flatMap { r =>
+          val c0 = cgen.METRIC_SOURCE_CODE_SIZE.getCount
+          Caches.scope(spark)(SparkEntry.queries(q)(spark, sf).count())
+          spark.catalog.clearCache()
+          val d = cgen.METRIC_SOURCE_CODE_SIZE.getCount - c0
+          if (d != 0) Some(s"$q recompiled $d units on run $r") else None
+        }
       }
-    }
-    val offenders = rows.flatMap { q =>
-      val c0 = cgen.METRIC_SOURCE_CODE_SIZE.getCount
-      Caches.scope(spark)(SparkEntry.queries(q)(spark, sf).count())
-      spark.catalog.clearCache()
-      val d = cgen.METRIC_SOURCE_CODE_SIZE.getCount - c0
-      if (d != 0) Some(s"$q recompiled $d units") else None
-    }
-    assert(offenders.isEmpty, offenders.mkString("; "))
+      assert(offenders.isEmpty, offenders.mkString("; "))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe0)
   }
 }
