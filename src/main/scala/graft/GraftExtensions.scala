@@ -110,11 +110,43 @@ object GraftExtensions {
       }))
 
   /** Idempotent runtime registration for sessions built without the
-    * extensions config.
+    * extensions config. Unconditional: every function is (re)registered
+    * with source "built-in". Query builders should call
+    * [[ensureInstalled]] instead so re-construction stays side-effect
+    * free on the session.
     */
   def install(spark: SparkSession): Unit =
     functions.foreach { case (id, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         id.funcName, builder, "built-in")
     }
+
+  /** The defensive-install gate every query builder uses: run
+    * [[install]] only when the session doesn't already carry OUR
+    * registrations, so constructing a query is side-effect free on
+    * re-entry (install itself is idempotent in effect, but re-running
+    * createOrReplace on every construction mutates session state from
+    * inside an otherwise pure builder, and floods the log with
+    * "replaced a previously registered function" warnings).
+    *
+    * "Ours" = `sum_weighted_entries` present AND source "built-in"
+    * (what install stamps) — the sentinel stands in for the whole set
+    * because install only ever registers all functions together. A
+    * foreign same-name registration (`spark.udf.register` stamps
+    * "scala_udf"/"java_udf") fails the source check and is replaced,
+    * not silently used. NOT checked by class: createOrReplaceTempFunction
+    * records the builder LAMBDA's class name, which is JVM-unique, so a
+    * class match would re-install on every construction.
+    *
+    * Note the gate is hygiene, not a codegen-cache lever: the generated-
+    * class cache is keyed on (classloader, source text), which a registry
+    * write does not touch — CodegenCacheSpec's zero-recompile pins passed
+    * for builders that installed unconditionally.
+    */
+  def ensureInstalled(spark: SparkSession): Unit = {
+    val ours = spark.sessionState.functionRegistry
+      .lookupFunction(FunctionIdentifier("sum_weighted_entries"))
+      .exists(_.getSource == "built-in")
+    if (!ours) install(spark)
+  }
 }

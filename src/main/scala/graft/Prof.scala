@@ -13,7 +13,7 @@ object Prof {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.GraftExtensions.install(spark)
+    graft.GraftExtensions.ensureInstalled(spark)
     def time[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       println(f"PROF $name ${(System.nanoTime() - t0) / 1e9}%.2f s"); r

@@ -76,7 +76,7 @@ object DedupQueries {
     */
   private[graft] def sourceSketch(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    graft.GraftExtensions.install(docs.sparkSession)
+    graft.GraftExtensions.ensureInstalled(docs.sparkSession)
     docs
       .withColumn("sh", expr("shingles3(text)"))
       .withColumn("sigs", expr(s"minhash_sigs(sh, $SketchK)"))
@@ -144,7 +144,7 @@ bands AS (
   def containmentPairs(docs0: org.apache.spark.sql.DataFrame,
       tau: Double,
       dfCap: Option[Int] = None): org.apache.spark.sql.DataFrame = {
-    graft.GraftExtensions.install(docs0.sparkSession)
+    graft.GraftExtensions.ensureInstalled(docs0.sparkSession)
     val docs = docs0
       .withColumn("sh", expr("shingles3(text)"))
       .select(col("doc_id"), col("lang"), col("sh"))
@@ -200,7 +200,7 @@ bands AS (
     */
   private def simhashes(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    graft.GraftExtensions.install(s)
+    graft.GraftExtensions.ensureInstalled(s)
     Tables.documentsSpread(s, d)
       .withColumn("w", expr("split(text, ' ')"))
       .withColumn("th", expr(
@@ -240,7 +240,7 @@ sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t)"""
     // persisted: four plan branches read this (posting a/b, sizes a/b)
     // and shingling is the expensive part — cache-once beats 4×
     // recompute at any scale (MEMORY_AND_DISK spills, never OOMs)
-    graft.GraftExtensions.install(s)
+    graft.GraftExtensions.ensureInstalled(s)
     val docs = Tables.documentsSpread(s, d)
       .withColumn("sh", expr("shingles3(text)"))
       .select(col("doc_id"), col("lang"),
@@ -283,7 +283,7 @@ sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t)"""
     */
   private def lshSigs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    graft.GraftExtensions.install(s)
+    graft.GraftExtensions.ensureInstalled(s)
     Tables.documentsSpread(s, d)
       .withColumn("sh", expr("shingles3(text)"))
       .withColumn("sigs", expr(s"minhash_sigs(sh, $K)"))
@@ -883,7 +883,7 @@ ORDER BY doc_id"""
     */
   def prefixJaccard(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    graft.GraftExtensions.install(s)
+    graft.GraftExtensions.ensureInstalled(s)
     // Everything downstream runs in HASHED shingle space: each shingle
     // becomes a 60-bit md5-derived long (the x06 minhash spelling), which
     // is simultaneously (a) the global prefix order, (b) the candidate

@@ -238,7 +238,7 @@ object Joins {
       right: DataFrame, rightKey: String,
       expectedItems: Long, numBits: Long): DataFrame = {
     val s = left.sparkSession
-    graft.GraftExtensions.install(s)
+    graft.GraftExtensions.ensureInstalled(s)
     // xxhash64 hashes by PHYSICAL type: an INT 1 and a BIGINT 1 hash
     // differently, so mismatched key types would drop genuinely
     // matching rows — a silent false-negative that breaks the

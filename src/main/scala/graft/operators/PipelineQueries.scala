@@ -155,7 +155,7 @@ FROM hv GROUP BY 1, 2 ORDER BY r, b"""
     */
   private[graft] def minkAgg(
       staged: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    graft.GraftExtensions.install(staged.sparkSession)
+    graft.GraftExtensions.ensureInstalled(staged.sparkSession)
     staged.groupBy(col("source"))
       .agg(expr(s"mink_sample(struct(hv, doc_id, n_tokens), $QSampleK)")
         .as("sample"))
@@ -417,26 +417,9 @@ FROM agg ORDER BY source"""
       tot: org.apache.spark.sql.DataFrame,
       v: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-        // keep the query BUILDER side-effect free on re-entry: install
-        // the registry entries only when the session doesn't already
-        // carry OURS (install itself is idempotent, but re-running
-        // createOrReplace on every invocation mutates session state
-        // from inside a pure builder). "Ours" = name present AND
-        // source "built-in" (what install stamps) — a foreign
-        // same-name registration (spark.udf.register stamps
-        // "scala_udf"/"java_udf") is replaced, not silently used.
-        // NOT checked by class: createOrReplaceTempFunction records
-        // the builder LAMBDA's class name, which is JVM-unique, so a
-        // class match would re-install per construction — and a
-        // registry write per construction defeats generated-class
-        // reuse (CodegenCacheSpec catches exactly that as x73 never
-        // converging to zero recompiles).
-        val sess = tot.sparkSession
-        val ours = sess.sessionState.functionRegistry
-          .lookupFunction(org.apache.spark.sql.catalyst.FunctionIdentifier(
-            "sum_weighted_entries"))
-          .exists(_.getSource == "built-in")
-        if (!ours) graft.GraftExtensions.install(sess)
+        // the gate itself (and its rationale) lives in ensureInstalled —
+        // one site, used by every defensive install in the engine
+        graft.GraftExtensions.ensureInstalled(tot.sparkSession)
         // per-source missing-token log-prob: ln(1/(n_s+V)) rounded the
         // same way the dense cell with c=0 rounds (numerator 0+1)
         val miss = tot.crossJoin(broadcast(v))
@@ -1322,7 +1305,7 @@ ORDER BY l_returnflag, metric"""),
     // counts ride along to show the error.
     "x21_kmv_distinct" -> QueryDef(
       (s, d) => {
-        graft.GraftExtensions.install(s)
+        graft.GraftExtensions.ensureInstalled(s)
         Tables.lineitem(s, d)
           .withColumn("h", expr(
             "CAST(conv(substr(md5(CAST(l_orderkey AS STRING)), 1, 15), 16, 10) AS BIGINT)"))

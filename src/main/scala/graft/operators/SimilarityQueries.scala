@@ -85,7 +85,7 @@ object SimilarityQueries {
         END)""".replace('\n', ' ')
 
   private[operators] def quantized(s: SparkSession, d: String): DataFrame = {
-    graft.GraftExtensions.install(s)
+    graft.GraftExtensions.ensureInstalled(s)
     Tables.embeddingsSpread(s, d)
       .withColumn("qe", expr(sparkQuant))
       .withColumn("qn", expr(sparkNorm))
@@ -979,7 +979,7 @@ ORDER BY r.q_id, r.bucket"""
       clustersPath: String): DataFrame = {
     // the serve path never touches [[quantized]], so the native
     // dot_long registration (inside sparkCos) must happen here
-    graft.GraftExtensions.install(s)
+    graft.GraftExtensions.ensureInstalled(s)
     val probes = quantized(s, dir).filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("qe").as("q_qe"),
         col("qn").as("q_qn"))
@@ -1181,7 +1181,7 @@ FROM fba GROUP BY bucket ORDER BY bucket"""
       rmPath: String): DataFrame = {
     // the serve path never touches [[quantized]], so the native-expression
     // registration (dot_long in sparkCos) must happen here
-    graft.GraftExtensions.install(s)
+    graft.GraftExtensions.ensureInstalled(s)
     val assigned = s.read.parquet(s"$ivfPath/assignment")
       .select(col("vec_id"), col("qe"), col("qn"),
         col("bucket").cast("bigint").as("bucket"))
@@ -2114,7 +2114,7 @@ FROM clusters ORDER BY vec_id"""),
     // corpus; everything downstream is ≤ |labels|·dims rows, broadcast.
     "x48_embed_drift" -> QueryDef(
       (s, d) => {
-        graft.GraftExtensions.install(s)
+        graft.GraftExtensions.ensureInstalled(s)
         val e = Tables.embeddings(s, d)
           .select(col("label"), expr(sparkQuant).as("qe"))
         val dims = e.select(col("label"),

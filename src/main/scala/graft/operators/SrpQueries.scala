@@ -81,7 +81,7 @@ object SrpQueries {
     * SrpBandKeysSpec pins bit-equality between the two.
     */
   private[graft] def bandKeys(e: DataFrame): DataFrame = {
-    graft.GraftExtensions.install(e.sparkSession)
+    graft.GraftExtensions.ensureInstalled(e.sparkSession)
     e.withColumn("bkeys",
         expr(s"srp_band_keys(qe, $Bands, $BitsPerBand, $Dims)"))
       .select(col("vec_id"), col("qe"), col("qn"),
@@ -125,7 +125,7 @@ object SrpQueries {
     */
   private[graft] def srpTopK(e: DataFrame,
       bandCap: Option[Int] = None): DataFrame = {
-    graft.GraftExtensions.install(e.sparkSession) // rescoring uses dot_long
+    graft.GraftExtensions.ensureInstalled(e.sparkSession) // rescoring uses dot_long
     val keysFull = bandKeys(e)
       .transform(graft.Caches.scoped)
     val corpus = cappedByBandKey(

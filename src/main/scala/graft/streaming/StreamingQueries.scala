@@ -289,7 +289,7 @@ ORDER BY user_id, session_start"""),
     // bounded by |buckets|, not |docs|².
     "st10_stream_lsh_buckets" -> QueryDef(
       (s, d) => {
-        graft.GraftExtensions.install(s)
+        graft.GraftExtensions.ensureInstalled(s)
         val bands = graft.operators.DedupQueries
           .bandKeys(EventStream.readDocuments(s, d))
         val buckets = bands
@@ -380,7 +380,7 @@ FROM flags GROUP BY source ORDER BY source"""),
     // exactly, x21-style.
     "st13_stream_kmv_cardinality" -> QueryDef(
       (s, d) => {
-        graft.GraftExtensions.install(s)
+        graft.GraftExtensions.ensureInstalled(s)
         val hashed = EventStream.readDocuments(s, d)
           .withColumn("h", expr(
             "CAST(conv(substr(md5(CAST(array_join(slice(split(text, ' ')," +
@@ -576,7 +576,7 @@ FROM t GROUP BY lang ORDER BY lang"""),
         import graft.operators.SimilarityQueries
         // the stream path never passes through the batch quantization
         // entry point, so the native dot_long registration happens here
-        graft.GraftExtensions.install(s)
+        graft.GraftExtensions.ensureInstalled(s)
         SimilarityQueries.prepareServe(s, d)
         val cent = s.read.parquet(
           s"${SimilarityQueries.serveRoot(d)}/ivf/centroids")
@@ -603,7 +603,7 @@ FROM t GROUP BY lang ORDER BY lang"""),
         import graft.operators.{SimilarityQueries, SrpQueries}
         // the stream path never passes through the batch quantization
         // entry point, so the native dot_long registration happens here
-        graft.GraftExtensions.install(s)
+        graft.GraftExtensions.ensureInstalled(s)
         val stream = EventStream.readEmbeddings(s, d)
           .withColumn("qe", expr(SimilarityQueries.sparkQuant))
           .withColumn("qn", expr(SimilarityQueries.sparkNorm))

@@ -70,8 +70,15 @@ object ScaleGen {
     // stamp records only mult+version, so a non-UTC caller would write
     // time-shifted events that later UTC runs silently accept. All
     // mains set UTC; enforce it for any other caller.
-    require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
-      "ScaleGen.write requires spark.sql.session.timeZone=UTC " +
+    // normalized-zone comparison, not string equality: "Etc/UTC",
+    // "+00:00", "Z", "GMT" all render the same wall times as "UTC" and
+    // must pass; a malformed id fails with the same message
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    val utc =
+      try java.time.ZoneId.of(tz).normalized() == java.time.ZoneOffset.UTC
+      catch { case _: java.time.DateTimeException => false }
+    require(utc,
+      s"ScaleGen.write requires a UTC session timezone, got '$tz' " +
         "(the generated event timestamps are stamped as UTC wall times)")
     val done = new java.io.File(s"$dir/_SCALEGEN_OK")
     val stamp = s"mult=$mult;v=2"
