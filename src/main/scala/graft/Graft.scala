@@ -399,7 +399,9 @@ object Graft {
       run("x71_triangle_cc", spark, dir)
   }
 
-  /** Multimodal binary-column plumbing (stubbed codecs, real plumbing). */
+  /** Multimodal binary-column plumbing (real BMP/WAV codecs — see
+    * [[graft.sources.Bmp]]/[[graft.sources.Wav]]).
+    */
   object multimodal {
     def decodeFeatures(spark: SparkSession, dir: String): DataFrame =
       operators.Multimodal.features(spark, dir)
@@ -562,7 +564,7 @@ object Graft {
     * @return the names actually registered
     */
   def registerTables(spark: SparkSession, dir: String): Seq[String] = {
-    GraftExtensions.install(spark)
+    GraftExtensions.ensureInstalled(spark)
     QueryDef.tableNames.filter { t =>
       try {
         Tables.byName(spark, dir, t).createOrReplaceTempView(t)

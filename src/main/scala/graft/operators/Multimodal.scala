@@ -7,12 +7,25 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   *
   * Real pipelines carry images/audio/video as `binary` columns and decode
   * them in a partition-local loop (one codec instance per partition, not
-  * per row — the JVM twin of a `mapInPandas` batch UDF). The decoders
-  * themselves aren't available in this environment, so `fakeDecode` is a
-  * clearly-marked deterministic stand-in: the Spark-side plumbing —
-  * schema, encoder, partition batching, per-partition resource reuse — is
-  * the real, tested part. Swap `fakeDecode` for an actual codec and
-  * nothing else changes.
+  * per row — the JVM twin of a `mapInPandas` batch UDF). Since round 12
+  * the codecs are REAL dependency-free parsers: the image family
+  * (mm03/mm03c/mm05) decodes an actual BMP container
+  * ([[graft.sources.Bmp]]) and the audio family (mm04) an actual
+  * RIFF/WAVE PCM stream ([[graft.sources.Wav]]) — both the S4 Excel
+  * treatment (hand-written binary readers for openly specified formats,
+  * fuzz-hardened in FuzzSpec). The testdata corpus carries no binary
+  * media column, so the harness SYNTHESIZES one deterministically from
+  * `documents.text` ([[imageDocs]]/[[audioDocs]]) and the decoders earn
+  * their keep by genuinely parsing the containers back; the pixel/sample
+  * CONTENT rule ([[grayPlane]], code-point amplitudes) is what the
+  * DuckDB oracle replays, so a decode bug breaks the oracle rows —
+  * the parsers are oracle-gated end-to-end.
+  *
+  * Only [[fakeDecode]] (mm01/mm02) remains a deterministic stand-in,
+  * by design: those two rows pin the opaque-payload PLUMBING — typed
+  * schema, partition batching, fan-out shape — where pseudo-metadata
+  * derived from the payload length is the point (the rows stay
+  * corpus-agnostic), not a codec gap.
   */
 object Multimodal {
 
@@ -33,10 +46,13 @@ object Multimodal {
       fake_height: Long,
       n_frames: Long)
 
-  /** STUB decode — deterministic fake in place of an image/audio codec.
-    * A real implementation would parse `content` (JPEG/WAV/MP4 headers);
-    * the fake derives stable pseudo-dimensions from the byte length so
-    * tests and the oracle can pin the plumbing end-to-end.
+  /** Deterministic pseudo-metadata decode for the PLUMBING rows
+    * (mm01/mm02): payload stats plus stable pseudo-dimensions derived
+    * from the byte length, so tests and the oracle pin the typed-schema
+    * / partition-batching / fan-out shape end-to-end without tying those
+    * rows to any one container format. The real byte-format decodes live
+    * in [[phashNearDup]] ([[graft.sources.Bmp]]) and [[audioWindows]]
+    * ([[graft.sources.Wav]]).
     */
   private def fakeDecode(md: java.security.MessageDigest,
       doc: BinaryDoc): MediaFeatures = {
@@ -76,6 +92,43 @@ object Multimodal {
       .as[BinaryDoc]
   }
 
+  /** The corpus's IMAGE column, materialized: one real 32×32 grayscale
+    * BMP per document (24bpp BI_RGB, bottom-up — genuine container
+    * bytes, parsed back by [[graft.sources.Bmp.decode]] in the pHash
+    * pipeline). The pixel content is the deterministic [[grayPlane]]
+    * rule over the text — the corpus-synthesis half; a production
+    * deployment replaces THIS function with a parquet binary-column
+    * scan and nothing downstream changes. Synthesis is partition-local
+    * (mapPartitions), so the corpus never routes through the driver.
+    */
+  def imageDocs(spark: SparkSession, dir: String): Dataset[BinaryDoc] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        BinaryDoc(id, graft.sources.Bmp.encode24(32, 32, grayPlane(
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+      })
+  }
+
+  /** The corpus's AUDIO column, materialized: one real RIFF/WAVE mono
+    * 32-bit PCM clip per document, sample amplitudes = the text's
+    * Unicode code points (deterministic, cross-engine-replayable — the
+    * convention mm01/mm04 established; 32-bit because code points
+    * exceed 16-bit PCM range). Parsed back by
+    * [[graft.sources.Wav.decode]] in [[audioWindows]]. Same
+    * synthesis-vs-scan contract as [[imageDocs]].
+    */
+  def audioDocs(spark: SparkSession, dir: String): Dataset[BinaryDoc] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        BinaryDoc(id,
+          graft.sources.Wav.encodePcm32(text.codePoints().toArray.map(_.toLong)))
+      })
+  }
+
   def features(spark: SparkSession, dir: String): DataFrame =
     decodeFeatures(binaryDocs(spark, dir)).toDF().orderBy("doc_id")
 
@@ -108,21 +161,18 @@ object Multimodal {
     * emits a duration-proportional stream of frames/windows, not one
     * row per file, so the fan-out happens INSIDE the partition-local
     * decode (the `mapInPandas` batch analog), scaling with media
-    * seconds while the input stays one binary row. The stand-in
-    * "PCM decode" reads the payload's Unicode code points as sample
-    * amplitudes (deterministic, like [[fakeDecode]]'s dimensions —
-    * swap in a real WAV/Opus decoder and the window stream, schema,
-    * and downstream plan are unchanged). 16 samples per window;
-    * empty payloads decode to zero windows on both engines.
+    * seconds while the input stays one binary row. The decode is a
+    * REAL RIFF/WAVE PCM parse ([[graft.sources.Wav.decode]] — chunk
+    * walk, fmt validation, 32-bit sample reads); a zero-sample clip
+    * decodes to zero windows on both engines. 16 samples per window.
     */
   def audioWindows(docs: Dataset[BinaryDoc]): Dataset[AudioWindow] = {
     import docs.sparkSession.implicits._
     docs.flatMap { doc =>
-      val s = new String(doc.content, java.nio.charset.StandardCharsets.UTF_8)
-      if (s.isEmpty) Iterator.empty
-      else s.codePoints().toArray.grouped(16).zipWithIndex.map {
+      val samples = graft.sources.Wav.decode(doc.content)
+      samples.grouped(16).zipWithIndex.map {
         case (g, w) => AudioWindow(doc.doc_id, w.toLong,
-          g.map(c => c.toLong * c).sum, g.length.toLong)
+          g.map(c => c * c).sum, g.length.toLong)
       }
     }
   }
@@ -141,7 +191,7 @@ object Multimodal {
   def audioVad(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
-    val flag = audioWindows(binaryDocs(spark, dir)).toDF()
+    val flag = audioWindows(audioDocs(spark, dir)).toDF()
       .withColumn("voiced", col("e") >= col("ns") * lit(5000L))
       .transform(graft.Caches.scoped)
     val agg = flag.groupBy("doc_id").agg(
@@ -242,11 +292,15 @@ object Multimodal {
     h
   }
 
-  /** STUB "decode to luma plane" — the codec stand-in (the
-    * [[fakeDecode]] discipline), DISCRIMINATIVE by construction: the
-    * payload's code points split into 16-codepoint chunks (code points,
-    * not bytes — the cross-engine convention mm01/mm04 established),
-    * and each of the 64 row-blocks of the 32×32 plane takes the 16 MD5
+  /** The synthesized corpus's IMAGE CONTENT rule — the pixel plane
+    * [[imageDocs]] renders into real BMP bytes (it is no longer the
+    * decode path: [[phashNearDup]] recovers the plane by genuinely
+    * parsing the container via [[graft.sources.Bmp]]; this function is
+    * the generator the DuckDB oracle replays, exactly as ScaleGen's
+    * generators are). DISCRIMINATIVE by construction: the payload's
+    * code points split into 16-codepoint chunks (code points, not
+    * bytes — the cross-engine convention mm01/mm04 established), and
+    * each of the 64 row-blocks of the 32×32 plane takes the 16 MD5
     * bytes of `chunk(j mod nc) + "#" + j` — chunk content keyed by the
     * block index, so:
     *
@@ -262,10 +316,15 @@ object Multimodal {
     * Like a real pHash under crop/shift, the stub loses near-dup pairs
     * whose edit changes the chunk count (grid realignment) — recall is
     * partial by design, exactly the production perceptual-hash
-    * trade-off. Swap this for an actual image decoder + luma resize
-    * and nothing downstream changes.
+    * trade-off.
+    *
+    * Values are 0-255 (unsigned MD5 bytes), rendered by [[imageDocs]]
+    * as R=G=B gray pixels; integer BT.601 luma of equal channels is the
+    * identity, so `Bmp.luma32(Bmp.decode(Bmp.encode24(32, 32, plane)))
+    * == plane` bit-for-bit (MediaCodecSpec pins it) and the oracle's
+    * md5-derived plane stays valid against the decoded bytes.
     */
-  private[graft] def digestPlane(content: Array[Byte]): Array[Long] = {
+  private[graft] def grayPlane(content: Array[Byte]): Array[Long] = {
     val s = new String(content, java.nio.charset.StandardCharsets.UTF_8)
     val ncp = s.codePointCount(0, s.length)
     val nc = math.max(1, (ncp + 15) / 16)
@@ -305,12 +364,14 @@ object Multimodal {
   /** Perceptual-hash near-dup over the binary payloads — the IMAGE-DEDUP
     * shape of a multimodal corpus pipeline (x13's banded-Hamming
     * machinery applied to the media column). The hash is the REAL
-    * integer-exact DCT pHash ([[phash64]]) over the decoded plane; only
-    * the plane decode itself remains a labeled codec stub
-    * ([[digestPlane]]). Hashing runs inside the partition-local decode
-    * pass (one codec context per partition, the [[decodeFeatures]]
-    * shape) — exactly where a production pipeline computes it, so the
-    * corpus is never shuffled with payload bytes attached.
+    * integer-exact DCT pHash ([[phash64]]) over a plane recovered by a
+    * REAL container parse: [[graft.sources.Bmp.decode]] reads the BMP
+    * bytes of [[imageDocs]] (header validation, row order, stride
+    * padding), integer BT.601 luma, 32×32 box resample. Decoding and
+    * hashing run inside the partition-local pass (one pass per
+    * partition, the [[decodeFeatures]] shape) — exactly where a
+    * production pipeline computes it, so the corpus is never shuffled
+    * with payload bytes attached.
     *
     * Shape: 4 bands × 16 bits over the 63-bit hash; only band-equal
     * pairs enter the join, and the exact `bit_count(xor) ≤`
@@ -332,8 +393,9 @@ object Multimodal {
       bandCap: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val h = binaryDocs(spark, dir)
-      .mapPartitions(_.map(d => (d.doc_id, phash64(digestPlane(d.content)))))
+    val h = imageDocs(spark, dir)
+      .mapPartitions(_.map(d => (d.doc_id, phash64(
+        graft.sources.Bmp.luma32(graft.sources.Bmp.decode(d.content))))))
       .toDF("doc_id", "ph")
     val allBands = h.select(col("doc_id"), col("ph"),
         explode(expr("""transform(sequence(0, 3), i -> named_struct(

@@ -36,9 +36,12 @@ s$i AS MATERIALIZED (
 )"""
     }.mkString(",\n")
 
-  /** Shared oracle CTE chain: digest-plane decode → separable integer
-    * DCT (rows then columns) → 63-term mean-comparison bits → 63-bit
-    * hash → 4×16-bit band rows. Replays [[Multimodal.digestPlane]] and
+  /** Shared oracle CTE chain: the synthesized corpus's pixel-content
+    * rule → separable integer DCT (rows then columns) → 63-term
+    * mean-comparison bits → 63-bit hash → 4×16-bit band rows. Replays
+    * [[Multimodal.grayPlane]] (the GENERATOR — the engine side recovers
+    * the same plane by genuinely parsing the BMP bytes, so a
+    * [[graft.sources.Bmp]] decode bug breaks these rows) and
     * [[Multimodal.phash64]] exactly: every intermediate fits int64
     * (see [[Multimodal.PhashCosScale]]), and DuckDB's HUGEINT
     * aggregation is exact, so equality is by construction.
@@ -89,7 +92,7 @@ bands AS (
               1 + octet_length(encode(text)) % 480 AS fake_height,
               1 + octet_length(encode(text)) % 24 AS n_frames
               FROM documents ORDER BY doc_id"""),
-      "binary column + mapPartitions typed decode (stubbed codec)"),
+      "binary column + mapPartitions typed decode (payload plumbing)"),
 
     "mm02_frame_sample" -> QueryDef(
       (s, d) => Multimodal.frameSamples(s, d),
@@ -108,7 +111,7 @@ bands AS (
 
     // ── Image-dedup shape over the media column: banded Hamming join on
     // the integer-exact DCT pHash — see [[Multimodal.phashNearDup]]. The
-    // oracle replays the WHOLE pipeline in SQL: the digest-plane decode,
+    // oracle replays the WHOLE pipeline in SQL: the pixel-content rule,
     // both DCT passes against the [[Multimodal.PhashCos]] table rendered
     // below as integer literals, the 63-term mean comparison, and the
     // band-then-verify join — so both engines multiply identical

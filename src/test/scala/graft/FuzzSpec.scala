@@ -6,12 +6,13 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
 
 import org.scalacheck.Gen
 
-/** Mutation fuzzer for the hand-written binary parsers (S4): random
-  * truncations, bit flips, and byte splices of VALID `.xls` (CFB/BIFF8)
-  * and `.xlsx` (zip/XML) fixtures, asserting the untrusted-input
-  * contract — every outcome is either a successful parse or an
-  * `IllegalArgumentException`, never any other crash, never a hang,
-  * never an allocation bomb. The r9 hardening closed two known
+/** Mutation fuzzer for the hand-written binary parsers — the S4 Excel
+  * pair (`.xls` CFB/BIFF8, `.xlsx` zip/XML) and, since r12, the two
+  * media codecs behind the mm family (BMP, RIFF/WAVE): random
+  * truncations, bit flips, and byte splices of VALID fixtures,
+  * asserting the untrusted-input contract — every outcome is either a
+  * successful parse or an `IllegalArgumentException`, never any other
+  * crash, never a hang, never an allocation bomb. The r9 hardening closed two known
   * malformed shapes (SST odd split, rich-block overrun); this closes
   * the CLASS: any unchecked exception, unbounded loop, or
   * corrupted-length-field allocation a mutation can reach fails here.
@@ -94,10 +95,11 @@ class FuzzSpec extends SparkSpec {
   /** Parse on a worker with a wall cap; returns a failure description,
     * or None when the outcome honors the contract.
     */
-  private def check(bytes: Array[Byte]): Option[String] = {
+  private def check(parse: Array[Byte] => Any)(bytes: Array[Byte])
+      : Option[String] = {
     val fut = pool.submit(new Callable[Option[String]] {
       def call(): Option[String] =
-        try { sources.Xlsx.parse(bytes); None }
+        try { parse(bytes); None }
         catch {
           case _: IllegalArgumentException => None
           case e: Throwable => Some(s"unexpected ${e.getClass.getName}: $e")
@@ -111,12 +113,13 @@ class FuzzSpec extends SparkSpec {
     }
   }
 
-  private def fuzz(label: String, base: Array[Byte]): Unit = {
+  private def fuzz(label: String, base: Array[Byte],
+      parse: Array[Byte] => Any = sources.Xlsx.parse): Unit = {
     // warm the parse path so per-case timing is steady-state
-    sources.Xlsx.parse(base)
+    parse(base)
     val cases = Gen.listOfN(CasesPerBase, mutant(base)).sample.get
     val failures = cases.zipWithIndex.flatMap { case (bytes, i) =>
-      check(bytes).map { why =>
+      check(parse)(bytes).map { why =>
         // persist the reproducer before failing
         val f = java.io.File.createTempFile(s"fuzz_${label}_$i", ".bin")
         val o = new FileOutputStream(f)
@@ -149,5 +152,25 @@ class FuzzSpec extends SparkSpec {
   test(s"xlsx (zip/XML): $CasesPerBase mutations — every outcome is a " +
       "parse or IllegalArgumentException, never a hang") {
     fuzz("xlsx", xlsxBytes)
+  }
+
+  // the mm-family media codecs get the same treatment (r11 verdict #2)
+
+  private lazy val bmpBytes = sources.Bmp.encode24(32, 32,
+    graft.operators.Multimodal.grayPlane(
+      "fuzz corpus document".getBytes("UTF-8")))
+
+  private lazy val wavBytes = sources.Wav.encodePcm32(
+    "fuzz corpus document with enough samples to matter"
+      .codePoints().toArray.map(_.toLong))
+
+  test(s"bmp (DIB container): $CasesPerBase mutations — every outcome " +
+      "is a parse or IllegalArgumentException, never a hang") {
+    fuzz("bmp", bmpBytes, sources.Bmp.decode)
+  }
+
+  test(s"wav (RIFF/PCM): $CasesPerBase mutations — every outcome is a " +
+      "parse or IllegalArgumentException, never a hang") {
+    fuzz("wav", wavBytes, sources.Wav.decode)
   }
 }

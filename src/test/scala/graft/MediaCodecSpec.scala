@@ -1,0 +1,181 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Bmp, Wav}
+
+/** Contract pins for the two real media codecs behind the mm family:
+  * [[graft.sources.Bmp]] (image) and [[graft.sources.Wav]] (audio).
+  * Round-trips are bit-exact by design (integer luma of gray pixels is
+  * the identity; PCM stores the samples verbatim), every decode branch
+  * (row order, stride padding, palette, chunk walk) is exercised, and
+  * malformed inputs fail as IllegalArgumentException — the
+  * untrusted-input contract FuzzSpec then hammers at random.
+  */
+class MediaCodecSpec extends AnyFunSuite {
+
+  /** Hand-built 8bpp palettized BMP (the decode branch [[Bmp.encode24]]
+    * cannot produce): identity grayscale palette, chosen row order.
+    */
+  private def encode8(width: Int, height: Int, gray: Array[Long],
+      topDown: Boolean, colorsUsed: Int = 0): Array[Byte] = {
+    val stride = (width + 3) & ~3
+    val palN = if (colorsUsed == 0) 256 else colorsUsed
+    val pixelOff = 54 + 4 * palN
+    val out = new Array[Byte](pixelOff + stride * height)
+    def put16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def put32(o: Int, v: Int): Unit =
+      (0 until 4).foreach(i => out(o + i) = ((v >> (8 * i)) & 0xff).toByte)
+    out(0) = 'B'; out(1) = 'M'
+    put32(2, out.length); put32(10, pixelOff); put32(14, 40)
+    put32(18, width); put32(22, if (topDown) -height else height)
+    put16(26, 1); put16(28, 8); put32(30, 0)
+    put32(46, colorsUsed)
+    for (i <- 0 until palN) { // BGRX identity gray
+      out(54 + 4 * i) = i.toByte; out(55 + 4 * i) = i.toByte
+      out(56 + 4 * i) = i.toByte
+    }
+    for (r <- 0 until height; c <- 0 until width) {
+      val ir = if (topDown) r else height - 1 - r
+      out(pixelOff + r * stride + c) = gray(ir * width + c).toByte
+    }
+    out
+  }
+
+  private def plane(n: Int): Array[Long] =
+    Array.tabulate(n)(i => ((i * 37 + 11) % 256).toLong)
+
+  // ── BMP ──────────────────────────────────────────────────────────────
+
+  test("24bpp bottom-up round-trip is bit-exact: luma(decode(encode24)) " +
+      "recovers the gray plane") {
+    val p = plane(1024)
+    val img = Bmp.decode(Bmp.encode24(32, 32, p))
+    assert(img.width == 32 && img.height == 32)
+    assert(Bmp.luma(img).sameElements(p))
+    assert(Bmp.luma32(img).sameElements(p), "32x32 resample is identity")
+  }
+
+  test("top-down and bottom-up files decode to the same normalized image") {
+    val p = plane(32 * 16)
+    val up = Bmp.decode(Bmp.encode24(32, 16, p))
+    val down = Bmp.decode(Bmp.encode24(32, 16, p, topDown = true))
+    assert(up.pixels.sameElements(down.pixels))
+  }
+
+  test("odd-width rows honor the 4-byte stride padding") {
+    // width 3 → 9 data bytes, stride 12: a padding bug shears every row
+    val p = Array[Long](10, 20, 30, 40, 50, 60)
+    val img = Bmp.decode(Bmp.encode24(3, 2, p))
+    assert(Bmp.luma(img).sameElements(p))
+  }
+
+  test("8bpp palettized decode resolves indices through the palette, " +
+      "both row orders, truncated palettes included") {
+    val p = plane(8 * 4).map(_ % 200) // fits a 200-entry palette
+    for (td <- Seq(false, true); used <- Seq(0, 200)) {
+      val img = Bmp.decode(encode8(8, 4, p, topDown = td, colorsUsed = used))
+      assert(Bmp.luma(img).sameElements(p), s"topDown=$td colorsUsed=$used")
+    }
+  }
+
+  test("64x64 → 32x32 box resample is the exact integer block mean") {
+    // block (by,bx) holds values 4k..4k+3 → mean (16k+6)/4 = 4k+1
+    val src = new Array[Long](64 * 64)
+    for (by <- 0 until 32; bx <- 0 until 32; dy <- 0 until 2; dx <- 0 until 2)
+      src((by * 2 + dy) * 64 + bx * 2 + dx) =
+        ((by * 32 + bx) * 4 + dy * 2 + dx) % 256
+    val got = Bmp.luma32(Bmp.decode(Bmp.encode24(64, 64, src)))
+    for (by <- 0 until 32; bx <- 0 until 32) {
+      val k = by * 32 + bx
+      val vals = for (dy <- 0 until 2; dx <- 0 until 2)
+        yield (k * 4 + dy * 2 + dx) % 256
+      assert(got(k) == vals.sum / 4, s"block $k")
+    }
+  }
+
+  test("the mm pipeline parity: pHash over the PARSED container equals " +
+      "pHash over the generator plane — the oracle's premise") {
+    for (text <- Seq("", "hello spark", "a" * 100, "café ☃ corpus")) {
+      val p = graft.operators.Multimodal.grayPlane(text.getBytes("UTF-8"))
+      val viaCodec = graft.operators.Multimodal.phash64(
+        Bmp.luma32(Bmp.decode(Bmp.encode24(32, 32, p))))
+      assert(viaCodec == graft.operators.Multimodal.phash64(p), s"'$text'")
+    }
+  }
+
+  test("malformed BMPs fail as IllegalArgumentException") {
+    val good = Bmp.encode24(32, 32, plane(1024))
+    def mut(f: Array[Byte] => Array[Byte]): Array[Byte] = f(good.clone())
+    val bads = Seq[(String, Array[Byte])](
+      "empty" -> Array.emptyByteArray,
+      "bad magic" -> mut { b => b(0) = 'X'; b },
+      "truncated pixels" -> good.take(500),
+      "bad dib size" -> mut { b => b(14) = 39; b },
+      "compression" -> mut { b => b(30) = 1; b },
+      "zero width" -> mut { b => b(18) = 0; b(19) = 0; b(20) = 0; b },
+      "giant height (allocation bomb)" -> mut { b =>
+        b(22) = 0xff.toByte; b(23) = 0xff.toByte; b(24) = 0x7f; b },
+      "1bpp" -> mut { b => b(28) = 1; b },
+      "pixel offset past EOF" -> mut { b => b(10) = 0xff.toByte
+        b(11) = 0xff.toByte; b },
+      "palette index OOB" -> {
+        // 5-entry palette but indices up to 7
+        val p = Array.tabulate[Long](16)(i => (i % 8).toLong)
+        encode8(4, 4, p, topDown = false, colorsUsed = 5)
+      })
+    bads.foreach { case (why, b) =>
+      assertThrows[IllegalArgumentException](Bmp.decode(b))
+      ()
+    }
+  }
+
+  // ── WAV ──────────────────────────────────────────────────────────────
+
+  test("PCM32 round-trip is verbatim, negatives and code-point range " +
+      "included; zero samples decode to an empty stream") {
+    for (s <- Seq(Array.empty[Long], Array(0L), Array(-1L, 1L, -2147483648L,
+        2147483647L), Array(0x10FFFFL, 65L, 0L, 955L))) {
+      assert(Wav.decode(Wav.encodePcm32(s)).sameElements(s))
+    }
+  }
+
+  test("the chunk walk skips unknown chunks (odd sizes padded) and " +
+      "finds data after them") {
+    val base = Wav.encodePcm32(Array(7L, -9L, 100000L))
+    // splice a LIST chunk (odd 5-byte body + pad) between fmt and data
+    val head = base.take(36)
+    val tail = base.drop(36)
+    val list = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0,
+      'I', 'N', 'F', 'O', 'x', 0 /* pad */)
+    val spliced = head ++ list ++ tail
+    // fix the RIFF size field (informational, but keep it honest)
+    val riffSize = spliced.length - 8
+    (0 until 4).foreach(i =>
+      spliced(4 + i) = ((riffSize >> (8 * i)) & 0xff).toByte)
+    assert(Wav.decode(spliced).sameElements(Array(7L, -9L, 100000L)))
+  }
+
+  test("malformed WAVs fail as IllegalArgumentException") {
+    val good = Wav.encodePcm32(Array(1L, 2L, 3L))
+    def mut(f: Array[Byte] => Array[Byte]): Array[Byte] = f(good.clone())
+    val bads = Seq[(String, Array[Byte])](
+      "empty" -> Array.emptyByteArray,
+      "not RIFF" -> mut { b => b(0) = 'X'; b },
+      "not WAVE" -> mut { b => b(8) = 'X'; b },
+      "data before fmt / fmt missing" -> (good.take(12) ++ good.drop(36)),
+      "16-bit samples" -> mut { b => b(34) = 16; b },
+      "stereo" -> mut { b => b(22) = 2; b },
+      "non-PCM format tag" -> mut { b => b(20) = 3; b },
+      "unaligned data size" -> mut { b => b(40) = 11; b },
+      "truncated data" -> good.dropRight(4),
+      "giant data size (allocation bomb)" -> mut { b =>
+        b(40) = 0; b(41) = 0; b(42) = 0; b(43) = 0x7f; b })
+    bads.foreach { case (why, b) =>
+      assertThrows[IllegalArgumentException](Wav.decode(b))
+      ()
+    }
+  }
+}
