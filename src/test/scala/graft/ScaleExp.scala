@@ -26,8 +26,16 @@ import org.apache.spark.sql.SparkSession
   * β range across leave-out triples — the confidence statement the
   * 3-point differencing can't make (zero residual dof).
   *
-  * Usage: sbt "Test/runMain graft.ScaleExp [/tmp/scaledata] [passes]
-  *   [1,4,10[,20]] [rowsCsv] [outPath]"
+  * Usage: SPARK_DRIVER_MEM=24g sbt "Test/runMain graft.ScaleExp
+  *   [/tmp/scaledata] [passes] [1,4,10[,20]] [rowsCsv] [outPath]"
+  *
+  * 24g is the measured-clean config (SCALE.md round 11,
+  * `scale_exp_refit_24g.json`): at the default 8 GiB the in-suite 20×
+  * cells of the heavy rows measure old-gen pressure from neighboring
+  * rows' states, not the algorithm — x46's fit moved 1.37 → 1.03 on a
+  * 3× heap at constant code. A 20×-capable run on a smaller heap logs
+  * a warning and proceeds (see also [[IsoProbe]], the per-row isolated
+  * doubling recorder).
   */
 object ScaleExp {
 
@@ -128,6 +136,11 @@ object ScaleExp {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Heavy)
     val outPath = args.lift(4).getOrElse("/root/repo/scale_exp.json")
+    if (mults.max >= 20 &&
+        Runtime.getRuntime.maxMemory < 20L * 1024 * 1024 * 1024)
+      println("[scaleexp] WARNING: 20x+ cells on a heap < 20 GiB measure " +
+        "the suite's old-gen pressure, not the algorithm (SCALE.md r11) " +
+        "— launch with SPARK_DRIVER_MEM=24g")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -173,8 +186,13 @@ object ScaleExp {
       mults.map(m => s"t${m}_min_s").mkString(",") +
       ",alpha10,beta[,k,rmse,jack_lo..hi]")
     rows.foreach { case (q, ts, a, b, k, r, sp) =>
-      val tail = if (sp.isEmpty) "" else
-        f"  k=$k%7.4f rmse=$r%5.2f jack=[${sp.min}%4.2f..${sp.max}%4.2f]"
+      // gated on RUN MODE (4+ sizes), not on the jackknife spread being
+      // non-empty: a 4-point run where every leave-out triple hits the
+      // noise floor still produced a fit (k, rmse) worth reporting
+      val tail =
+        if (mults.length <= 3) ""
+        else if (sp.isEmpty) f"  k=$k%7.4f rmse=$r%5.2f jack=[noise floor]"
+        else f"  k=$k%7.4f rmse=$r%5.2f jack=[${sp.min}%4.2f..${sp.max}%4.2f]"
       println(f"[scaleexp] $q%-28s " +
         ts.map(t => f"$t%8.2f").mkString(" ") + f"  $a%5.2f  $b%5.2f$tail")
     }
@@ -185,10 +203,14 @@ object ScaleExp {
     val json = rows.map { case (q, ts, a, b, k, r, sp) =>
       val tf = mults.zip(ts)
         .map { case (m, t) => f"""\"t$m\":$t%.3f""" }.mkString(",")
-      val extra = if (sp.isEmpty) "" else
+      // 4+-size runs always carry the fit fields; an all-NaN jackknife
+      // (every leave-out triple at the noise floor) renders as null
+      // bounds instead of silently dropping k/rmse — '3-point mode' and
+      // '4-point noise floor' must stay distinguishable in the record
+      val extra = if (mults.length <= 3) "" else
         f""",\"k\":$k%.4f,\"rmse\":$r%.3f""" +
-          s""","beta_jack_lo":${num(sp.min)}""" +
-          s""","beta_jack_hi":${num(sp.max)}"""
+          s""","beta_jack_lo":${if (sp.isEmpty) "null" else num(sp.min)}""" +
+          s""","beta_jack_hi":${if (sp.isEmpty) "null" else num(sp.max)}"""
       s""""$q":{$tf,"alpha10":${num(a)},"beta":${num(b)}$extra}"""
     }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(

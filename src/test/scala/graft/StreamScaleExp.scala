@@ -28,7 +28,11 @@ import org.apache.spark.sql.streaming.StreamingQueryListener
   * Wall time should read ~linear in events (the per-micro-batch work IS
   * event-proportional); what must NOT grow super-linearly is state.
   *
-  * Usage: sbt "Test/runMain graft.StreamScaleExp [/tmp/scaledata] [passes] [1,4,10]"
+  * Usage: SPARK_DRIVER_MEM=24g sbt "Test/runMain graft.StreamScaleExp
+  *   [/tmp/scaledata] [passes] [1,4,10]"
+  * (24g = the measured-clean heap for 10×+ cells — ScaleExp's scaladoc
+  * has the round-11 attribution; smaller heaps fold harness old-gen
+  * pressure into the wall times.)
   */
 object StreamScaleExp {
 
