@@ -92,24 +92,39 @@ object Multimodal {
       .as[BinaryDoc]
   }
 
-  /** The corpus's IMAGE column, materialized: one real 32×32 grayscale
-    * BMP per document (24bpp BI_RGB, bottom-up — genuine container
-    * bytes, parsed back by [[graft.sources.Bmp.decode]] in the pHash
-    * pipeline). The pixel content is the deterministic [[grayPlane]]
-    * rule over the text — the corpus-synthesis half; a production
-    * deployment replaces THIS function with a parquet binary-column
-    * scan and nothing downstream changes. Synthesis is partition-local
-    * (mapPartitions), so the corpus never routes through the driver.
+  /** The corpus's IMAGE column, materialized MIXED-FORMAT, the way a
+    * real thumbnail corpus arrives: even doc_ids render as 32×32
+    * grayscale BMP (24bpp BI_RGB, bottom-up), odd doc_ids as 8-bit
+    * grayscale PNG (zlib scanlines, chunk CRCs) — genuine container
+    * bytes either way, parsed back by [[decodeImage]]'s magic-byte
+    * dispatch in the pHash pipeline. The pixel content is the
+    * deterministic [[grayPlane]] rule over the text — the
+    * corpus-synthesis half; a production deployment replaces THIS
+    * function with a parquet binary-column scan and nothing downstream
+    * changes. Synthesis is partition-local (mapPartitions), so the
+    * corpus never routes through the driver.
     */
   def imageDocs(spark: SparkSession, dir: String): Dataset[BinaryDoc] = {
     import spark.implicits._
     graft.Tables.documents(spark, dir)
       .select("doc_id", "text").as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        BinaryDoc(id, graft.sources.Bmp.encode24(32, 32, grayPlane(
-          text.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+        val plane = grayPlane(
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        BinaryDoc(id,
+          if (id % 2 == 0) graft.sources.Bmp.encode24(32, 32, plane)
+          else graft.sources.Png.encodeGray(32, 32, plane))
       })
   }
+
+  /** Container dispatch for the image column: PNG by signature, BMP
+    * otherwise (both parsers validate their own magic, so a foreign
+    * format fails as IllegalArgumentException, not as misparsed
+    * pixels). Returns the normalized [[graft.sources.Bmp.Image]].
+    */
+  def decodeImage(bytes: Array[Byte]): graft.sources.Bmp.Image =
+    if (graft.sources.Png.isPng(bytes)) graft.sources.Png.decode(bytes)
+    else graft.sources.Bmp.decode(bytes)
 
   /** The corpus's AUDIO column, materialized: one real RIFF/WAVE mono
     * 32-bit PCM clip per document, sample amplitudes = the text's
@@ -365,9 +380,10 @@ object Multimodal {
     * shape of a multimodal corpus pipeline (x13's banded-Hamming
     * machinery applied to the media column). The hash is the REAL
     * integer-exact DCT pHash ([[phash64]]) over a plane recovered by a
-    * REAL container parse: [[graft.sources.Bmp.decode]] reads the BMP
-    * bytes of [[imageDocs]] (header validation, row order, stride
-    * padding), integer BT.601 luma, 32×32 box resample. Decoding and
+    * REAL container parse: [[decodeImage]] dispatches the mixed
+    * BMP/PNG bytes of [[imageDocs]] on magic (header/CRC validation,
+    * row order, stride padding, zlib filter reconstruction), then
+    * integer BT.601 luma, 32×32 box resample. Decoding and
     * hashing run inside the partition-local pass (one pass per
     * partition, the [[decodeFeatures]] shape) — exactly where a
     * production pipeline computes it, so the corpus is never shuffled
@@ -395,7 +411,7 @@ object Multimodal {
     import spark.implicits._
     val h = imageDocs(spark, dir)
       .mapPartitions(_.map(d => (d.doc_id, phash64(
-        graft.sources.Bmp.luma32(graft.sources.Bmp.decode(d.content))))))
+        graft.sources.Bmp.luma32(decodeImage(d.content))))))
       .toDF("doc_id", "ph")
     val allBands = h.select(col("doc_id"), col("ph"),
         explode(expr("""transform(sequence(0, 3), i -> named_struct(

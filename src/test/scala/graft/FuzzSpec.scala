@@ -164,9 +164,18 @@ class FuzzSpec extends SparkSpec {
     "fuzz corpus document with enough samples to matter"
       .codePoints().toArray.map(_.toLong))
 
+  private lazy val pngBytes = sources.Png.encodeGray(32, 32,
+    graft.operators.Multimodal.grayPlane(
+      "fuzz corpus document".getBytes("UTF-8")))
+
   test(s"bmp (DIB container): $CasesPerBase mutations — every outcome " +
       "is a parse or IllegalArgumentException, never a hang") {
     fuzz("bmp", bmpBytes, sources.Bmp.decode)
+  }
+
+  test(s"png (zlib/chunk container): $CasesPerBase mutations — every " +
+      "outcome is a parse or IllegalArgumentException, never a hang") {
+    fuzz("png", pngBytes, sources.Png.decode)
   }
 
   test(s"wav (RIFF/PCM): $CasesPerBase mutations — every outcome is a " +

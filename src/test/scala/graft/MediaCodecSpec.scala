@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.{Bmp, Wav}
+import graft.sources.{Bmp, Png, Wav}
 
 /** Contract pins for the two real media codecs behind the mm family:
   * [[graft.sources.Bmp]] (image) and [[graft.sources.Wav]] (audio).
@@ -97,12 +97,14 @@ class MediaCodecSpec extends AnyFunSuite {
   }
 
   test("the mm pipeline parity: pHash over the PARSED container equals " +
-      "pHash over the generator plane — the oracle's premise") {
+      "pHash over the generator plane, for BOTH containers — the " +
+      "oracle's premise") {
     for (text <- Seq("", "hello spark", "a" * 100, "café ☃ corpus")) {
       val p = graft.operators.Multimodal.grayPlane(text.getBytes("UTF-8"))
-      val viaCodec = graft.operators.Multimodal.phash64(
-        Bmp.luma32(Bmp.decode(Bmp.encode24(32, 32, p))))
-      assert(viaCodec == graft.operators.Multimodal.phash64(p), s"'$text'")
+      val want = graft.operators.Multimodal.phash64(p)
+      for (bytes <- Seq(Bmp.encode24(32, 32, p), Png.encodeGray(32, 32, p)))
+        assert(graft.operators.Multimodal.phash64(Bmp.luma32(
+          graft.operators.Multimodal.decodeImage(bytes))) == want, s"'$text'")
     }
   }
 
@@ -130,6 +132,139 @@ class MediaCodecSpec extends AnyFunSuite {
       assertThrows[IllegalArgumentException](Bmp.decode(b))
       ()
     }
+  }
+
+  // ── PNG ──────────────────────────────────────────────────────────────
+
+  /** Build a PNG from pre-filtered raw scanlines (filter byte + data per
+    * row) — lets the tests exercise decode branches the gray encoder
+    * never emits (filters 1-4, truecolor, RGBA).
+    */
+  private def buildPng(width: Int, height: Int, colorType: Int,
+      raw: Array[Byte]): Array[Byte] = {
+    import java.util.zip.{CRC32, Deflater}
+    val d = new Deflater(); d.setInput(raw); d.finish()
+    val zb = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!d.finished()) zb.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte), 0, 8)
+    def be32(v: Int) = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(t: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length), 0, 4)
+      val tb = t.getBytes("US-ASCII")
+      out.write(tb, 0, 4); out.write(data, 0, data.length)
+      val c = new CRC32; c.update(tb); c.update(data)
+      out.write(be32(c.getValue.toInt), 0, 4)
+    }
+    chunk("IHDR", be32(width) ++ be32(height) ++
+      Array[Byte](8, colorType.toByte, 0, 0, 0))
+    chunk("IDAT", zb.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  test("png grayscale round-trip is bit-exact, directly and through " +
+      "the Multimodal.decodeImage dispatch") {
+    val p = plane(1024)
+    val bytes = Png.encodeGray(32, 32, p)
+    assert(Bmp.luma(Png.decode(bytes)).sameElements(p))
+    assert(Bmp.luma(graft.operators.Multimodal.decodeImage(bytes))
+      .sameElements(p))
+    // and the dispatch still routes BMP bytes to the BMP parser
+    assert(Bmp.luma(graft.operators.Multimodal.decodeImage(
+      Bmp.encode24(32, 32, p))).sameElements(p))
+  }
+
+  test("png filters 1-4 (Sub/Up/Average/Paeth) reconstruct exactly") {
+    val w = 6; val h = 5
+    val img = Array.tabulate[Int](w * h)(i => (i * 53 + 7) % 256)
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b)
+      val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    for (f <- 1 to 4) {
+      // forward-filter every row with filter f (grayscale: bpp = 1)
+      val raw = new Array[Byte]((1 + w) * h)
+      for (r <- 0 until h) {
+        raw(r * (1 + w)) = f.toByte
+        for (c <- 0 until w) {
+          val x = img(r * w + c)
+          val a = if (c > 0) img(r * w + c - 1) else 0
+          val up = if (r > 0) img((r - 1) * w + c) else 0
+          val ul = if (r > 0 && c > 0) img((r - 1) * w + c - 1) else 0
+          val pred = f match {
+            case 1 => a
+            case 2 => up
+            case 3 => (a + up) / 2
+            case 4 => paeth(a, up, ul)
+          }
+          raw(r * (1 + w) + 1 + c) = ((x - pred) & 0xff).toByte
+        }
+      }
+      val got = Png.decode(buildPng(w, h, 0, raw))
+      assert(got.pixels.map(_ & 0xff).sameElements(img), s"filter $f")
+    }
+  }
+
+  test("png truecolor and RGBA decode to packed pixels, alpha dropped") {
+    // 2x2: distinct RGB per pixel
+    val px = Seq((10, 20, 30), (200, 150, 100), (0, 255, 7), (99, 98, 97))
+    val raw2 = Array[Byte](0) ++ px.take(2).flatMap { case (r, g, b) =>
+      Seq(r.toByte, g.toByte, b.toByte) } ++
+      Array[Byte](0) ++ px.drop(2).flatMap { case (r, g, b) =>
+      Seq(r.toByte, g.toByte, b.toByte) }
+    val t2 = Png.decode(buildPng(2, 2, 2, raw2))
+    assert(t2.pixels.toSeq == px.map { case (r, g, b) =>
+      (r << 16) | (g << 8) | b })
+    val raw6 = Array[Byte](0) ++ px.take(2).flatMap { case (r, g, b) =>
+      Seq(r.toByte, g.toByte, b.toByte, 0x80.toByte) } ++
+      Array[Byte](0) ++ px.drop(2).flatMap { case (r, g, b) =>
+      Seq(r.toByte, g.toByte, b.toByte, 0xff.toByte) }
+    val t6 = Png.decode(buildPng(2, 2, 6, raw6))
+    assert(t6.pixels.toSeq == px.map { case (r, g, b) =>
+      (r << 16) | (g << 8) | b })
+  }
+
+  test("malformed PNGs fail as IllegalArgumentException") {
+    val good = Png.encodeGray(32, 32, plane(1024))
+    def mut(f: Array[Byte] => Array[Byte]): Array[Byte] = f(good.clone())
+    val bads = Seq[(String, Array[Byte])](
+      "empty" -> Array.emptyByteArray,
+      "bad signature" -> mut { b => b(0) = 'X'; b },
+      "corrupted IDAT byte (CRC catches it)" -> mut { b =>
+        b(60) = (b(60) ^ 0x40).toByte; b },
+      "truncated" -> good.take(good.length - 20),
+      "no IEND" -> good.take(good.length - 12),
+      "interlaced" -> mut { b => b(28) = 1; patchIhdrCrc(b); b },
+      "bit depth 16" -> mut { b => b(24) = 16; patchIhdrCrc(b); b },
+      "palette color type" -> mut { b => b(25) = 3; patchIhdrCrc(b); b },
+      "height lies (inflated size mismatch)" -> mut { b =>
+        b(23) = 33; patchIhdrCrc(b); b },
+      "unknown filter" -> {
+        val raw = Array[Byte](7) ++ Array.fill[Byte](4)(1)
+        buildPng(4, 1, 0, raw)
+      })
+    bads.foreach { case (why, b) =>
+      assertThrows[IllegalArgumentException](Png.decode(b))
+      ()
+    }
+  }
+
+  /** Recompute the IHDR CRC after a test mutates IHDR fields, so the
+    * failure under test is the FIELD check, not the CRC check.
+    */
+  private def patchIhdrCrc(b: Array[Byte]): Unit = {
+    val c = new java.util.zip.CRC32
+    c.update(b, 12, 4 + 13) // type + data
+    val v = c.getValue.toInt
+    b(29) = ((v >> 24) & 0xff).toByte; b(30) = ((v >> 16) & 0xff).toByte
+    b(31) = ((v >> 8) & 0xff).toByte; b(32) = (v & 0xff).toByte
   }
 
   // ── WAV ──────────────────────────────────────────────────────────────
