@@ -81,6 +81,44 @@ class MediaCodecSpec extends AnyFunSuite {
     }
   }
 
+  /** Hand-built 32bpp BMP (BGRA, alpha ignored) with a selectable DIB
+    * header size — covers the two decode branches [[Bmp.encode24]]
+    * never emits (32-bit pixels, V4/V5 headers).
+    */
+  private def encode32(width: Int, height: Int, rgb: Array[Int],
+      dibSize: Int): Array[Byte] = {
+    val pixelOff = 14 + dibSize
+    val out = new Array[Byte](pixelOff + 4 * width * height)
+    def put16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def put32(o: Int, v: Int): Unit =
+      (0 until 4).foreach(i => out(o + i) = ((v >> (8 * i)) & 0xff).toByte)
+    out(0) = 'B'; out(1) = 'M'
+    put32(2, out.length); put32(10, pixelOff); put32(14, dibSize)
+    put32(18, width); put32(22, height) // bottom-up
+    put16(26, 1); put16(28, 32); put32(30, 0)
+    for (r <- 0 until height; c <- 0 until width) {
+      val p = rgb((height - 1 - r) * width + c)
+      val o = pixelOff + (r * width + c) * 4
+      out(o) = (p & 0xff).toByte // B
+      out(o + 1) = ((p >> 8) & 0xff).toByte // G
+      out(o + 2) = ((p >> 16) & 0xff).toByte // R
+      out(o + 3) = 0x7f // alpha, must be ignored
+    }
+    out
+  }
+
+  test("32bpp BGRA decode drops alpha; V4/V5 DIB headers accepted") {
+    val rgb = Array(0x102030, 0xFFEEDD, 0x000000, 0xFF00FF,
+      0x00FF00, 0x0000FF)
+    for (dib <- Seq(40, 108, 124)) {
+      val img = Bmp.decode(encode32(3, 2, rgb, dib))
+      assert(img.width == 3 && img.height == 2, s"dib $dib")
+      assert(img.pixels.sameElements(rgb), s"dib $dib")
+    }
+  }
+
   test("64x64 → 32x32 box resample is the exact integer block mean") {
     // block (by,bx) holds values 4k..4k+3 → mean (16k+6)/4 = 4k+1
     val src = new Array[Long](64 * 64)
