@@ -67,19 +67,33 @@ object IsoProbe {
       s.stop()
     }
 
+    // 1-minute load average BEFORE a pass starts — our own 32-thread
+    // run inflates it DURING the pass, so the pre-pass reading is the
+    // external-contention sentinel. Recorded per row as load_max so a
+    // spiked probe window is visible in the record itself (this box
+    // takes external spikes to load-avg 20+ with none of our JVMs
+    // running — BASELINE.md's standing host-band note).
+    def load1(): Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+
     val results = rows.map { q =>
       val s = session() // fresh session per row: no neighbor state
       // warm at the SMALLER size (plans, codegen, JIT)
       Caches.scope(s)(SparkEntry.queries(q)(s, s"$base/x${mults.head}")
         .count())
       s.catalog.clearCache()
+      var loadMax = -1.0
       val mins = mults.map { m =>
         val ts = (1 to passes).map { p =>
+          val l = load1()
+          loadMax = math.max(loadMax, l)
           val t0 = System.nanoTime()
           Caches.scope(s)(SparkEntry.queries(q)(s, s"$base/x$m").count())
           val dt = (System.nanoTime() - t0) / 1e9
           s.catalog.clearCache()
-          println(f"[isoprobe] $q x$m pass $p $dt%7.2f s")
+          println(f"[isoprobe] $q x$m pass $p $dt%7.2f s (pre-pass load $l%.1f)")
           dt
         }
         ts.min
@@ -88,14 +102,16 @@ object IsoProbe {
       val ratio = mins(1) / mins(0)
       val beta2 = math.log(ratio) / math.log(2.0)
       println(f"[isoprobe] $q%-28s t${mults.head}=${mins(0)}%.2f " +
-        f"t${mults(1)}=${mins(1)}%.2f ratio=$ratio%.2f beta2=$beta2%.2f")
-      q -> (mins, ratio, beta2)
+        f"t${mults(1)}=${mins(1)}%.2f ratio=$ratio%.2f beta2=$beta2%.2f " +
+        f"load_max=$loadMax%.1f")
+      q -> (mins, ratio, beta2, loadMax)
     }
 
-    val block = results.map { case (q, (mins, ratio, beta2)) =>
+    val block = results.map { case (q, (mins, ratio, beta2, loadMax)) =>
       f""""$q":{"t${mults.head}":${mins(0)}%.3f,""" +
         f""""t${mults(1)}":${mins(1)}%.3f,""" +
-        f""""ratio":$ratio%.3f,"beta2":$beta2%.3f}"""
+        f""""ratio":$ratio%.3f,"beta2":$beta2%.3f,""" +
+        f""""load_max":$loadMax%.2f}"""
     }.mkString("{", ",", "}")
     val p = java.nio.file.Paths.get(outPath)
     val existing =
