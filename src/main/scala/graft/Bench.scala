@@ -86,6 +86,11 @@ object Bench {
     val all = scala.collection.mutable.ArrayBuffer
       .empty[Map[String, (Double, Boolean)]]
     (0 until passes).foreach(p => all += run(p))
+    // replaceCap 0 = spike handling fully OFF (no detection, no
+    // exclusion) — the pre-r12 methodology, reproducible for A/Bs.
+    // Detection-without-replacement would silently change which passes
+    // the medians run over while claiming to be "disabled".
+    if (replaceCap == 0) return (all.toSeq, Nil)
     def poisoned(): Seq[Int] = {
       val okEverywhere = all.map(_.collect { case (n, (_, true)) => n }.toSet)
         .reduce(_ intersect _)
@@ -119,7 +124,8 @@ object Bench {
     }
     // spike handling knobs (see collectPasses): parsed up front like
     // SPARK_GRAFT_BENCH_PASSES so a malformed value fails before the
-    // session build. Replacement budget 0 disables spike handling.
+    // session build. Replacement budget 0 disables spike handling
+    // entirely (no detection, no exclusion — the pre-r12 methodology).
     val replaceCap = sys.env.get("SPARK_GRAFT_BENCH_REPLACE") match {
       case None => 2
       case Some(p) =>
@@ -321,8 +327,13 @@ object Bench {
         else errors.mkString(",\"errors\":[\"", "\",\"", "\"]")
       val pts = passTotals.map(fmt).mkString("[", ",", "]")
       val repl = replacedIdx.mkString("[", ",", "]")
+      // `passes` = the CONFIGURED count; after replacement it matches
+      // neither pass_totals' length nor the clean-pass count the medians
+      // ran over, so both actuals are recorded explicitly
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
         s""","n_queries":${results.size},"passes":$passes""" +
+        s""","n_passes_run":${allPasses.length}""" +
+        s""","n_passes_kept":${perPass.length}""" +
         s""","n_under_1s":$nUnder1,"sum_under_1s":${fmt(sumUnder1)}""" +
         s""","pass_totals":$pts,"replaced_passes":$repl""" +
         s""","queries":$qs$errs$extra,"sf":"$sfDir"}"""

@@ -129,14 +129,17 @@ object GraftExtensions {
     * inside an otherwise pure builder, and floods the log with
     * "replaced a previously registered function" warnings).
     *
-    * "Ours" = `sum_weighted_entries` present AND source "built-in"
-    * (what install stamps) — the sentinel stands in for the whole set
-    * because install only ever registers all functions together. A
-    * foreign same-name registration (`spark.udf.register` stamps
-    * "scala_udf"/"java_udf") fails the source check and is replaced,
-    * not silently used. NOT checked by class: createOrReplaceTempFunction
-    * records the builder LAMBDA's class name, which is JVM-unique, so a
-    * class match would re-install on every construction.
+    * "Ours" = EVERY function present AND source "built-in" (what
+    * install stamps) — checked per function, not via a single sentinel,
+    * so a foreign same-name registration of ANY of them
+    * (`spark.udf.register` stamps "scala_udf"/"java_udf") or a dropped
+    * entry triggers a full re-install rather than being silently used
+    * (a foreign `dot_long` would otherwise feed the cosine rescoring
+    * wrong numbers with no error). The dozen registry lookups are
+    * nothing against a query build. NOT checked by class:
+    * createOrReplaceTempFunction records the builder LAMBDA's class
+    * name, which is JVM-unique, so a class match would re-install on
+    * every construction.
     *
     * Note the gate is hygiene, not a codegen-cache lever: the generated-
     * class cache is keyed on (classloader, source text), which a registry
@@ -144,9 +147,10 @@ object GraftExtensions {
     * for builders that installed unconditionally.
     */
   def ensureInstalled(spark: SparkSession): Unit = {
-    val ours = spark.sessionState.functionRegistry
-      .lookupFunction(FunctionIdentifier("sum_weighted_entries"))
-      .exists(_.getSource == "built-in")
+    val registry = spark.sessionState.functionRegistry
+    val ours = functions.forall { case (id, _, _) =>
+      registry.lookupFunction(id).exists(_.getSource == "built-in")
+    }
     if (!ours) install(spark)
   }
 }

@@ -59,7 +59,12 @@ object Bmp {
     try decode0(bytes)
     catch {
       case e: IllegalArgumentException => throw e
-      case e: Throwable => // OOB/arithmetic on truncated input — same class
+      // NonFatal only — an OOB/arithmetic crash on truncated input is
+      // the input's fault, but an OutOfMemoryError or other VM error
+      // must surface as itself, not masquerade as "malformed input"
+      // (an executor near its heap limit retrying a 'parse failure'
+      // forever is worse than the crash)
+      case scala.util.control.NonFatal(e) =>
         throw new IllegalArgumentException(s"malformed BMP: $e", e)
     }
 

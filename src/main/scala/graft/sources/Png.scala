@@ -42,7 +42,9 @@ object Png {
     try decode0(bytes)
     catch {
       case e: IllegalArgumentException => throw e
-      case e: Throwable => // OOB / zlib DataFormatException / arithmetic
+      // NonFatal only (see Bmp.decode): OOB / zlib DataFormatException /
+      // arithmetic rebrand as malformed input; VM errors surface as-is
+      case scala.util.control.NonFatal(e) =>
         throw new IllegalArgumentException(s"malformed PNG: $e", e)
     }
 

@@ -44,7 +44,8 @@ object Wav {
     try decode0(bytes)
     catch {
       case e: IllegalArgumentException => throw e
-      case e: Throwable =>
+      // NonFatal only (see Bmp.decode): VM errors surface as-is
+      case scala.util.control.NonFatal(e) =>
         throw new IllegalArgumentException(s"malformed WAV: $e", e)
     }
 

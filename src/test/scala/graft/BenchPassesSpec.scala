@@ -48,10 +48,11 @@ class BenchPassesSpec extends AnyFunSuite {
     assert(all.length - bad.length == 1, "the min pass is always kept")
   }
 
-  test("budget 0 disables replacement but still flags poisoned passes") {
+  test("budget 0 disables spike handling ENTIRELY — no detection, no " +
+      "exclusion (the pre-r12 methodology, for A/Bs)") {
     val (all, bad) = Bench.collectPasses(3, 0, 1.25, scripted(
       pass("a" -> 100.0), pass("a" -> 300.0), pass("a" -> 101.0)))
-    assert(all.length == 3 && bad == Seq(1))
+    assert(all.length == 3 && bad.isEmpty)
   }
 
   test("a cleaner replacement re-classifies an earlier pass against " +

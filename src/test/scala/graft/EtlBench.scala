@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Round-over-round wall-time tracker for the serve-tier nightly
   * composite `Graft.runCorpusEtl` (spec-gated in RunEtlSpec, but specs
@@ -25,17 +24,7 @@ object EtlBench {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val passes = args.lift(1).map(_.toInt).getOrElse(3)
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.session.timeZone", "UTC")
-      // registry-sized codegen-class cache + no per-run artifact
-      // classloaders (see Bench.scala's notes)
-      .config("spark.sql.codegen.cache.maxEntries", 8192)
-      .config("spark.sql.artifact.isolation.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = HarnessSession.build()
     val out = java.nio.file.Files
       .createTempDirectory("etlbench").toString
     def clearRoots(): Unit = Seq(

@@ -42,23 +42,12 @@ object IsoProbe {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(DefaultRows)
     val outPath = args.lift(4).getOrElse("/root/repo/scale_exp_refit.json")
-    if (Runtime.getRuntime.maxMemory < 20L * 1024 * 1024 * 1024)
+    if (HarnessSession.smallHeap)
       println("[isoprobe] WARNING: heap < 20 GiB — SCALE.md's clean " +
         "config is SPARK_DRIVER_MEM=24g; smaller heaps can re-measure " +
         "the suite's heap pressure instead of the algorithm")
 
-    def session(): SparkSession = {
-      val s = SparkSession.builder()
-        .master("local[32]")
-        .config("spark.sql.shuffle.partitions", 32)
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.codegen.cache.maxEntries", 8192)
-        .config("spark.sql.artifact.isolation.enabled", "false")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-      s.sparkContext.setLogLevel("WARN")
-      s
-    }
+    def session(): SparkSession = HarnessSession.build()
 
     // generate the datasets once, before any timed session
     locally {

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Scaling-exponent measurement for the heaviest registry rows
   * (SCALE.md's measured-exponents table): generates the [[ScaleGen]]
@@ -136,22 +135,11 @@ object ScaleExp {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Heavy)
     val outPath = args.lift(4).getOrElse("/root/repo/scale_exp.json")
-    if (mults.max >= 20 &&
-        Runtime.getRuntime.maxMemory < 20L * 1024 * 1024 * 1024)
+    if (mults.max >= 20 && HarnessSession.smallHeap)
       println("[scaleexp] WARNING: 20x+ cells on a heap < 20 GiB measure " +
         "the suite's old-gen pressure, not the algorithm (SCALE.md r11) " +
         "— launch with SPARK_DRIVER_MEM=24g")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.session.timeZone", "UTC")
-      // registry-sized codegen-class cache + no per-run artifact
-      // classloaders (see Bench.scala's notes)
-      .config("spark.sql.codegen.cache.maxEntries", 8192)
-      .config("spark.sql.artifact.isolation.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = HarnessSession.build()
     val dirs = mults.map(m => m -> s"$base/x$m")
     dirs.foreach { case (m, dir) => ScaleGen.write(spark, dir, m) }
     // warm-up at the smallest size: plans, codegen, JIT

@@ -2,7 +2,6 @@ package graft
 
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.StreamingQueryListener
 
 /** Streaming scaling measurement — the firehose counterpart of
@@ -44,17 +43,7 @@ object StreamScaleExp {
     val passes = args.lift(1).map(_.toInt).getOrElse(2)
     val mults = args.lift(2).getOrElse("1,4,10")
       .split(",").map(_.trim.toInt).toSeq
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.session.timeZone", "UTC")
-      // registry-sized codegen-class cache + no per-run artifact
-      // classloaders (see Bench.scala's notes)
-      .config("spark.sql.codegen.cache.maxEntries", 8192)
-      .config("spark.sql.artifact.isolation.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = HarnessSession.build()
     val dirs = mults.map(m => m -> s"$base/x$m")
     dirs.foreach { case (m, dir) => ScaleGen.write(spark, dir, m) }
 
