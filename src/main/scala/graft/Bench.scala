@@ -32,7 +32,15 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_BENCH_SPIKE (default 1.25) × the min pass — are replaced
   * from a bounded budget (SPARK_GRAFT_BENCH_REPLACE, default 2) and
   * excluded from the medians; `replaced_passes` records the excluded
-  * indices (see [[collectPasses]]).
+  * indices (see [[collectPasses]]). If the budget exhausts while the
+  * clean subset is still short of the configured count (round 12: a
+  * spike storm left the graded "median" standing on 2 of 3 passes),
+  * the run waits for the 1-min load sentinel to clear
+  * (SPARK_GRAFT_BENCH_COOLDOWN / SPARK_GRAFT_BENCH_LOAD_OK) and
+  * re-arms the budget ONCE; a deficit that survives even that ships
+  * `degraded:true` so downstream reads don't mistake a thin median for
+  * a full one. Each pass's pre-pass load lands in `pass_load` — the
+  * WHY next to `replaced_passes`' which.
   *
   * Before the timed pass, EVERY declared query runs once against the
   * smallest scale factor: per-query numbers are dominated by first-touch
@@ -71,16 +79,26 @@ object Bench {
     * floor can re-classify an earlier pass, which is the point: the
     * threshold tracks the quietest window actually observed.
     *
-    * Returns (all passes in run order, poisoned pass indices). At least
-    * the minimum pass is always clean, so the caller never loses every
+    * When the budget exhausts with FEWER than `passes` clean passes (the
+    * r12 graded record: a spike storm burned both replacements and the
+    * "median" degenerated to the midpoint of 2 values), `cooldown` runs
+    * ONCE: it should block until the host settles (Bench passes a
+    * load-sentinel wait) and return whether it did. On true the budget
+    * re-arms once and replacement continues; on false (host still
+    * loaded — more passes would just be poisoned again) the deficit
+    * stands and the caller must stamp its record degraded.
+    *
+    * Returns (all passes in run order, poisoned pass indices, rearmed).
+    * At least one pass is always kept, so the caller never loses every
     * pass; if the budget runs out with fewer than `passes` clean passes,
     * medians simply run over the clean subset.
     */
   private[graft] def collectPasses(
       passes: Int, replaceCap: Int, spikeFactor: Double,
       run: Int => Map[String, (Double, Boolean)],
-      minExcessSec: Double = 2.0)
-      : (Seq[Map[String, (Double, Boolean)]], Seq[Int]) = {
+      minExcessSec: Double = 2.0,
+      cooldown: () => Boolean = () => false)
+      : (Seq[Map[String, (Double, Boolean)]], Seq[Int], Boolean) = {
     require(passes >= 1 && replaceCap >= 0 && spikeFactor > 1.0 &&
       minExcessSec >= 0.0)
     val all = scala.collection.mutable.ArrayBuffer
@@ -90,23 +108,60 @@ object Bench {
     // exclusion) — the pre-r12 methodology, reproducible for A/Bs.
     // Detection-without-replacement would silently change which passes
     // the medians run over while claiming to be "disabled".
-    if (replaceCap == 0) return (all.toSeq, Nil)
+    if (replaceCap == 0) return (all.toSeq, Nil, false)
     def poisoned(): Seq[Int] = {
-      val okEverywhere = all.map(_.collect { case (n, (_, true)) => n }.toSet)
-        .reduce(_ intersect _)
-      val totals = all.toSeq.map(
-        _.collect { case (n, (dt, true)) if okEverywhere(n) => dt }.sum)
-      val floor = totals.min
-      totals.zipWithIndex.collect {
-        case (t, i) if t > floor * spikeFactor && t - floor > minExcessSec
-          => i }
+      // A pass that failed EVERY query is excluded from the comparison
+      // AND poisoned itself: with it in the comparable set, okEverywhere
+      // goes empty, every comparable total collapses to 0, and genuinely
+      // loaded passes silently un-flag and re-enter the medians (r12
+      // ADVICE — the disk-full-mid-bench shape). It cannot anchor a
+      // floor either: a pass with zero successful queries measured
+      // nothing.
+      val allFailed = all.zipWithIndex.collect {
+        case (m, i) if !m.values.exists(_._2) => i }.toSet
+      val cmp = all.zipWithIndex.toSeq
+        .filterNot { case (_, i) => allFailed(i) }
+      val spiked: Seq[Int] =
+        if (cmp.isEmpty) Nil
+        else {
+          val okEverywhere = cmp
+            .map(_._1.collect { case (n, (_, true)) => n }.toSet)
+            .reduce(_ intersect _)
+          if (okEverywhere.isEmpty) Nil
+          else {
+            val totals = cmp.map { case (m, i) =>
+              (m.collect {
+                case (n, (dt, true)) if okEverywhere(n) => dt }.sum, i) }
+            val floor = totals.map(_._1).min
+            totals.collect { case (t, i)
+              if t > floor * spikeFactor && t - floor > minExcessSec => i }
+          }
+        }
+      val p = (allFailed ++ spiked).toSeq.sorted
+      // never lose every pass: a record with zero kept passes has no
+      // medians at all — keep the first (its failures stay visible as
+      // negative durations + the errors list)
+      if (p.size == all.size) p.tail else p
     }
+    var rearmed = false
     var replaced = 0
-    while (all.size - poisoned().size < passes && replaced < replaceCap) {
+    def deficit: Boolean = all.size - poisoned().size < passes
+    while (deficit && replaced < replaceCap) {
       all += run(all.size)
       replaced += 1
     }
-    (all.toSeq, poisoned())
+    // kept-pass deficit after the budget (r12 verdict #1): one bounded
+    // chance to settle and re-arm, instead of quietly shipping a
+    // degenerate median
+    if (deficit && cooldown()) {
+      rearmed = true
+      replaced = 0
+      while (deficit && replaced < replaceCap) {
+        all += run(all.size)
+        replaced += 1
+      }
+    }
+    (all.toSeq, poisoned(), rearmed)
   }
 
   def main(args: Array[String]): Unit = {
@@ -141,6 +196,31 @@ object Bench {
         val v = p.toDoubleOption.getOrElse(0.0)
         require(v > 1.0,
           s"SPARK_GRAFT_BENCH_SPIKE must be a number > 1, got '$p'")
+        v
+    }
+    // kept-pass-deficit cooldown (r12 verdict #1): when the replacement
+    // budget exhausts with fewer clean passes than configured, wait up
+    // to this many seconds for the 1-min load average to drop under
+    // SPARK_GRAFT_BENCH_LOAD_OK, then re-arm the budget once. 0 turns
+    // the re-arm off (the record then ships degraded:true instead).
+    // Default 240 s: our own 32-thread pass drives the 1-min average to
+    // ~30, which decays under 4.0 in ~120 s on a quiet host — the wait
+    // must outlast self-load decay or it would always time out.
+    val cooldownMax = sys.env.get("SPARK_GRAFT_BENCH_COOLDOWN") match {
+      case None => 240
+      case Some(p) =>
+        val n = p.toIntOption.getOrElse(-1)
+        require(n >= 0,
+          s"SPARK_GRAFT_BENCH_COOLDOWN must be a non-negative integer " +
+            s"of seconds, got '$p'")
+        n
+    }
+    val loadOk = sys.env.get("SPARK_GRAFT_BENCH_LOAD_OK") match {
+      case None => 4.0
+      case Some(p) =>
+        val v = p.toDoubleOption.getOrElse(0.0)
+        require(v > 0.0,
+          s"SPARK_GRAFT_BENCH_LOAD_OK must be a positive number, got '$p'")
         v
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -247,7 +327,33 @@ object Bench {
     // same-code elsewhere). Rotation makes a time-localized transient
     // land on DIFFERENT queries in each pass; per-query medians then
     // survive any single transient shorter than a full pass.
+    // 1-min load average — the external-contention sentinel (the
+    // IsoProbe mechanism). Sampled at the START of each pass so the
+    // record says WHY a pass was excluded, not just which (r12 verdict
+    // #5); readings for passes ≥ 1 include the decaying tail of our own
+    // previous 32-thread pass, so the diagnostic read is RELATIVE — a
+    // spiked pass stands out against its neighbors' self-load floor.
+    def load1(): Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val passLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // Cooldown for a kept-pass deficit: poll until the sentinel clears
+    // loadOk or cooldownMax elapses; returns whether it cleared (false
+    // ⇒ no re-arm — more passes on a still-loaded host would just be
+    // poisoned again, and the record ships degraded:true instead).
+    def cooldown(): Boolean = {
+      if (cooldownMax == 0) return false
+      val deadline = System.nanoTime() + cooldownMax * 1000000000L
+      var l = load1()
+      while (l > loadOk && l >= 0.0 && System.nanoTime() < deadline) {
+        Thread.sleep(5000)
+        l = load1()
+      }
+      l >= 0.0 && l <= loadOk
+    }
     def runPass(p: Int): Map[String, (Double, Boolean)] = {
+      passLoads += load1()
       val rot = ((p % passes) * ordered.size) / passes
       val rotated = ordered.drop(rot) ++ ordered.take(rot)
       rotated.map { case (name, fn) =>
@@ -266,8 +372,9 @@ object Bench {
     // then replace any loaded one (comparable total > spikeFactor × the
     // min pass) from a bounded budget; poisoned passes stay visible in
     // pass_totals + replaced_passes but are excluded from the medians
-    val (allPasses, replacedIdx) =
-      collectPasses(passes, replaceCap, spikeFactor, runPass)
+    val (allPasses, replacedIdx, rearmed) =
+      collectPasses(passes, replaceCap, spikeFactor, runPass,
+        cooldown = cooldown _)
     val perPass: Seq[Map[String, (Double, Boolean)]] =
       allPasses.zipWithIndex
         .collect { case (m, i) if !replacedIdx.contains(i) => m }
@@ -327,15 +434,21 @@ object Bench {
         else errors.mkString(",\"errors\":[\"", "\",\"", "\"]")
       val pts = passTotals.map(fmt).mkString("[", ",", "]")
       val repl = replacedIdx.mkString("[", ",", "]")
+      val loads = passLoads.map(l => f"$l%.1f").mkString("[", ",", "]")
       // `passes` = the CONFIGURED count; after replacement it matches
       // neither pass_totals' length nor the clean-pass count the medians
-      // ran over, so both actuals are recorded explicitly
+      // ran over, so both actuals are recorded explicitly. `degraded`
+      // (r12 verdict #1): even after the one cooldown re-arm the clean
+      // subset is short of the configured count — the medians stand on
+      // fewer passes than BASELINE.md assumes and must be read so.
+      val degraded = perPass.length < passes
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
         s""","n_queries":${results.size},"passes":$passes""" +
         s""","n_passes_run":${allPasses.length}""" +
         s""","n_passes_kept":${perPass.length}""" +
         s""","n_under_1s":$nUnder1,"sum_under_1s":${fmt(sumUnder1)}""" +
         s""","pass_totals":$pts,"replaced_passes":$repl""" +
+        s""","pass_load":$loads,"degraded":$degraded,"rearmed":$rearmed""" +
         s""","queries":$qs$errs$extra,"sf":"$sfDir"}"""
     }
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",

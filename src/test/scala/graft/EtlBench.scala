@@ -9,8 +9,8 @@ package graft
   * seconds at the bench SF. The warm/cold split is the amortization
   * claim the serve tier makes, as a number instead of prose. Recorded
   * per round in `bench_builder_r{N}.json` as `run_corpus_etl_cold` /
-  * `run_corpus_etl_warm` (builder record only — the driver registry
-  * stays 251 rows).
+  * `run_corpus_etl_warm` (builder record only — the driver registry is
+  * not grown for it).
   *
   * Min-of-N with the raw passes retained (the Bench pattern — r11
   * verdict #4): cold readings swung 30.2/34.9/42.7 across same-code
@@ -18,12 +18,30 @@ package graft
   * only number comparable round-over-round) and `cold_passes` /
   * `warm_passes` keep the raw sweep for variance reads.
   *
+  * Sentinel discipline (r12 verdict #4: that round's cold passes
+  * 49.87/31.37/27.50 visibly rode a decaying external spike and only
+  * min-of-3 salvaged the floor): before each timed pass the run WAITS
+  * (bounded) for the 1-min load average to clear the threshold — the
+  * settled reading is the pass's sentinel, recorded in `cold_loads` /
+  * `warm_loads` — and a pass whose sentinel stayed over threshold is
+  * excluded from the min and replaced from a bounded budget
+  * (IsoProbe's knobs: SPARK_GRAFT_LOAD_OK default 4.0,
+  * SPARK_GRAFT_LOAD_WAIT default 150 s, SPARK_GRAFT_PROBE_REPLACE
+  * default 2 per phase).
+  *
   * Usage: sbt "Test/runMain graft.EtlBench [sfDir] [passes]"
   */
 object EtlBench {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val passes = args.lift(1).map(_.toInt).getOrElse(3)
+    val loadOk =
+      sys.env.get("SPARK_GRAFT_LOAD_OK").map(_.toDouble).getOrElse(4.0)
+    val loadWaitSec =
+      sys.env.get("SPARK_GRAFT_LOAD_WAIT").map(_.toInt).getOrElse(150)
+    val replaceCap =
+      sys.env.get("SPARK_GRAFT_PROBE_REPLACE").map(_.toInt).getOrElse(2)
+    require(loadOk > 0 && loadWaitSec >= 0 && replaceCap >= 0)
     val spark = HarnessSession.build()
     val out = java.nio.file.Files
       .createTempDirectory("etlbench").toString
@@ -37,24 +55,66 @@ object EtlBench {
           .sorted(java.util.Comparator.reverseOrder())
           .forEach(p => java.nio.file.Files.deleteIfExists(p))
     }
+    def load1(): Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def settle(): Double = {
+      val deadline = System.nanoTime() + loadWaitSec * 1000000000L
+      var l = load1()
+      while (l > loadOk && l >= 0.0 && System.nanoTime() < deadline) {
+        Thread.sleep(5000)
+        l = load1()
+      }
+      l
+    }
     def timed(): Double = {
       val t0 = System.nanoTime()
       Caches.scope(spark)(Graft.runCorpusEtl(spark, dir, out).count())
       spark.catalog.clearCache()
       (System.nanoTime() - t0) / 1e9
     }
+    // one phase = settle → time, repeated; spiked passes (sentinel over
+    // threshold after the bounded wait) replaced from the budget and
+    // excluded from the min — the IsoProbe/Bench discipline
+    def phase(name: String, prep: () => Unit): Seq[(Double, Double)] = {
+      val obs = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      def onePass(): Unit = {
+        prep()
+        val l = settle()
+        val dt = timed()
+        val tag = if (l > loadOk) " SPIKED" else ""
+        println(f"[etlbench] $name pass ${obs.size + 1} $dt%7.2f s " +
+          f"(sentinel $l%.1f)$tag")
+        obs += ((dt, l))
+      }
+      (1 to passes).foreach(_ => onePass())
+      var extra = 0
+      def clean = obs.count { case (_, l) => l >= 0.0 && l <= loadOk }
+      while (clean < passes && extra < replaceCap) { onePass(); extra += 1 }
+      obs.toSeq
+    }
     // JIT warm-up on the smallest SF (plans + codegen), its roots cold
     Caches.scope(spark)(
       Graft.runCorpusEtl(spark, "/root/testdata/sf0.001", out).count())
     spark.catalog.clearCache()
-    val colds = (1 to passes).map { _ => clearRoots(); timed() }
-    val warms = (1 to passes).map(_ => timed())
+    val colds = phase("cold", () => clearRoots())
+    val warms = phase("warm", () => ())
+    def keptMin(obs: Seq[(Double, Double)]): Double = {
+      val kept = obs.collect { case (dt, l) if l >= 0.0 && l <= loadOk => dt }
+      // zero clean passes even after the budget: fall back to the full
+      // sweep's min — the sentinel arrays expose the degradation
+      if (kept.nonEmpty) kept.min else obs.map(_._1).min
+    }
     def arr(xs: Seq[Double]): String =
       xs.map(x => f"$x%.2f").mkString("[", ",", "]")
-    val record = f"""{"run_corpus_etl_cold":${colds.min}%.2f,""" +
-      f""""run_corpus_etl_warm":${warms.min}%.2f,""" +
-      s""""cold_passes":${arr(colds)},"warm_passes":${arr(warms)},""" +
-      s""""sf":"$dir"}"""
+    val record = f"""{"run_corpus_etl_cold":${keptMin(colds)}%.2f,""" +
+      f""""run_corpus_etl_warm":${keptMin(warms)}%.2f,""" +
+      s""""cold_passes":${arr(colds.map(_._1))},""" +
+      s""""warm_passes":${arr(warms.map(_._1))},""" +
+      s""""cold_loads":${arr(colds.map(_._2))},""" +
+      s""""warm_loads":${arr(warms.map(_._2))},""" +
+      s""""load_ok":$loadOk,"sf":"$dir"}"""
     println(record)
     // file record, not stdout-only: the round-stamped
     // `bench_builder_r{N}.json` merges these keys so the amortization
