@@ -399,8 +399,9 @@ object Graft {
       run("x71_triangle_cc", spark, dir)
   }
 
-  /** Multimodal binary-column plumbing (real BMP/WAV codecs — see
-    * [[graft.sources.Bmp]]/[[graft.sources.Wav]]).
+  /** Multimodal binary-column plumbing (real mixed-format BMP/PNG/WAV
+    * codecs — see [[graft.sources.Bmp]]/[[graft.sources.Png]]/
+    * [[graft.sources.Wav]]).
     */
   object multimodal {
     def decodeFeatures(spark: SparkSession, dir: String): DataFrame =

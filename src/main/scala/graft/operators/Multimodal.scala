@@ -7,89 +7,70 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   *
   * Real pipelines carry images/audio/video as `binary` columns and decode
   * them in a partition-local loop (one codec instance per partition, not
-  * per row — the JVM twin of a `mapInPandas` batch UDF). Since round 12
-  * the codecs are REAL dependency-free parsers: the image family
-  * (mm03/mm03c/mm05) decodes an actual BMP container
-  * ([[graft.sources.Bmp]]) and the audio family (mm04) an actual
-  * RIFF/WAVE PCM stream ([[graft.sources.Wav]]) — both the S4 Excel
-  * treatment (hand-written binary readers for openly specified formats,
-  * fuzz-hardened in FuzzSpec). The testdata corpus carries no binary
-  * media column, so the harness SYNTHESIZES one deterministically from
-  * `documents.text` ([[imageDocs]]/[[audioDocs]]) and the decoders earn
-  * their keep by genuinely parsing the containers back; the pixel/sample
-  * CONTENT rule ([[grayPlane]], code-point amplitudes) is what the
-  * DuckDB oracle replays, so a decode bug breaks the oracle rows —
-  * the parsers are oracle-gated end-to-end.
-  *
-  * Only [[fakeDecode]] (mm01/mm02) remains a deterministic stand-in,
-  * by design: those two rows pin the opaque-payload PLUMBING — typed
-  * schema, partition batching, fan-out shape — where pseudo-metadata
-  * derived from the payload length is the point (the rows stay
-  * corpus-agnostic), not a codec gap.
+  * per row — the JVM twin of a `mapInPandas` batch UDF). The codecs are
+  * REAL dependency-free parsers: the image family (mm01/mm03/mm03c/mm05)
+  * decodes MIXED-FORMAT BMP/PNG containers (even doc_ids BMP via
+  * [[graft.sources.Bmp]], odd PNG via [[graft.sources.Png]], dispatched
+  * on magic bytes by [[decodeImage]]) and the audio family (mm02/mm04)
+  * an actual RIFF/WAVE PCM stream ([[graft.sources.Wav]]) — all the S4
+  * Excel treatment (hand-written binary readers for openly specified
+  * formats, fuzz-hardened in FuzzSpec). The testdata corpus carries no
+  * binary media column, so the harness SYNTHESIZES one deterministically
+  * from `documents.text` ([[imageDocs]]/[[audioDocs]]) and the decoders
+  * earn their keep by genuinely parsing the containers back; the
+  * pixel/sample CONTENT rule ([[grayPlane]], code-point amplitudes) is
+  * what the DuckDB oracle replays, so a decode bug breaks the oracle
+  * rows — the parsers are oracle-gated end-to-end. Since round 13
+  * NOTHING here is a stand-in: mm01/mm02's metadata (container kind,
+  * dimensions, plane stats, frame counts) comes from the same real
+  * parses (r12 verdict #3 retired the last `fake_width` pseudo-decode).
   */
 object Multimodal {
 
   /** An opaque binary payload keyed by document. */
   final case class BinaryDoc(doc_id: Long, content: Array[Byte])
 
-  /** Typed decode output: payload stats + pseudo media metadata.
-    * `first_cp` is the first Unicode code point of the decoded payload
-    * (0 when empty) — code point, not raw byte, because the DuckDB oracle's
-    * `ascii()` returns code points and the two must agree on non-ASCII.
+  /** Typed image-decode output (mm01) — the schema-sniffing ingestion
+    * row: container kind read from the magic bytes, dimensions from the
+    * parsed header, and plane stats from the fully reconstructed pixel
+    * data. Every field is oracle-replayable because the corpus
+    * synthesis is deterministic (the generator's rules ARE the oracle
+    * literals — the mm03 discipline), yet every field passes through
+    * the real parse, so a header, stride, palette or zlib-filter bug
+    * surfaces as an oracle mismatch.
     */
-  final case class MediaFeatures(
+  final case class ImageMeta(
       doc_id: Long,
-      n_bytes: Long,
-      content_md5: String,
-      first_cp: Long,
-      fake_width: Long,
-      fake_height: Long,
-      n_frames: Long)
+      container: String,
+      width: Long,
+      height: Long,
+      n_pixels: Long,
+      plane_sum: Long,
+      first_px: Long)
 
-  /** Deterministic pseudo-metadata decode for the PLUMBING rows
-    * (mm01/mm02): payload stats plus stable pseudo-dimensions derived
-    * from the byte length, so tests and the oracle pin the typed-schema
-    * / partition-batching / fan-out shape end-to-end without tying those
-    * rows to any one container format. The real byte-format decodes live
-    * in [[phashNearDup]] ([[graft.sources.Bmp]]) and [[audioWindows]]
-    * ([[graft.sources.Wav]]).
+  /** Partition-local typed decode (mm01): one pass over the iterator,
+    * constant memory, no driver involvement, parallel across input
+    * splits — the `mapInPandas` batch shape. Each payload is genuinely
+    * parsed ([[decodeImage]]: magic dispatch → full BMP or PNG decode)
+    * and reduced to its metadata + luma-plane stats; payload bytes
+    * never leave the map side.
     */
-  private def fakeDecode(md: java.security.MessageDigest,
-      doc: BinaryDoc): MediaFeatures = {
-    md.reset()
-    val hex = md.digest(doc.content).map("%02x".format(_)).mkString
-    val n = doc.content.length.toLong
-    MediaFeatures(
-      doc_id = doc.doc_id,
-      n_bytes = n,
-      content_md5 = hex,
-      first_cp = {
-        val s = new String(doc.content, java.nio.charset.StandardCharsets.UTF_8)
-        if (s.isEmpty) 0L else s.codePointAt(0).toLong
-      },
-      fake_width = 1 + n % 640,
-      fake_height = 1 + n % 480,
-      n_frames = 1 + n % 24)
-  }
-
-  /** Partition-local decode: one MessageDigest (stand-in for one codec
-    * context) per partition, streamed over the iterator — constant memory,
-    * no driver involvement, parallel across input splits.
-    */
-  def decodeFeatures(docs: Dataset[BinaryDoc]): Dataset[MediaFeatures] = {
+  def decodeFeatures(docs: Dataset[BinaryDoc]): Dataset[ImageMeta] = {
     import docs.sparkSession.implicits._
-    docs.mapPartitions { it =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      it.map(fakeDecode(md, _))
-    }
-  }
-
-  /** documents.text reinterpreted as a binary payload column. */
-  def binaryDocs(spark: SparkSession, dir: String): Dataset[BinaryDoc] = {
-    import spark.implicits._
-    graft.Tables.documents(spark, dir)
-      .selectExpr("doc_id", "encode(text, 'UTF-8') AS content")
-      .as[BinaryDoc]
+    docs.mapPartitions(_.map { d =>
+      val container =
+        if (graft.sources.Png.isPng(d.content)) "png" else "bmp"
+      val img = decodeImage(d.content)
+      val plane = graft.sources.Bmp.luma32(img)
+      ImageMeta(
+        doc_id = d.doc_id,
+        container = container,
+        width = img.width.toLong,
+        height = img.height.toLong,
+        n_pixels = img.width.toLong * img.height,
+        plane_sum = plane.sum,
+        first_px = plane(0))
+    })
   }
 
   /** The corpus's IMAGE column, materialized MIXED-FORMAT, the way a
@@ -129,7 +110,7 @@ object Multimodal {
   /** The corpus's AUDIO column, materialized: one real RIFF/WAVE mono
     * 32-bit PCM clip per document, sample amplitudes = the text's
     * Unicode code points (deterministic, cross-engine-replayable — the
-    * convention mm01/mm04 established; 32-bit because code points
+    * convention mm04 established; 32-bit because code points
     * exceed 16-bit PCM range). Parsed back by
     * [[graft.sources.Wav.decode]] in [[audioWindows]]. Same
     * synthesis-vs-scan contract as [[imageDocs]].
@@ -144,25 +125,42 @@ object Multimodal {
       })
   }
 
+  /** mm01: one decoded-metadata row per document over the mixed
+    * BMP/PNG image column — the real-container replacement for the
+    * pre-r13 pseudo-metadata row.
+    */
   def features(spark: SparkSession, dir: String): DataFrame =
-    decodeFeatures(binaryDocs(spark, dir)).toDF().orderBy("doc_id")
+    decodeFeatures(imageDocs(spark, dir)).toDF().orderBy("doc_id")
 
-  /** Frame sampling + thumbnail "resize" over the decoded metadata: every
-    * 4th frame, dimensions clamped to 224. The explode is the real
-    * multimodal fan-out shape (one row per sampled frame, scales with
-    * output frames not input bytes); the arithmetic stands in for the
-    * absent codec exactly like [[fakeDecode]].
+  /** Frame sampling + thumbnail resize (mm02) — the multimodal fan-out
+    * shape, now keyed entirely on REAL decodes: the frame stream is
+    * every 4th 16-sample analysis window of the genuinely parsed
+    * RIFF/WAVE clip ([[graft.sources.Wav.decode]] — so the fan-out is
+    * duration-proportional, one output row per sampled frame, scaling
+    * with media seconds not input bytes; a zero-sample clip contributes
+    * zero frames), and the thumbnail dimensions are the parsed image
+    * header's width/height clamped to 224. Both decodes run
+    * partition-local; only (doc_id, counts/dims) rows reach the
+    * doc_id-keyed join, so at 100 TB the payload bytes never shuffle.
     */
   def frameSamples(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    decodeFeatures(binaryDocs(spark, dir)).toDF()
-      .select(col("doc_id"), col("n_frames"),
-        col("fake_width"), col("fake_height"))
-      .withColumn("frame_idx",
-        explode(expr("sequence(CAST(0 AS BIGINT), n_frames - 1, CAST(4 AS BIGINT))")))
+    import spark.implicits._
+    val frames = audioDocs(spark, dir)
+      .mapPartitions(_.map { d =>
+        val ns = graft.sources.Wav.decode(d.content).length
+        (d.doc_id, (ns.toLong + 15L) / 16L)
+      })
+      .toDF("doc_id", "n_frames")
+      .filter(col("n_frames") > 0)
+      .withColumn("frame_idx", explode(expr(
+        "sequence(CAST(0 AS BIGINT), n_frames - 1, CAST(4 AS BIGINT))")))
+    val dims = decodeFeatures(imageDocs(spark, dir)).toDF()
+      .select(col("doc_id"), col("width"), col("height"))
+    frames.join(dims, Seq("doc_id"))
       .select(col("doc_id"), col("frame_idx"),
-        least(col("fake_width"), lit(224L)).as("thumb_w"),
-        least(col("fake_height"), lit(224L)).as("thumb_h"))
+        least(col("width"), lit(224L)).as("thumb_w"),
+        least(col("height"), lit(224L)).as("thumb_h"))
       .orderBy("doc_id", "frame_idx")
   }
 
@@ -308,13 +306,14 @@ object Multimodal {
   }
 
   /** The synthesized corpus's IMAGE CONTENT rule — the pixel plane
-    * [[imageDocs]] renders into real BMP bytes (it is no longer the
-    * decode path: [[phashNearDup]] recovers the plane by genuinely
-    * parsing the container via [[graft.sources.Bmp]]; this function is
-    * the generator the DuckDB oracle replays, exactly as ScaleGen's
-    * generators are). DISCRIMINATIVE by construction: the payload's
+    * [[imageDocs]] renders into real mixed BMP/PNG container bytes (it
+    * is no longer the decode path: [[phashNearDup]] recovers the plane
+    * by genuinely parsing the container via [[decodeImage]]'s
+    * magic-byte dispatch; this function is the generator the DuckDB
+    * oracle replays, exactly as ScaleGen's generators are).
+    * DISCRIMINATIVE by construction: the payload's
     * code points split into 16-codepoint chunks (code points, not
-    * bytes — the cross-engine convention mm01/mm04 established), and
+    * bytes — the cross-engine convention mm04 established), and
     * each of the 64 row-blocks of the 32×32 plane takes the 16 MD5
     * bytes of `chunk(j mod nc) + "#" + j` — chunk content keyed by the
     * block index, so:

@@ -36,18 +36,16 @@ s$i AS MATERIALIZED (
 )"""
     }.mkString(",\n")
 
-  /** Shared oracle CTE chain: the synthesized corpus's pixel-content
-    * rule → separable integer DCT (rows then columns) → 63-term
-    * mean-comparison bits → 63-bit hash → 4×16-bit band rows. Replays
-    * [[Multimodal.grayPlane]] (the GENERATOR — the engine side recovers
-    * the same plane by genuinely parsing the BMP bytes, so a
-    * [[graft.sources.Bmp]] decode bug breaks these rows) and
-    * [[Multimodal.phash64]] exactly: every intermediate fits int64
-    * (see [[Multimodal.PhashCosScale]]), and DuckDB's HUGEINT
-    * aggregation is exact, so equality is by construction.
+  /** The [[Multimodal.grayPlane]] pixel-content rule as oracle CTEs —
+    * the GENERATOR's plane, one (doc_id, p, pv) cell per pixel. The
+    * engine side recovers the same plane by genuinely parsing the mixed
+    * BMP/PNG container bytes, so a [[graft.sources.Bmp]] /
+    * [[graft.sources.Png]] decode bug (stride, row order, palette, zlib
+    * filter) breaks every row built on this chain. Shared by mm01
+    * (plane stats) and the pHash family (mm03/mm03c/mm05) so the two
+    * replays cannot drift.
     */
-  private def phashOracleCtes: String = s"""ct(k, n, c) AS (VALUES $phashCosValues),
-grp AS (
+  private def planeCtes: String = """grp AS (
   SELECT doc_id, j,
     md5(substr(text, ((j % greatest(1, (length(text)+15)//16))*16)+1, 16)
         || '#' || CAST(j AS VARCHAR)) AS h
@@ -57,7 +55,18 @@ cell AS (
   SELECT doc_id, j*16 + i AS p,
     CAST(('0x' || substr(h, i*2+1, 2)) AS BIGINT) AS pv
   FROM grp CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i)
-),
+)"""
+
+  /** Shared oracle CTE chain: the synthesized corpus's pixel-content
+    * rule ([[planeCtes]]) → separable integer DCT (rows then columns) →
+    * 63-term mean-comparison bits → 63-bit hash → 4×16-bit band rows.
+    * Replays [[Multimodal.grayPlane]] and [[Multimodal.phash64]]
+    * exactly: every intermediate fits int64 (see
+    * [[Multimodal.PhashCosScale]]), and DuckDB's HUGEINT aggregation is
+    * exact, so equality is by construction.
+    */
+  private def phashOracleCtes: String = s"""ct(k, n, c) AS (VALUES $phashCosValues),
+$planeCtes,
 rowpass AS (
   SELECT doc_id, p // 32 AS m, ct.k AS v, sum(pv * ct.c) AS t
   FROM cell JOIN ct ON ct.n = p % 32
@@ -82,30 +91,43 @@ bands AS (
 )"""
 
   def defs: Map[String, QueryDef] = Map(
+    // ── Typed image-metadata decode (the schema-sniffing ingestion row,
+    // reference anchor utils/gsheets_utils.py:174-184): container kind
+    // from the magic bytes, dimensions from the parsed header, plane
+    // stats from the fully reconstructed pixels. The oracle replays the
+    // GENERATOR's rules (even ids are 32×32 BMP, odd 32×32 PNG; the
+    // plane is the md5 rule in [[planeCtes]]) as literals — the mm03
+    // discipline — so the engine can only match by genuinely parsing
+    // the container back (r12 verdict #3: this row used to emit
+    // length-derived pseudo-metadata; now a stride/palette/zlib-filter
+    // bug breaks it).
     "mm01_binary_features" -> QueryDef(
       (s, d) => Multimodal.features(s, d),
-      Some("""SELECT doc_id,
-              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-              md5(text) AS content_md5,
-              CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_cp,
-              1 + octet_length(encode(text)) % 640 AS fake_width,
-              1 + octet_length(encode(text)) % 480 AS fake_height,
-              1 + octet_length(encode(text)) % 24 AS n_frames
-              FROM documents ORDER BY doc_id"""),
-      "binary column + mapPartitions typed decode (payload plumbing)"),
+      Some(s"""WITH $planeCtes
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS container,
+  CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
+  CAST(1024 AS BIGINT) AS n_pixels,
+  CAST(sum(pv) AS BIGINT) AS plane_sum,
+  CAST(max(CASE WHEN p = 0 THEN pv END) AS BIGINT) AS first_px
+FROM cell GROUP BY doc_id ORDER BY doc_id"""),
+      "typed image-metadata decode over mixed BMP/PNG containers"),
 
+    // ── Frame sampling + thumbnail resize — the fan-out shape, keyed on
+    // real decodes since r13: frames = every 4th 16-sample window of the
+    // parsed RIFF/WAVE clip (duration-proportional; DuckDB length(text)
+    // = code points = the clip's sample count, the mm04 convention), and
+    // thumb dims = the parsed image header's 32×32 clamped to 224.
     "mm02_frame_sample" -> QueryDef(
       (s, d) => Multimodal.frameSamples(s, d),
       Some("""WITH f AS (
               SELECT doc_id,
-                1 + octet_length(encode(text)) % 24 AS n_frames,
-                1 + octet_length(encode(text)) % 640 AS fake_width,
-                1 + octet_length(encode(text)) % 480 AS fake_height
-              FROM documents)
+                CAST((length(text) + 15) // 16 AS BIGINT) AS n_frames
+              FROM documents WHERE length(text) > 0)
               SELECT doc_id,
                 unnest(generate_series(0, n_frames - 1, 4)) AS frame_idx,
-                least(fake_width, 224) AS thumb_w,
-                least(fake_height, 224) AS thumb_h
+                CAST(least(32, 224) AS BIGINT) AS thumb_w,
+                CAST(least(32, 224) AS BIGINT) AS thumb_h
               FROM f ORDER BY doc_id, frame_idx"""),
       "frame sampling + resize fan-out (explode per sampled frame)"),
 

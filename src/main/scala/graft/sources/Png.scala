@@ -61,7 +61,11 @@ object Png {
     val crc = new CRC32
     while (o + 8 <= b.length && !sawIend) {
       val len = i32be(b, o)
-      require(len >= 0 && o + 12 + len <= b.length,
+      // Long arithmetic: a hostile declared length near Int.MaxValue
+      // overflows `o + 12 + len` and the Int check would pass on an
+      // invalid chunk — validation must reject here, not lean on the
+      // downstream AIOOBE-to-IAE rebrand (r12 ADVICE)
+      require(len >= 0 && o.toLong + 12L + len <= b.length,
         s"PNG: truncated chunk at offset $o")
       val ctype = new String(b, o + 4, 4,
         java.nio.charset.StandardCharsets.US_ASCII)

@@ -61,7 +61,10 @@ object Wav {
       val id = tag(b, o)
       val size = i32(b, o + 4)
       require(size >= 0, s"WAV: negative chunk size in '$id'")
-      require(o + 8 + size <= b.length, s"WAV: truncated '$id' chunk")
+      // Long arithmetic: a corrupted size near Int.MaxValue overflows
+      // the Int sum and the check would pass on a truncated chunk —
+      // reject here, not via the downstream AIOOBE rebrand (r12 ADVICE)
+      require(o.toLong + 8L + size <= b.length, s"WAV: truncated '$id' chunk")
       if (id == "fmt ") {
         require(size >= 16, s"WAV: fmt chunk too small ($size)")
         val fmtTag = u16(b, o + 8)
@@ -83,8 +86,11 @@ object Wav {
         return out
       }
       // unknown chunks (LIST, fact, …) are skipped; odd sizes carry a
-      // pad byte per the RIFF spec
-      o += 8 + size + (size & 1)
+      // pad byte per the RIFF spec. Next offset computed in Long then
+      // narrowed: the bounds require above proves o+8+size fits an array
+      // index, and the +1 pad keeps it ≤ length+1 — but the arithmetic
+      // stays overflow-free by construction, not by accident
+      o = (o.toLong + 8L + size + (size & 1)).toInt
     }
     throw new IllegalArgumentException(
       if (sawFmt) "WAV: no data chunk" else "WAV: no fmt chunk")

@@ -9,31 +9,48 @@ class MultimodalSpec extends SparkSpec {
   private def rows(name: String) =
     SparkEntry.queries(name)(spark, sf).collect()
 
-  test("mm01: one feature row per document, md5 matches the payload") {
+  test("mm01: one decoded-metadata row per document — container kind " +
+      "from the magic, dims from the parsed header, plane stats match " +
+      "an independent generator replay") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
     val ft = rows("mm01_binary_features")
     assert(ft.length == docs.size)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    ft.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("container") ==
+        (if (id % 2 == 0) "bmp" else "png"), s"doc $id container")
+      assert(r.getAs[Long]("width") == 32L &&
+        r.getAs[Long]("height") == 32L &&
+        r.getAs[Long]("n_pixels") == 1024L, s"doc $id dims")
+    }
+    // plane stats against the independent replay (refPlane, the
+    // functional spelling the pHash tests already use): a decode bug
+    // in either container path shifts the sum
     ft.take(25).foreach { r =>
-      val text = docs(r.getAs[Long]("doc_id"))
-      val hex = md.digest(text.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      assert(r.getAs[String]("content_md5") == hex)
-      assert(r.getAs[Long]("n_bytes") == text.getBytes("UTF-8").length.toLong)
+      val plane = refPlane(docs(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("plane_sum") == plane.sum,
+        s"doc ${r.getAs[Long]("doc_id")} plane_sum")
+      assert(r.getAs[Long]("first_px") == plane.head,
+        s"doc ${r.getAs[Long]("doc_id")} first_px")
     }
   }
 
-  test("mm02: frame indices stride by 4 from 0, bounded by n_frames") {
-    val nf = rows("mm01_binary_features")
-      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_frames")).toMap
-    rows("mm02_frame_sample").groupBy(_.getAs[Long]("doc_id"))
-      .foreach { case (d, g) =>
-        val idx = g.map(_.getAs[Long]("frame_idx")).sorted.toSeq
-        assert(idx == (0L until nf(d) by 4L).toSeq, s"doc $d stride")
-        assert(g.forall(r => r.getAs[Long]("thumb_w") <= 224L &&
-          r.getAs[Long]("thumb_h") <= 224L))
-      }
+  test("mm02: frame indices stride by 4 from 0, bounded by the decoded " +
+      "clip's window count; thumbs are the parsed dims clamped to 224") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val nf = docs.map { case (id, t) =>
+      id -> (t.codePointCount(0, t.length).toLong + 15L) / 16L }
+    val byDoc = rows("mm02_frame_sample").groupBy(_.getAs[Long]("doc_id"))
+    // every non-empty doc appears; zero-sample clips contribute nothing
+    assert(byDoc.keySet == nf.filter(_._2 > 0L).keySet)
+    byDoc.foreach { case (d, g) =>
+      val idx = g.map(_.getAs[Long]("frame_idx")).sorted.toSeq
+      assert(idx == (0L until nf(d) by 4L).toSeq, s"doc $d stride")
+      assert(g.forall(r => r.getAs[Long]("thumb_w") == 32L &&
+        r.getAs[Long]("thumb_h") == 32L), s"doc $d thumbs")
+    }
   }
 
   // ── independent pHash replay (functional spelling vs the engine's
