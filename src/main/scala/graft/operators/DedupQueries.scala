@@ -663,19 +663,7 @@ $rounds"""
       .filter(col("df") >= 2).select("fp")
     val covered = pos.join(dup, Seq("fp"))
       .select(col("doc_id"), col("s"), (col("s") + 4).as("e"))
-    val byStart = Window.partitionBy("doc_id").orderBy("s")
-    val prevMax = max(col("e")).over(
-      byStart.rowsBetween(Window.unboundedPreceding, -1))
-    val spans = covered
-      .withColumn("brk",
-        when(col("s") > coalesce(prevMax, lit(-1)) + 1, 1).otherwise(0))
-      .withColumn("island", sum(col("brk")).over(
-        byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("doc_id", "island")
-      .agg(min(col("s")).as("ss"), max(col("e")).as("ee"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(col("ee") - col("ss") + 1).as("dup_tokens"))
+    val spans = coalesceIslands(covered, "dup_tokens")
     docs.select(col("doc_id"), size(col("w")).cast("bigint").as("n_tokens"))
       .join(spans, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
@@ -722,6 +710,150 @@ SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
   coalesce(a.n_spans, 0) AS n_spans
 FROM t LEFT JOIN agg a USING (doc_id)
 ORDER BY doc_id"""
+
+  /** The classic island sweep, shared by x69 and x100 so the two
+    * span-coalescing semantics cannot drift: covered windows
+    * `(doc_id, s, e)` merge into maximal spans (new island when a
+    * window starts past the running max-end + 1), reduced to per-doc
+    * span count + covered length. ONE doc_id-keyed window pass.
+    */
+  private def coalesceIslands(covered: org.apache.spark.sql.DataFrame,
+      lenCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byStart = Window.partitionBy("doc_id").orderBy("s")
+    val prevMax = max(col("e")).over(
+      byStart.rowsBetween(Window.unboundedPreceding, -1))
+    covered
+      .withColumn("brk",
+        when(col("s") > coalesce(prevMax, lit(-1)) + 1, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(
+        byStart.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "island")
+      .agg(min(col("s")).as("ss"), max(col("e")).as("ee"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("ee") - col("ss") + 1).as(lenCol))
+  }
+
+  /** Character window of the exact-substring pass (Lee et al. use 50
+    * BPE tokens at web scale; 20 characters bites on this corpus's
+    * 44-577-char documents while staying long enough that coverage
+    * means a real verbatim passage, not a common word).
+    */
+  private[operators] val ExactSubstrLen = 20
+
+  /** Occurrence floor of the declared heavy twin (x100c): only
+    * substrings seen MORE than this many times corpus-wide count —
+    * the remove-only-boilerplate variant of the same pass.
+    */
+  private val ExactSubstrHeavyMin = 4
+
+  /** EXACT-substring dedup audit (the declared `x100_exact_substr` +
+    * `x100c_substr_heavy`) — the suffix-array criterion of Lee et al.
+    * 2021, "Deduplicating Training Data Makes Language Models Better"
+    * (ExactSubstr): a character position is duplicated iff it lies
+    * inside some substring of length ≥ L that occurs MORE THAN ONCE in
+    * the whole corpus — including twice within the SAME document, the
+    * semantic x69's distinct-doc 5-token-gram rule deliberately
+    * excludes (and this corpus exercises: it carries within-doc-only
+    * repeats). The complement of x69's fixed-gram spans and x94's
+    * winnowing selection: character-exact, self-match-inclusive,
+    * maximal.
+    *
+    * Spark-first instead of a literal suffix sort: the paper computes
+    * coverage from suffix-array adjacency (suffixes sharing an ≥ L
+    * prefix). That criterion is EQUIVALENT to "the length-L window at
+    * this position occurs ≥ 2 times" — any duplicated substring of
+    * length ≥ L contains only duplicated L-windows, and any duplicated
+    * L-window IS such a substring — so the global suffix sort
+    * re-expresses as one partial-aggregable fingerprint groupBy plus
+    * the x69 semi-join + island sweep: every stage keyed,
+    * map-combinable, no corpus-wide sort and no pair join, which is
+    * the 100 TB shape (the fan-out is one fixed 16-byte fingerprint
+    * per character position — linear, the honest cost ExactSubstr pays
+    * in any formulation; the paper's suffix array is the same O(corpus)
+    * with a global sort on top). `minCount` is the boilerplate lever:
+    * raising it (x100c) keeps only heavily-repeated text, the variant
+    * the paper discusses for license-header-grade duplication — a
+    * documented semantics change with its own oracle row, not an
+    * optimization. At serve time the duplicated-fingerprint set is the
+    * natural persisted artifact (the x27 decontamination pattern: new
+    * batches semi-join the frozen fp set instead of re-counting the
+    * corpus).
+    *
+    * Both engines index by CHARACTER (Spark `substring` counts UTF-16
+    * units, DuckDB code points — identical on this corpus's
+    * surrogate-free text, the mm04 convention).
+    */
+  def exactSubstrSpans(s: org.apache.spark.sql.SparkSession,
+      d: String, minCount: Int): org.apache.spark.sql.DataFrame = {
+    val L = ExactSubstrLen
+    val docs = Tables.documentsSpread(s, d)
+      .select(col("doc_id"), col("text"))
+      .transform(graft.Caches.scoped)
+    // map-side fan-out: one (doc_id, pos, 16-byte fp) row per character
+    // position; the window text never leaves the map side
+    val pos = docs.filter(length(col("text")) >= L)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, length(text) - ${L - 1}),
+             i -> struct(i, md5(cast(substring(text, i, $L)
+                                     as binary)) AS fp))""")).as("g"))
+      .select(col("doc_id"), col("g.i").as("s"), col("g.fp").as("fp"))
+    // TOTAL occurrence count (not distinct docs): within-doc repeats
+    // are duplicates under ExactSubstr
+    val dup = pos.groupBy("fp")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount).select("fp")
+    val covered = pos.join(dup, Seq("fp"))
+      .select(col("doc_id"), col("s"), (col("s") + (L - 1)).as("e"))
+    val spans = coalesceIslands(covered, "dup_chars")
+    docs.select(col("doc_id"),
+        length(col("text")).cast("bigint").as("n_chars"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("dup_chars"), lit(0L)).cast("bigint").as("dup_chars"),
+        coalesce(col("n_spans"), lit(0L)).cast("bigint").as("n_spans"))
+      .orderBy("doc_id")
+  }
+
+  private def exactSubstrOracle(minCount: Int): String = {
+    val L = ExactSubstrLen
+    s"""
+WITH g AS (
+  SELECT doc_id, u.i AS s, md5(substr(text, CAST(u.i AS INT), $L)) AS fp
+  FROM documents, LATERAL unnest(generate_series(1, length(text) - ${L - 1})) AS u(i)
+  WHERE length(text) >= $L
+),
+d AS (SELECT fp FROM g GROUP BY fp HAVING count(*) >= $minCount),
+p AS (SELECT g.doc_id, g.s, g.s + ${L - 1} AS e FROM g JOIN d USING (fp)),
+isl AS (
+  SELECT doc_id, s, e,
+    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+    THEN 1 ELSE 0 END AS brk
+  FROM p
+),
+sp AS (
+  SELECT doc_id,
+    sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island, s, e
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, island, min(s) AS ss, max(e) AS ee
+  FROM sp GROUP BY doc_id, island
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+    CAST(sum(ee - ss + 1) AS BIGINT) AS dup_chars
+  FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(length(t.text) AS BIGINT) AS n_chars,
+  coalesce(a.dup_chars, 0) AS dup_chars,
+  coalesce(a.n_spans, 0) AS n_spans
+FROM documents t LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id"""
+  }
 
   /** Winnowing position bound: selected positions are recovered from a
     * min() over STRING keys `fp ‖ lpad(WinnowBig − i)`, so positions
@@ -979,6 +1111,23 @@ ORDER BY doc_a, doc_b"""
       (s, d) => winnowing(s, d),
       Some(winnowingOracle),
       "winnowed (MOSS) fingerprint selection + cross-doc match counts"),
+
+    // ── Suffix-array exact-substring dedup (Lee et al. 2021
+    // ExactSubstr), re-expressed as the equivalent L-gram coverage
+    // pass — character-exact, self-match-inclusive, maximal spans;
+    // see [[exactSubstrSpans]]
+    "x100_exact_substr" -> QueryDef(
+      (s, d) => exactSubstrSpans(s, d, minCount = 2),
+      Some(exactSubstrOracle(2)),
+      "exact duplicated-substring (>= 20 chars, any recurrence) spans"),
+
+    // the boilerplate lever engaged: only substrings occurring > 4
+    // times corpus-wide count (the remove-only-heavy-duplication
+    // variant) — a semantics change, so its own oracle row
+    "x100c_substr_heavy" -> QueryDef(
+      (s, d) => exactSubstrSpans(s, d, minCount = ExactSubstrHeavyMin + 1),
+      Some(exactSubstrOracle(ExactSubstrHeavyMin + 1)),
+      "x100 with the heavy-duplication occurrence floor engaged"),
 
     // ── Exact dedup: hash-groupBy on a normalized prefix fingerprint,
     // keep-min-id canonical (distributed `dropDuplicates` with provenance)
