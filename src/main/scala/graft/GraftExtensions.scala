@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotLong, KmvSketch, LocalComponents, MinHashSigs, MinKSample, Shingles3, SimHashBits, SrpBandKeys, SumWeightedEntries}
+import graft.functions.{DotLong, IntersectCountSorted, KmvSketch, LocalComponents, MinHashSigs, MinKSample, Shingles3, SimHashBits, SrpBandKeys, SumWeightedEntries}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -31,6 +31,10 @@ object GraftExtensions {
           "minhash_sigs(arr, k): expected (array, integer literal), " +
             s"got $other")
       }),
+    (FunctionIdentifier("intersect_count_sorted"),
+      new ExpressionInfo(classOf[IntersectCountSorted].getName,
+        "intersect_count_sorted"),
+      (args: Seq[Expression]) => IntersectCountSorted(args(0), args(1))),
     (FunctionIdentifier("simhash_bits"),
       new ExpressionInfo(classOf[SimHashBits].getName, "simhash_bits"),
       (args: Seq[Expression]) => SimHashBits(args(0))),

@@ -1050,8 +1050,14 @@ ORDER BY doc_id"""
       .join(t.select(col("doc_id").as("db"), col("hs").as("hsb")),
         Seq("db"))
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
-        size(array_intersect(col("hsa"), col("hsb"))).cast("bigint")
-          .as("inter"),
+        // native two-pointer distinct-intersection count over the
+        // already-sorted hash arrays ([[graft.functions
+        // .IntersectCountSorted]]) — bit-identical to
+        // size(array_intersect(hsa, hsb)) on sorted inputs, without the
+        // per-pair hash set + materialized intersection array that made
+        // the verify stage the r13 profile's hottest (6.4 s of compute
+        // in one AQE-coalesced 3-task stage at sf0.1)
+        expr("intersect_count_sorted(hsa, hsb)").as("inter"),
         size(col("hsa")).cast("bigint").as("sa"),
         size(col("hsb")).cast("bigint").as("sb"))
       .filter(col("inter") * 2 >= col("sa") + col("sb") - col("inter"))

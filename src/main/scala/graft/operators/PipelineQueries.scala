@@ -2215,7 +2215,12 @@ FROM terms GROUP BY doc_id ORDER BY doc_id"""),
     "x73_source_attribution" -> QueryDef(
       (s, d) => {
         // four plan branches (dt, cnt, tot, v) read the exploded corpus
-        // and two more read dt — cache each once (the x65 discipline)
+        // and two more read dt — cache each once (the x65 discipline).
+        // NOT spread: the r13 A/B measured the spread variant 1.6 s
+        // SLOWER here (2.05 → 3.65 at sf0.1) — the branches overlap as
+        // concurrent jobs, so the serial scan stages already back-fill
+        // the cores, and spreading just pays an extra exchange plus a
+        // 32-partition cache for four tiny branch reads.
         val toks = Tables.documents(s, d)
           .select(col("doc_id"), col("source"),
             explode(split(col("text"), " ")).as("token"))

@@ -463,8 +463,24 @@ assigned AS (
   private def embClusterAssignment(s: SparkSession, d: String,
       bucketCap: Option[Int] = None): DataFrame = {
     val e = quantizedCached(s, d)
-    val full = assignedBuckets(e, trainedCentroids(e))
-      .select(col("vec_id"), col("qe"), col("qn"), col("bucket"))
+    embClustersOf(s, d,
+      assignedBuckets(e, trainedCentroids(e))
+        .select(col("vec_id"), col("qe"), col("qn"), col("bucket")),
+      bucketCap)
+  }
+
+  /** The x41 cluster derivation over an ALREADY-ASSIGNED frame —
+    * factored so composite queries that independently need the IVF
+    * assignment (x86's silhouette membership, x96's candidate scan)
+    * derive clusters from the SAME trained/assigned substrate instead
+    * of re-running quantize + Lloyd + assignment a second time inside
+    * one query (guide §1.2: the r13 profile showed the double
+    * derivation costing x86/x96 roughly half their wall). Identical
+    * rows by determinism of the shared spelling — the oracle replays
+    * one derivation either way.
+    */
+  private def embClustersOf(s: SparkSession, d: String,
+      full: DataFrame, bucketCap: Option[Int]): DataFrame = {
     // capped-out vectors generate no pairs → they fall through the final
     // left join as singleton clusters (the documented cap contract)
     val assigned = cappedByBucket(full, bucketCap)
@@ -556,10 +572,15 @@ clusters AS (SELECT vec_id, label AS cluster_id FROM lv$EmbCcRounds)"""
   def clusterSilhouette(s: SparkSession, d: String,
       bucketCap: Option[Int] = None): DataFrame = {
     val e = quantizedCached(s, d)
+    // ONE train + ONE assignment feed both the membership frame and the
+    // cluster derivation (pre-r13 this called embClusterAssignment,
+    // which re-ran quantize + Lloyd + assign — a second copy of the
+    // whole substrate inside the same query)
+    val full = assignedBuckets(e, trainedCentroids(e))
+      .select(col("vec_id"), col("qe"), col("qn"), col("bucket"))
     silhouetteOf(
-      assignedBuckets(e, trainedCentroids(e))
-        .select(col("vec_id"), col("qe"), col("bucket"))
-        .join(embClusterAssignment(s, d), "vec_id"),
+      full.select(col("vec_id"), col("qe"), col("bucket"))
+        .join(embClustersOf(s, d, full, None), "vec_id"),
       bucketCap)
   }
 
@@ -938,12 +959,18 @@ ORDER BY r.q_id, r.bucket"""
   private def hardNegatives(s: SparkSession, d: String): DataFrame = {
     val e = quantizedCached(s, d)
     val cent = trainedCentroids(e)
-    val clusters = embClusterAssignment(s, d)
+    // ONE assignment feeds both the candidate scan and the cluster
+    // derivation (pre-r13 embClusterAssignment re-trained and
+    // re-assigned the whole corpus a second time inside this query)
+    val assigned = assignedBuckets(e, cent)
+    val clusters = embClustersOf(s, d,
+        assigned.select(col("vec_id"), col("qe"), col("qn"), col("bucket")),
+        None)
       .transform(graft.Caches.scoped)
     val probes = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("qe").as("q_qe"),
         col("qn").as("q_qn"))
-    hardNegativesOf(probes, cent, assignedBuckets(e, cent), clusters)
+    hardNegativesOf(probes, cent, assigned, clusters)
   }
 
   /** The hard-negative reduction over any (probes, centroids,

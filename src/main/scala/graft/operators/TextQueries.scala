@@ -32,7 +32,13 @@ object TextQueries {
     */
   private[operators] def qualityScored(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    qualityScoredDf(Tables.documents(s, d))
+    // spread BEFORE the per-row split/filter/distinct work: the corpus
+    // arrives as one split at test SFs, so the scoring stage would run
+    // as ONE serial task (measured 1.8 s of corpus_curate's 3.0 s at
+    // sf0.1 — the whole flag computation on one core); the
+    // documentsSpread trade (guide §2.5 input skew / Tables scaladoc)
+    // applies to every text-expression-dense scan
+    qualityScoredDf(Tables.documentsSpread(s, d))
 
   /** [[qualityScored]] over an arbitrary `documents`-shaped frame —
     * the same Column tree applied to batch reads AND streaming input
@@ -403,7 +409,7 @@ FROM deduped ORDER BY doc_id"""
     // wins for long documents.
     "x57_repetition_stats" -> QueryDef(
       (s, d) => {
-        val toks = Tables.documents(s, d).select(col("doc_id"),
+        val toks = Tables.documentsSpread(s, d).select(col("doc_id"),
           expr("split(text, ' ')").as("tk"),
           expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"))
         val wide = repPerDoc(toks)
@@ -807,7 +813,9 @@ ORDER BY lang, source"""),
     */
   private[graft] def curationFlags(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    val toks = Tables.documents(s, d).select(col("doc_id"),
+    // spread: the gram fan-out below is the most token-dense expression
+    // in the registry — serial on a one-split corpus otherwise
+    val toks = Tables.documentsSpread(s, d).select(col("doc_id"),
       expr("split(text, ' ')").as("tk"),
       expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"))
     withBaseFlags(qualityScored(s, d))
