@@ -290,8 +290,15 @@ ORDER BY user_id, session_start"""),
     "st10_stream_lsh_buckets" -> QueryDef(
       (s, d) => {
         graft.GraftExtensions.ensureInstalled(s)
+        // spread the single-file micro-batch before the per-doc
+        // shingle+minhash work — the r13 drain profile showed these
+        // rows' addBatch time is the per-row compute running in the ONE
+        // scan task the file source yields (the documentsSpread trade,
+        // in-stream); the monoid aggregation is arrival-order-free, so
+        // results are unchanged
         val bands = graft.operators.DedupQueries
-          .bandKeys(EventStream.readDocuments(s, d))
+          .bandKeys(EventStream.readDocuments(s, d)
+            .repartition(s.sparkContext.defaultParallelism))
         val buckets = bands
           .groupBy(col("band"), col("sigval"))
           .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_id"))
@@ -343,8 +350,13 @@ SELECT source, q, est FROM est ORDER BY source, q"""),
       (s, d) => {
         import graft.operators.TextQueries
         val kept = col("f1") && col("f2") && col("f3") && col("f4")
+        // spread before the row-local gram fold (the st10 note): the
+        // flags are the most expression-dense per-row work in the
+        // streaming registry and otherwise run serial in the one-task
+        // file-source scan (measured 3.0 s of st12's 3.4 s drain)
         val gate = TextQueries
-          .rowLocalFlags(EventStream.readDocuments(s, d))
+          .rowLocalFlags(EventStream.readDocuments(s, d)
+            .repartition(s.sparkContext.defaultParallelism))
           .groupBy(col("source"))
           .agg(count(lit(1)).as("docs_in"),
             sum(when(kept, 1L).otherwise(0L)).as("docs_kept"),
@@ -551,7 +563,11 @@ FROM t GROUP BY lang ORDER BY lang"""),
         SimilarityQueries.prepareServe(s, d)
         val books = s.read.parquet(
           s"${SimilarityQueries.serveRoot(d)}/pq/books")
+        // spread before the per-vector M×Ks argmin encode fold (the
+        // st10 note): otherwise the whole encode runs in the one-task
+        // file-source scan
         val stream = EventStream.readEmbeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
           .withColumn("qe", expr(SimilarityQueries.sparkQuant))
         val agg = PqQueries.codebookStatsOf(
           PqQueries.encodedPacked(stream, books))
@@ -580,7 +596,10 @@ FROM t GROUP BY lang ORDER BY lang"""),
         SimilarityQueries.prepareServe(s, d)
         val cent = s.read.parquet(
           s"${SimilarityQueries.serveRoot(d)}/ivf/centroids")
+        // spread before the per-vector √n-centroid argmax fold (the
+        // st10 note)
         val stream = EventStream.readEmbeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
           .withColumn("qe", expr(SimilarityQueries.sparkQuant))
           .withColumn("qn", expr(SimilarityQueries.sparkNorm))
         val agg = SimilarityQueries.frozenAssignStats(stream, cent)
@@ -682,7 +701,10 @@ FROM t GROUP BY lang ORDER BY lang"""),
     "st20_stream_cms_sketch" -> QueryDef(
       (s, d) => {
         import graft.operators.PipelineQueries
+        // spread before the ×CmsD token fan-out + per-term md5 buckets
+        // (the st10 note)
         val agg = EventStream.readDocuments(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
           .select(explode(split(col("text"), " ")).as("term"))
           .withColumn("r",
             explode(expr(s"sequence(0, ${PipelineQueries.CmsD - 1})")))
