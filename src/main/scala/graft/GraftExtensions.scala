@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotLong, IntersectCountSorted, KmvSketch, LocalComponents, MinHashSigs, MinKSample, Shingles3, SimHashBits, SrpBandKeys, SumWeightedEntries}
+import graft.functions.{DotLong, IntersectCountSorted, KmvSketch, LocalComponents, MinHashSigs, MinKSample, Shingles3, SimHashBits, SrpBandKeys, SumWeightedEntries, VecSumLong}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -31,6 +31,9 @@ object GraftExtensions {
           "minhash_sigs(arr, k): expected (array, integer literal), " +
             s"got $other")
       }),
+    (FunctionIdentifier("vec_sum_long"),
+      new ExpressionInfo(classOf[VecSumLong].getName, "vec_sum_long"),
+      (args: Seq[Expression]) => VecSumLong(args(0))),
     (FunctionIdentifier("intersect_count_sorted"),
       new ExpressionInfo(classOf[IntersectCountSorted].getName,
         "intersect_count_sorted"),

@@ -112,26 +112,23 @@ object PqQueries {
     * on both engines alike.
     */
   private def trainedBooks(e: DataFrame): DataFrame = {
-    val session = e.sparkSession
-    import session.implicits._
     val es = subVectors(e)
       .transform(graft.Caches.scoped)
     val init = es.filter(col("vec_id") < Codes)
       .select(col("sub"), col("vec_id").as("c_id"), col("sqe").as("c_qe"))
+    // per-(sub, code) update as a plain groupBy over the native
+    // element-wise vec_sum_long aggregate + a count — the respell of
+    // the pre-r13 typed reduceGroups fold (the
+    // [[SimilarityQueries.lloydOver]] note): identical integer sums,
+    // identical truncating mean, no per-row array encode/decode.
+    graft.GraftExtensions.ensureInstalled(e.sparkSession)
     val fin = (1 to PqIters).foldLeft(init) { (cb, _) =>
       nearestCode(es, cb)
         .select(col("sub"), col("best.id").as("code"), col("sqe"))
-        .as[(Int, Long, Array[Long])]
-        .groupByKey(t => (t._1, t._2))
-        .mapValues(t => (t._3, 1L))
-        .reduceGroups { (a, b) =>
-          val sm = new Array[Long](a._1.length)
-          var i = 0
-          while (i < sm.length) { sm(i) = a._1(i) + b._1(i); i += 1 }
-          (sm, a._2 + b._2)
-        }
-        .map { case ((sub, code), (sv, n)) => (sub, code, sv.map(_ / n)) }
-        .toDF("sub", "c_id", "c_qe")
+        .groupBy(col("sub"), col("code"))
+        .agg(count(lit(1)).as("__n"), expr("vec_sum_long(sqe)").as("__sv"))
+        .select(col("sub"), col("code").as("c_id"),
+          expr("transform(__sv, v -> v div __n)").as("c_qe"))
     }
     fin.transform(graft.Caches.scoped)
   }

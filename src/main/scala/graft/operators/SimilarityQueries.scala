@@ -354,29 +354,27 @@ object SimilarityQueries {
     * — factored so the fine trainer ([[trainedCentroids]]) and the
     * two-level COARSE trainer (x99 — Lloyd over the fine centroid
     * table) share one spelling.
+    *
+    * The update is a plain `groupBy(bucket)` over the native
+    * element-wise [[graft.functions.VecSumLong]] aggregate + a count:
+    * identical integer sums and the same truncating mean as the
+    * pre-r13 typed `groupByKey/reduceGroups` fold (and dimension-
+    * agnostic like it), but without the per-row Catalyst↔JVM array
+    * encode/decode the typed path pays (guide §4: built-in-style
+    * aggregation in the hot path). Long `/`, Spark `div` and DuckDB
+    * `//` all truncate toward zero (probed), so the walked codebooks
+    * are bit-identical.
     */
   private[graft] def lloydOver(e: DataFrame, init: DataFrame): DataFrame = {
-    val session = e.sparkSession
-    import session.implicits._
+    graft.GraftExtensions.ensureInstalled(e.sparkSession)
     (1 to KmeansIters).foldLeft(init) { (cent, _) =>
       assignNearest(e, cent)
-        .select(col("bucket"), col("qe")).as[(Long, Array[Long])]
-        .groupByKey(_._1)
-        .mapValues(t => (t._2, 1L))
-        .reduceGroups { (a, b) =>
-          val s = new Array[Long](a._1.length)
-          var i = 0
-          while (i < s.length) { s(i) = a._1(i) + b._1(i); i += 1 }
-          (s, a._2 + b._2)
-        }
-        .map { case (b, (s, n)) =>
-          val q = s.map(_ / n)
-          var qn = 0L
-          var i = 0
-          while (i < q.length) { qn += q(i) * q(i); i += 1 }
-          (b, q, qn)
-        }
-        .toDF("c_id", "c_qe", "c_qn")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("__n"), expr("vec_sum_long(qe)").as("__sv"))
+        .select(col("bucket").as("c_id"),
+          expr("transform(__sv, v -> v div __n)").as("c_qe"))
+        .withColumn("c_qn", expr(
+          "aggregate(c_qe, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"))
     }
   }
 
