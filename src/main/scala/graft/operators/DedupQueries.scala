@@ -1390,7 +1390,10 @@ ORDER BY doc_a, doc_b"""),
     // only float is the final agreement division.
     "x52_source_sketch" -> QueryDef(
       (s, d) => {
-        val sig = sourceSketch(Tables.documents(s, d))
+        // spread: the per-doc shingle+minhash work below otherwise runs
+        // in the one task a single-split scan yields (r13 profile: 6
+        // tasks total, 2.2 s of wall for 1.9 s of serial compute)
+        val sig = sourceSketch(Tables.documentsSpread(s, d))
         val a = sig.select(col("source").as("source_a"), col("idx"),
           col("mh").as("mh_a"))
         val b = sig.select(col("source").as("source_b"), col("idx"),

@@ -87,7 +87,11 @@ object Multimodal {
     */
   def imageDocs(spark: SparkSession, dir: String): Dataset[BinaryDoc] = {
     import spark.implicits._
-    graft.Tables.documents(spark, dir)
+    // spread before the per-doc synthesis (64 MD5 digests + a container
+    // encode each) and the decode+DCT consumers downstream — all
+    // partition-local, so on a one-split corpus the whole mm family ran
+    // serially (r13 profile: mm05 carried ~3 s of single-task compute)
+    graft.Tables.documentsSpread(spark, dir)
       .select("doc_id", "text").as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val plane = grayPlane(
@@ -117,7 +121,9 @@ object Multimodal {
     */
   def audioDocs(spark: SparkSession, dir: String): Dataset[BinaryDoc] = {
     import spark.implicits._
-    graft.Tables.documents(spark, dir)
+    // spread like [[imageDocs]] — the WAV synthesis + decode windows
+    // are partition-local per-doc work
+    graft.Tables.documentsSpread(spark, dir)
       .select("doc_id", "text").as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         BinaryDoc(id,
