@@ -76,6 +76,17 @@ object GraphQueries {
   private def orderSets(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      // pre-partition on the aggregation key at an explicit width: the
+      // groupBy reuses the partitioning (no second exchange — guide
+      // §2.4), but unlike the ENSURE_REQUIREMENTS exchange AQE would
+      // insert, a user repartition is not byte-coalesced — and the
+      // sets/pair-explode stage is compute-dense while its shuffle
+      // bytes are tiny, so AQE otherwise ran it 3-4 wide (r13 profile:
+      // ~2.3 s of set-build + fan-out compute on 4 tasks). Volume-
+      // neutral at scale: collect_set's partial aggregation barely
+      // reduces (ok is ~unique per 7 rows), so shuffling raw (ok, pk)
+      // pairs carries the same bytes the partial-agg output would.
+      .repartition(s.sparkContext.defaultParallelism, col("ok"))
       .groupBy("ok").agg(collect_set(col("pk")).as("pks"))
 
   /** Opt-in hot-order skew lever (the graph twin of x08's `dfCap` /
