@@ -157,7 +157,10 @@ bands AS (
         .agg(count(lit(1)).as("df"))
         .filter(col("df") > cap)
         .select("shingle", "lang")
+      // scope-cached for the same reason as [[ngramJaccard]]'s capped
+      // posting: both pair-join sides read it, one df pass not two
       fullPosting.join(hot, Seq("shingle", "lang"), "left_anti")
+        .transform(graft.Caches.scoped)
     }
     posting.as("a").join(posting.as("b"),
         col("a.shingle") === col("b.shingle") &&
@@ -258,7 +261,14 @@ sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t)"""
         .agg(count(lit(1)).as("df"))
         .filter(col("df") > cap)
         .select("shingle", "lang", "bkt")
+      // scope-cached: both sides of the pair join read the capped
+      // posting list, and without the cache the df aggregation + the
+      // anti-join — a full pass over every shingle occurrence — ran
+      // twice per invocation. The uncapped path stays uncached: there
+      // it is a bare explode over the already-cached docs, cheaper to
+      // recompute than to store (the r13 x73 lesson).
       fullPosting.join(hot, Seq("shingle", "lang", "bkt"), "left_anti")
+        .transform(graft.Caches.scoped)
     }
     posting.as("a").join(posting.as("b"),
         col("a.shingle") === col("b.shingle") &&
@@ -335,7 +345,12 @@ sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t)"""
         .agg(count(lit(1)).as("df"))
         .filter(col("df") > cap)
         .select("band", "sigval")
+      // scope-cached: the pair join reads the capped band keys twice
+      // (a/b sides), and without the cache the hot-bucket aggregation +
+      // anti-join ran once per side. Uncapped stays uncached — a bare
+      // stack() projection over the cached sigs.
       allBands.join(hot, Seq("band", "sigval"), "left_anti")
+        .transform(graft.Caches.scoped)
     }
   }
 
@@ -792,13 +807,21 @@ ORDER BY doc_id"""
       .select(col("doc_id"), col("text"))
       .transform(graft.Caches.scoped)
     // map-side fan-out: one (doc_id, pos, 16-byte fp) row per character
-    // position; the window text never leaves the map side
+    // position; the window text never leaves the map side. SCOPE-CACHED:
+    // both consumers below (the duplicated-fp count and the coverage
+    // join) read this frame, and without the cache the per-character
+    // md5 explode — the heaviest map stage of the query — ran TWICE per
+    // invocation (r13 verdict). The cache holds the fingerprint fan-out
+    // (~36 B/char) at MEMORY_AND_DISK, the same storage-vs-recompute
+    // trade the paper's suffix array materializes; recomputing it is
+    // the one alternative and costs a second full md5 pass at any scale.
     val pos = docs.filter(length(col("text")) >= L)
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(1, length(text) - ${L - 1}),
              i -> struct(i, md5(cast(substring(text, i, $L)
                                      as binary)) AS fp))""")).as("g"))
       .select(col("doc_id"), col("g.i").as("s"), col("g.fp").as("fp"))
+      .transform(graft.Caches.scoped)
     // TOTAL occurrence count (not distinct docs): within-doc repeats
     // are duplicates under ExactSubstr
     val dup = pos.groupBy("fp")
