@@ -327,10 +327,30 @@ object EventStream {
     *   enabled — required when the query uses event-time TIMEOUTS, which
     *   only fire in the batch after the watermark advances
     */
+  /** @param statePartitions shuffle/state-store partition count for the
+    *   drain. Stateful operators open one state-store instance PER
+    *   SHUFFLE PARTITION per micro-batch (a stream-stream join opens
+    *   four) and each instance pays checkpoint-commit I/O — a fixed
+    *   per-batch cost independent of the data, so the right value
+    *   tracks the query's KEY CARDINALITY and per-key work, not the
+    *   core count. Declared drains keyed by a small universe (sources,
+    *   market segments, sketch counters, window×type, per-user SQL
+    *   aggregates, the user-keyed join) pass 2 — measured ~0.1-0.25 s
+    *   off each drain's fixed floor at sf0.1. The default 8 serves the
+    *   wider key spaces (band buckets, word types) AND the rows whose
+    *   per-key state work is heavy enough to want the width — measured:
+    *   session-window merging (st02/st05) and the typed
+    *   transformWithState/RocksDB row (st09) all REGRESS at 2, so they
+    *   stay at the default. Partitioning never changes results (state
+    *   updates are per-key; every declared drain's downstream
+    *   aggregation is key-local or commutative). A real firehose sizes
+    *   this to its key cardinality the same way.
+    */
   def runToMemory(spark: SparkSession, agg: DataFrame,
       name: String, outputMode: String = "complete",
       keepNoDataBatches: Boolean = false,
-      rocksdb: Boolean = false): DataFrame = {
+      rocksdb: Boolean = false,
+      statePartitions: Int = 8): DataFrame = {
     // transformWithState requires the RocksDB state-store provider;
     // scoped to the drain (set before start, restored after) so the
     // HDFS-backed default keeps serving the other streaming queries
@@ -345,16 +365,14 @@ object EventStream {
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val ndPrev = spark.conf.getOption(ndKey)
     spark.conf.set(ndKey, keepNoDataBatches.toString)
-    // Stateful operators open one state-store instance PER SHUFFLE
-    // PARTITION per micro-batch (a stream-stream join opens four), and
-    // each instance pays checkpoint-commit I/O — with 32 partitions that
-    // fixed cost dwarfs the data. 8 keeps the drain parallel enough for
-    // the backlog while quartering the store commits; partitioning never
-    // changes results. Restored after the drain (a real firehose sizes
-    // this to its key cardinality instead).
+    // See the statePartitions scaladoc: state-store instances and their
+    // commit I/O scale with the shuffle partition count, so the drain
+    // runs at the caller's key-cardinality-sized value (default 8, down
+    // from the session's 32 — with 32 the fixed cost dwarfs the data).
+    // Restored after the drain.
     val spKey = "spark.sql.shuffle.partitions"
     val spPrev = spark.conf.getOption(spKey)
-    spark.conf.set(spKey, "8")
+    spark.conf.set(spKey, statePartitions.toString)
     val q = agg.writeStream
       .outputMode(outputMode)
       .format("memory")

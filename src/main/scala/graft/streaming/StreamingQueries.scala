@@ -17,7 +17,8 @@ object StreamingQueries {
     "st01_stream_tumbling" -> QueryDef(
       (s, d) => {
         val agg = EventStream.tumblingCounts(EventStream.readEvents(s, d))
-        EventStream.runToMemory(s, agg, s"st01_sink_${System.nanoTime}")
+        EventStream.runToMemory(s, agg, s"st01_sink_${System.nanoTime}",
+            statePartitions = 2)
           .select(
             col("window.start").cast("timestamp_ntz").as("window_start"),
             col("window.end").cast("timestamp_ntz").as("window_end"),
@@ -89,7 +90,7 @@ ORDER BY user_id, session_start"""),
           .statefulUserTotals(EventStream.readEvents(s, d)).toDF()
         val w = Window.partitionBy("user_id").orderBy(desc("n_events"))
         EventStream.runToMemory(s, agg, s"st03_sink_${System.nanoTime}",
-            outputMode = "update")
+            outputMode = "update", statePartitions = 2)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1).drop("rn")
           .orderBy("user_id")
@@ -114,7 +115,8 @@ ORDER BY user_id, session_start"""),
           .agg(count(lit(1)).as("n_events"),
             graft.functions.Money.moneySum(col("value")).as("total_value"))
         EventStream.runToMemory(s, enriched,
-            s"st04_sink_${System.nanoTime}")
+            s"st04_sink_${System.nanoTime}",
+            statePartitions = 2)
           .orderBy("c_mktsegment")
       },
       Some(s"""SELECT c_mktsegment, count(*) AS n_events,
@@ -131,7 +133,7 @@ ORDER BY user_id, session_start"""),
         val dedup = EventStream.dedupKeys(EventStream.readEvents(s, d),
           Seq("user_id", "event_type"))
         EventStream.runToMemory(s, dedup, s"st06_sink_${System.nanoTime}",
-            outputMode = "append")
+            outputMode = "append", statePartitions = 2)
           .orderBy("user_id", "event_type")
       },
       Some("""SELECT DISTINCT user_id, event_type FROM events
@@ -146,7 +148,8 @@ ORDER BY user_id, session_start"""),
     "st08_stream_hopping" -> QueryDef(
       (s, d) => {
         val agg = EventStream.hoppingCounts(EventStream.readEvents(s, d))
-        EventStream.runToMemory(s, agg, s"st08_sink_${System.nanoTime}")
+        EventStream.runToMemory(s, agg, s"st08_sink_${System.nanoTime}",
+            statePartitions = 2)
           .select(
             col("window.start").cast("timestamp_ntz").as("window_start"),
             col("window.end").cast("timestamp_ntz").as("window_end"),
@@ -202,7 +205,7 @@ ORDER BY user_id, session_start"""),
             col("purchase_ts") >= col("click_ts") &&
             col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
         EventStream.runToMemory(s, joined,
-            s"st07_sink_${System.nanoTime}", outputMode = "append")
+            s"st07_sink_${System.nanoTime}", outputMode = "append", statePartitions = 2)
           .select(col("click_id"), col("purchase_id"), col("user_id"),
             col("click_ts").cast("timestamp_ntz").as("click_ts"),
             col("purchase_ts").cast("timestamp_ntz").as("purchase_ts"))
@@ -329,7 +332,8 @@ ORDER BY band, sigval"""),
         import graft.operators.PipelineQueries.{minkAgg, minkQuantiles, minkStaged}
         val agg = minkAgg(minkStaged(EventStream.readDocuments(s, d)))
         minkQuantiles(
-          EventStream.runToMemory(s, agg, s"st11_sink_${System.nanoTime}"))
+          EventStream.runToMemory(s, agg, s"st11_sink_${System.nanoTime}",
+            statePartitions = 2))
           .orderBy("source", "q")
       },
       Some(s"""
@@ -363,7 +367,8 @@ SELECT source, q, est FROM est ORDER BY source, q"""),
             sum(col("n_tokens")).cast("bigint").as("tokens_in"),
             sum(when(kept, col("n_tokens")).otherwise(0L)).cast("bigint")
               .as("tokens_kept"))
-        EventStream.runToMemory(s, gate, s"st12_sink_${System.nanoTime}")
+        EventStream.runToMemory(s, gate, s"st12_sink_${System.nanoTime}",
+            statePartitions = 2)
           .orderBy("source")
       },
       Some(s"""
@@ -400,7 +405,8 @@ FROM flags GROUP BY source ORDER BY source"""),
           .groupBy(col("source"))
           .agg(count(lit(1)).as("docs_in"),
             expr(s"kmv_sketch(h, $StKmvK)").as("uniq_est"))
-        EventStream.runToMemory(s, hashed, s"st13_sink_${System.nanoTime}")
+        EventStream.runToMemory(s, hashed, s"st13_sink_${System.nanoTime}",
+            statePartitions = 2)
           .orderBy("source")
       },
       Some(s"""
@@ -455,7 +461,8 @@ ORDER BY source"""),
           .groupBy((col("pos") + 1).cast("bigint").as("dim"))
           .agg(sum(col("xf") * col("dt")).as("w"))
         val drained = EventStream.runToMemory(s, acc,
-          s"st14_sink_${System.nanoTime}")
+          s"st14_sink_${System.nanoTime}",
+            statePartitions = 2)
         val wr = drained.select(col("dim"),
           expr(tdiv("w", PcaScale.toString, "div")).as("wr"))
         val nrm = wr.agg(expr(isqrt(
@@ -523,7 +530,8 @@ ORDER BY dim"""
           .agg(count(lit(1)).as("n_docs"),
             sum(col("ws")).as("ws_tokens"),
             sum(col("re")).as("re_tokens"))
-        EventStream.runToMemory(s, agg, s"st15_sink_${System.nanoTime}")
+        EventStream.runToMemory(s, agg, s"st15_sink_${System.nanoTime}",
+            statePartitions = 2)
           .withColumn("fertility",
             col("re_tokens").cast("double") /
               col("ws_tokens").cast("double"))
@@ -571,7 +579,8 @@ FROM t GROUP BY lang ORDER BY lang"""),
           .withColumn("qe", expr(SimilarityQueries.sparkQuant))
         val agg = PqQueries.codebookStatsOf(
           PqQueries.encodedPacked(stream, books))
-        EventStream.runToMemory(s, agg, s"st16_sink_${System.nanoTime}")
+        EventStream.runToMemory(s, agg, s"st16_sink_${System.nanoTime}",
+            statePartitions = 2)
           .orderBy("sub", "code")
       },
       Some(graft.operators.PqQueries.codebookStatsSql),
@@ -603,7 +612,8 @@ FROM t GROUP BY lang ORDER BY lang"""),
           .withColumn("qe", expr(SimilarityQueries.sparkQuant))
           .withColumn("qn", expr(SimilarityQueries.sparkNorm))
         val agg = SimilarityQueries.frozenAssignStats(stream, cent)
-        EventStream.runToMemory(s, agg, s"st17_sink_${System.nanoTime}")
+        EventStream.runToMemory(s, agg, s"st17_sink_${System.nanoTime}",
+            statePartitions = 2)
           .orderBy("bucket")
       },
       Some(graft.operators.SimilarityQueries.frozenAssignStatsSql),
@@ -627,7 +637,8 @@ FROM t GROUP BY lang ORDER BY lang"""),
           .withColumn("qe", expr(SimilarityQueries.sparkQuant))
           .withColumn("qn", expr(SimilarityQueries.sparkNorm))
         val agg = SrpQueries.bucketStats(stream)
-        EventStream.runToMemory(s, agg, s"st18_sink_${System.nanoTime}")
+        EventStream.runToMemory(s, agg, s"st18_sink_${System.nanoTime}",
+            statePartitions = 2)
           .orderBy("band", "bkey")
       },
       Some(graft.operators.SrpQueries.bucketStatsSql),
@@ -710,7 +721,8 @@ FROM t GROUP BY lang ORDER BY lang"""),
             explode(expr(s"sequence(0, ${PipelineQueries.CmsD - 1})")))
           .withColumn("b", expr(PipelineQueries.cmsBucketExpr("r")))
           .groupBy("r", "b").agg(count(lit(1)).as("counter"))
-        EventStream.runToMemory(s, agg, s"st20_sink_${System.nanoTime}")
+        EventStream.runToMemory(s, agg, s"st20_sink_${System.nanoTime}",
+            statePartitions = 2)
           .select(col("r").cast("bigint").as("r"), col("b"),
             col("counter").cast("bigint").as("counter"))
           .orderBy("r", "b")
