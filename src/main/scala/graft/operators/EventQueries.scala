@@ -972,12 +972,28 @@ ORDER BY table_name"""),
             Money.moneySum(col("value")).as("monetary"))
           .transform(graft.Caches.scoped)
         val n1 = u.agg(count(lit(1)).cast("bigint").as("_n"))
-        val ranked = Seq[(String, Seq[org.apache.spark.sql.Column])](
-          "_rr" -> Seq(col("recency_days"), col("user_id")),
-          "_fr" -> Seq(col("frequency").desc, col("user_id")),
-          "_mr" -> Seq(col("monetary").desc, col("user_id")))
-          .foldLeft(u) { case (acc, (rc, keys)) =>
-            Ranks.globalRank(acc, keys, rc)
+        // Three INDEPENDENT slim rank branches joined back on the unique
+        // user_id, not a foldLeft threading each rank through the next
+        // pass: the folded spelling serialized three full-width
+        // range-exchange+stats chains (each pass range-samples the
+        // previous pass's output, so nothing overlapped — 31 jobs end to
+        // end, ~1.4 s of un-parallelized residue in the r13 profile).
+        // Slim branches rank only (measure, user_id), run as concurrent
+        // subtrees of the one action, and re-attach by key (1:1 — ranks
+        // are a pure function of the measure and the unique tiebreak, so
+        // rows are identical by construction). Guide §2.6 overlap + §2.3
+        // narrower exchanges; the joins are user-keyed and broadcast at
+        // bench scale.
+        val ranked = Seq[(String, Seq[org.apache.spark.sql.Column], String)](
+          ("_rr", Seq(col("recency_days"), col("user_id")), "recency_days"),
+          ("_fr", Seq(col("frequency").desc, col("user_id")), "frequency"),
+          ("_mr", Seq(col("monetary").desc, col("user_id")), "monetary"))
+          .foldLeft(u) { case (acc, (rc, keys, measure)) =>
+            acc.join(
+              Ranks.globalRank(u.select(col(measure), col("user_id")),
+                  keys, rc)
+                .select(col("user_id"), col(rc)),
+              "user_id")
           }
         ranked.crossJoin(broadcast(n1))
           .withColumn("r_q", expr(Ranks.ntile4Sql("_rr", "_n")))
