@@ -180,7 +180,18 @@ object Joins {
       pmod(monotonically_increasing_id(), lit(salt.toLong)))
     val sr = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
-    sl.join(sr,
+    // Pin the SHUFFLE strategy (guide §3.1): salting exists precisely
+    // for the case where the join must shuffle and one key would own a
+    // reducer — but Spark's size estimator, seeing a small-enough
+    // replicated side, happily plans a BROADCAST of the ×salt-exploded
+    // dimension (measured on j20: the whole stall was a 1.2M-row
+    // exploded-dim broadcast built through a driver collect, ×8 the
+    // bytes broadcasting the unsalted dim would cost — and a broadcast
+    // join has no skew to spread in the first place). The hint keeps
+    // the combinator meaning what it says at every size: a
+    // (key, salt)-partitioned shuffled hash join, dim slice as the
+    // per-partition build side (bounded by |dim| × salt / partitions).
+    sl.join(sr.hint("shuffle_hash"),
         sl(leftKey) === sr(rightKey) && sl("__salt") === sr("__salt"))
       .drop("__salt")
   }
