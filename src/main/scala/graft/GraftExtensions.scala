@@ -33,11 +33,20 @@ object GraftExtensions {
       }),
     (FunctionIdentifier("vec_sum_long"),
       new ExpressionInfo(classOf[VecSumLong].getName, "vec_sum_long"),
-      (args: Seq[Expression]) => VecSumLong(args(0))),
+      (args: Seq[Expression]) => args match {
+        case Seq(a) => VecSumLong(a)
+        case other => throw new IllegalArgumentException(
+          s"vec_sum_long(arr): expected one array argument, got $other")
+      }),
     (FunctionIdentifier("intersect_count_sorted"),
       new ExpressionInfo(classOf[IntersectCountSorted].getName,
         "intersect_count_sorted"),
-      (args: Seq[Expression]) => IntersectCountSorted(args(0), args(1))),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => IntersectCountSorted(a, b)
+        case other => throw new IllegalArgumentException(
+          "intersect_count_sorted(a, b): expected two sorted " +
+            s"ARRAY<BIGINT> arguments, got $other")
+      }),
     (FunctionIdentifier("simhash_bits"),
       new ExpressionInfo(classOf[SimHashBits].getName, "simhash_bits"),
       (args: Seq[Expression]) => SimHashBits(args(0))),

@@ -27,10 +27,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * skips runs of equal values). PRECONDITION, documented not policed
   * (the dot_long contract): callers must pass sorted arrays — unsorted
   * input silently undercounts. A NULL array yields NULL (BinaryExpression
-  * null-intolerance); a NULL ELEMENT yields NULL, loudly different from
-  * array_intersect's null-as-value treatment — the engine's hashed
-  * shingle arrays are provably null-free, and an ad-hoc caller with
-  * nullable elements should use the composable spelling instead.
+  * null-intolerance); a NULL element ENCOUNTERED DURING THE MERGE WALK
+  * yields NULL — a trailing NULL past the point where the other side is
+  * exhausted is never scanned, so it does not (r13 ADVICE: the NULL
+  * semantics are scan-order-dependent). Either way this is loudly
+  * different from array_intersect's null-as-value treatment — the
+  * engine's hashed shingle arrays are provably null-free, and an ad-hoc
+  * caller with nullable elements should use the composable spelling
+  * instead.
   */
 case class IntersectCountSorted(left: Expression, right: Expression)
     extends BinaryExpression {

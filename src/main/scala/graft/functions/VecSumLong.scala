@@ -29,12 +29,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * length (the typed fold's `a._1.length` behavior), so spec fixtures
   * with short vectors work unchanged.
   *
-  * Semantics: int64 sums — associative, order-independent, exact.
-  * NULL arrays are skipped (like sum's null handling; the engine's
-  * quantized frames are non-null). A NULL ELEMENT or a length mismatch
-  * within one group fails loudly (IllegalArgumentException) — the
-  * typed fold crashed on mismatch too, and silently zero-filling would
-  * corrupt a centroid. Empty input yields NULL (sum's convention).
+  * Semantics: int64 sums — associative, order-independent, exact, and
+  * OVERFLOW THROWS (Math.addExact → ArithmeticException) where the
+  * typed fold it replaced wrapped silently with plain Long `+` — the
+  * one behavior difference vs that fold (r13 ADVICE), deliberate: a
+  * wrapped component sum would walk the trainer to garbage centroids
+  * quietly. NULL arrays are skipped (like sum's null handling; the
+  * engine's quantized frames are non-null). A NULL ELEMENT or a length
+  * mismatch within one group fails loudly (IllegalArgumentException) —
+  * the typed fold crashed on mismatch too, and silently zero-filling
+  * would corrupt a centroid. Empty input yields NULL (sum's
+  * convention).
   */
 case class VecSumLong(child: Expression,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)

@@ -86,6 +86,18 @@ object GraphQueries {
       // neutral at scale: collect_set's partial aggregation barely
       // reduces (ok is ~unique per 7 rows), so shuffling raw (ok, pk)
       // pairs carries the same bytes the partial-agg output would.
+      //
+      // MEASURED DEAD END (r14): collect_set plans an
+      // ObjectHashAggregate that falls back to sort-based aggregation
+      // past 128 groups/partition (every real partition here), ~10
+      // CPU-s of the build at sf0.1 — but the "fix", respelling this as
+      // distinct (ok, pk) + a colocated self-join on ok (the oracle's
+      // own li-JOIN-li shape, zero extra exchanges, no object agg),
+      // measured WORSE end to end in a quieter window (x46 min floor
+      // 3.07 → 3.38 s, x71 1.38 → 1.76): the map-side set explode beats
+      // the join machinery's sort+stream overhead at this volume, and
+      // at scale both are one exchange + linear per-row work. Reverted;
+      // the object-agg CPU is the known price of the one-shuffle shape.
       .repartition(s.sparkContext.defaultParallelism, col("ok"))
       .groupBy("ok").agg(collect_set(col("pk")).as("pks"))
 

@@ -119,11 +119,18 @@ object Multimodal {
     * [[graft.sources.Wav.decode]] in [[audioWindows]]. Same
     * synthesis-vs-scan contract as [[imageDocs]].
     */
-  def audioDocs(spark: SparkSession, dir: String): Dataset[BinaryDoc] = {
+  def audioDocs(spark: SparkSession, dir: String,
+      spread: Boolean = true): Dataset[BinaryDoc] = {
     import spark.implicits._
-    // spread like [[imageDocs]] — the WAV synthesis + decode windows
-    // are partition-local per-doc work
-    graft.Tables.documentsSpread(spark, dir)
+    // spread like [[imageDocs]] by default — the WAV synthesis + decode
+    // windows are partition-local per-doc work. `spread = false` lets a
+    // consumer whose downstream is already cache-bounded (mm04: the
+    // window-flag frame is scope-cached and everything after reads that)
+    // skip the raw-text exchange: the r13 shared spread bought mm02 its
+    // win but priced mm04 +0.2 s, and the r14 split recovers it without
+    // forking the synthesis spelling.
+    (if (spread) graft.Tables.documentsSpread(spark, dir)
+     else graft.Tables.documents(spark, dir))
       .select("doc_id", "text").as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         BinaryDoc(id,
@@ -210,7 +217,7 @@ object Multimodal {
   def audioVad(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
-    val flag = audioWindows(audioDocs(spark, dir)).toDF()
+    val flag = audioWindows(audioDocs(spark, dir, spread = false)).toDF()
       .withColumn("voiced", col("e") >= col("ns") * lit(5000L))
       .transform(graft.Caches.scoped)
     val agg = flag.groupBy("doc_id").agg(

@@ -298,7 +298,11 @@ ORDER BY user_id, session_start"""),
         // rows' addBatch time is the per-row compute running in the ONE
         // scan task the file source yields (the documentsSpread trade,
         // in-stream); the monoid aggregation is arrival-order-free, so
-        // results are unchanged
+        // results are unchanged. SCALE NOTE (r13 ADVICE): on a many-core
+        // cluster whose source batches already arrive multi-split, this
+        // unconditional spread re-shuffles raw text per batch — gate it
+        // on the batch's actual partition count (a foreachBatch-side
+        // check) before running a real firehose through it.
         val bands = graft.operators.DedupQueries
           .bandKeys(EventStream.readDocuments(s, d)
             .repartition(s.sparkContext.defaultParallelism))
